@@ -1,0 +1,237 @@
+"""The cell grid — TPU-native replacement for SWIFT's space/cell tree.
+
+The reference builds a top-level grid of cells recursively oct-split into a
+tree with per-cell particle arrays, rebuilt by a threadpooled counting sort
+(src/space_rebuild.c:49, space_cell_index.c).  On TPU the equivalent is a
+single **regular periodic grid of fixed-capacity tiles**: every particle
+lives in exactly one of ``C = ncx*ncy*ncz`` cells, at one of ``K`` padded
+SoA slots.  The "rebuild" is a jit-compiled counting sort (argsort by cell +
+rank-in-cell scatter).  There is no oct-tree: the 27-stencil over the top
+grid plays the role of SWIFT's pair tasks, and the grid spacing is tied to
+the interaction range exactly like SWIFT ties cell width to h_max
+(space_regrid logic, space.c).
+
+Positions inside the framework are (cell, f32 offset-from-corner) pairs;
+between rebuilds offsets may wander outside [0, edge) — pairwise math stays
+exact because distances only ever use offset differences plus integer
+stencil shifts.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class CellGrid:
+    """Static description of the periodic top grid (jit-static)."""
+
+    box: Tuple[float, float, float]
+    cdim: Tuple[int, int, int]
+    K: int
+
+    @property
+    def C(self) -> int:
+        return self.cdim[0] * self.cdim[1] * self.cdim[2]
+
+    @property
+    def edge(self) -> Tuple[float, float, float]:
+        return (self.box[0] / self.cdim[0],
+                self.box[1] / self.cdim[1],
+                self.box[2] / self.cdim[2])
+
+    @property
+    def edge_arr(self) -> np.ndarray:
+        return np.asarray(self.edge, dtype=np.float64)
+
+    # --- construction --------------------------------------------------------
+    @staticmethod
+    def build(box, interaction_range: float, n_particles: int,
+              occupancy: float = 0.55, k_align: int = 8,
+              max_cdim: int = 128, min_cdim: int = 3,
+              k_max: int = 2048) -> "CellGrid":
+        """Choose cdim and K for a target interaction range.
+
+        The cell edge must be >= interaction_range (so the 27-stencil covers
+        all pairs) — the analog of SWIFT requiring cell width >= h_max
+        (space.c space_regrid).  K is the padded capacity: mean occupancy
+        over K targets `occupancy`, rounded up to a multiple of `k_align`
+        (TPU sublane friendliness).
+        """
+        box = tuple(float(b) for b in box)
+        cdim = []
+        for b in box:
+            n = int(math.floor(b / max(interaction_range, 1e-30)))
+            cdim.append(int(np.clip(n, min_cdim, max_cdim)))
+        C = cdim[0] * cdim[1] * cdim[2]
+        mean_per_cell = n_particles / max(C, 1)
+        K = int(math.ceil(mean_per_cell / occupancy / k_align)) * k_align
+        K = max(K, k_align)
+        K = min(K, k_max)
+        return CellGrid(box=box, cdim=tuple(cdim), K=K)
+
+    @staticmethod
+    def build_for_positions(box, interaction_range: float, pos,
+                            headroom: float = 1.5, k_align: int = 8,
+                            max_cdim: int = 128, min_cdim: int = 3
+                            ) -> "CellGrid":
+        """Like :meth:`build` but sizes K from the *actual* worst-case cell.
+
+        Histograms the particle positions on the candidate grid and sets
+        K = max-count * headroom (rounded up to k_align).  This is the
+        equivalent of SWIFT sizing cell arrays from real counts at rebuild
+        (space_rebuild.c) — a mean-occupancy guess silently drops particles
+        in clustered or lattice configurations.
+        """
+        box = tuple(float(b) for b in box)
+        pos = np.asarray(pos, np.float64)
+        cdim = []
+        for b in box:
+            n = int(math.floor(b / max(interaction_range, 1e-30)))
+            cdim.append(int(np.clip(n, min_cdim, max_cdim)))
+        edge = np.asarray(box) / np.asarray(cdim)
+        ijk = np.floor(np.mod(pos, box) / edge).astype(np.int64)
+        ijk = np.clip(ijk, 0, np.asarray(cdim) - 1)
+        lin = (ijk[:, 0] * cdim[1] + ijk[:, 1]) * cdim[2] + ijk[:, 2]
+        max_count = int(np.bincount(lin).max()) if len(lin) else 1
+        K = int(math.ceil(max_count * headroom / k_align)) * k_align
+        return CellGrid(box=box, cdim=tuple(cdim), K=max(K, k_align))
+
+    # --- coordinate helpers ---------------------------------------------------
+    def cell_corners(self) -> np.ndarray:
+        """(C, 3) f64 cell corner positions (host-side, exact)."""
+        ix, iy, iz = np.meshgrid(np.arange(self.cdim[0]),
+                                 np.arange(self.cdim[1]),
+                                 np.arange(self.cdim[2]), indexing="ij")
+        idx = np.stack([ix, iy, iz], axis=-1).reshape(-1, 3).astype(np.float64)
+        return idx * self.edge_arr
+
+    def linear_cell_of(self, ixyz: jnp.ndarray) -> jnp.ndarray:
+        """Linear cell index from integer (…,3) cell coords (with wrap)."""
+        ncx, ncy, ncz = self.cdim
+        ix = jnp.mod(ixyz[..., 0], ncx)
+        iy = jnp.mod(ixyz[..., 1], ncy)
+        iz = jnp.mod(ixyz[..., 2], ncz)
+        return (ix * ncy + iy) * ncz + iz
+
+
+# ---------------------------------------------------------------------------
+# Bucketing (the rebuild).
+# ---------------------------------------------------------------------------
+
+def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
+                  fields: Dict[str, jnp.ndarray]):
+    """Counting-sort N particles into (C, K, ...) padded tiles.
+
+    pos: (N, 3) absolute positions (any float dtype; wrapped periodically).
+    fields: dict of (N,) or (N, 3) arrays scattered alongside.
+
+    Returns (out_fields, mask, off, n_overflow):
+      out_fields[name]: (C, K[, 3]);  mask: (C, K) f32;
+      off: (C, K, 3) f32 cell-local offsets; n_overflow: particles dropped
+      because their cell exceeded K (must be 0 — caller re-grids otherwise,
+      the analog of space_regrid).
+    """
+    box = jnp.asarray(grid.box, pos.dtype)
+    edge = jnp.asarray(grid.edge_arr, pos.dtype)
+    ncx, ncy, ncz = grid.cdim
+    C, K = grid.C, grid.K
+    N = pos.shape[0]
+
+    p = jnp.mod(pos, box)
+    ixyz = jnp.floor(p / edge).astype(I32)
+    ixyz = jnp.clip(ixyz, 0, jnp.asarray(grid.cdim, I32) - 1)
+    cell = grid.linear_cell_of(ixyz)
+    off = (p - ixyz.astype(pos.dtype) * edge).astype(F32)
+
+    order = jnp.argsort(cell, stable=True)
+    cell_s = cell[order]
+    first = jnp.searchsorted(cell_s, cell_s, side="left")
+    rank = jnp.arange(N, dtype=I32) - first.astype(I32)
+
+    ok = rank < K
+    n_overflow = jnp.sum(~ok).astype(I32)
+    slot = jnp.where(ok, cell_s * K + rank, C * K)  # drop-overflow sentinel
+
+    def scatter(x_sorted, fill=0.0):
+        flat_shape = (C * K + 1,) + x_sorted.shape[1:]
+        out = jnp.full(flat_shape, fill, x_sorted.dtype)
+        out = out.at[slot].set(x_sorted)
+        return out[:-1].reshape((C, K) + x_sorted.shape[1:])
+
+    out_fields = {name: scatter(arr[order]) for name, arr in fields.items()}
+    mask = scatter(jnp.ones((N,), F32))
+    off_t = scatter(off[order])
+    return out_fields, mask, off_t, n_overflow
+
+
+def rebucket_offsets(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
+                     fields: Dict[str, jnp.ndarray]):
+    """Re-bucket from existing (C,K) tiles after drift.
+
+    Computes each slot's new cell from its (possibly out-of-cell) offset and
+    redistributes all fields.  This is the per-rebuild analog of
+    space_rebuild's "cell index + sort" (space_rebuild.c:150) — exact in f32
+    because it never forms absolute positions.
+    """
+    C, K = grid.C, grid.K
+    edge = jnp.asarray(grid.edge_arr, F32)
+    cdim = jnp.asarray(grid.cdim, I32)
+
+    # current cell coords of each slot
+    cid = jnp.arange(C, dtype=I32)
+    ncx, ncy, ncz = grid.cdim
+    ix = cid // (ncy * ncz)
+    iy = (cid // ncz) % ncy
+    iz = cid % ncz
+    cur = jnp.stack([ix, iy, iz], axis=-1)[:, None, :]  # (C,1,3)
+
+    shift = jnp.floor(off / edge).astype(I32)            # (C,K,3)
+    new_ixyz = jnp.mod(cur + shift, cdim)
+    new_off = off - shift.astype(F32) * edge
+    new_cell = grid.linear_cell_of(new_ixyz).reshape(-1)  # (C*K,)
+
+    valid = mask.reshape(-1) > 0
+    new_cell = jnp.where(valid, new_cell, C)  # invalid slots sort last
+
+    order = jnp.argsort(new_cell, stable=True)
+    cell_s = new_cell[order]
+    first = jnp.searchsorted(cell_s, cell_s, side="left")
+    rank = jnp.arange(C * K, dtype=I32) - first.astype(I32)
+
+    ok = (cell_s < C) & (rank < K)
+    n_overflow = jnp.sum((cell_s < C) & (rank >= K)).astype(I32)
+    slot = jnp.where(ok, cell_s * K + rank, C * K)
+
+    def scatter(x, fill):
+        flat = x.reshape((C * K,) + x.shape[2:])[order]
+        out_shape = (C * K + 1,) + flat.shape[1:]
+        out = jnp.full(out_shape, fill, flat.dtype)
+        out = out.at[slot].set(flat)
+        return out[:-1].reshape((C, K) + flat.shape[1:])
+
+    out_fields = {}
+    for name, arr in fields.items():
+        fill = -1 if arr.dtype in (jnp.int32, jnp.int64) and name == "pid" else 0
+        out_fields[name] = scatter(arr, fill)
+    new_mask = scatter(mask, 0.0)
+    out_off = scatter(new_off, 0.0)
+    return out_fields, new_mask, out_off, n_overflow
+
+
+def global_positions(grid: CellGrid, off: jnp.ndarray) -> np.ndarray:
+    """(C, K, 3) f64 absolute positions (host-side; for I/O and checks)."""
+    corners = grid.cell_corners().reshape(grid.cdim + (3,))
+    corners = corners.reshape(grid.C, 1, 3)
+    pos = corners + np.asarray(off, np.float64)
+    return np.mod(pos, np.asarray(grid.box, np.float64))

@@ -1,0 +1,99 @@
+"""Brute-force O(N^2) SPH reference loops — the test oracle.
+
+Mirrors the reference's testing strategy (tests/test27cells.c:372,
+tests/testActivePair.c): the production neighbour engine is validated
+against an all-pairs evaluation of the *same* pairwise term functions on
+small particle sets.  Operates on flat (N,) arrays with absolute positions
+and a periodic box.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..models.sph import sphenix
+from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
+
+F32 = jnp.float32
+
+
+def _pair_geometry(pos, box):
+    """Minimum-image dx components and r2 for all (i, j): shapes (N, N)."""
+    dx = []
+    for k in range(3):
+        d = pos[:, None, k] - pos[None, :, k]
+        if box is not None:
+            b = jnp.float32(box[k])
+            d = d - b * jnp.round(d / b)
+        dx.append(d)
+    r2 = dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2
+    return tuple(dx), r2
+
+
+def density_bruteforce(p: SPHENIXParams, pos, h, m, v, box=None
+                       ) -> Dict[str, jnp.ndarray]:
+    """All-pairs density accumulators (pre-end_density)."""
+    dx, r2 = _pair_geometry(pos, box)
+    hi = h[:, None]
+    ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
+    w = ok.astype(F32)
+    dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
+    t = sphenix.density_terms(p, dx, r2, hi, m[None, :], dv)
+    out = {k: jnp.sum(val * w, axis=-1) for k, val in t.items()}
+    return {
+        "rho": out["rho"], "rho_dh": out["rho_dh"], "wcount": out["wcount"],
+        "wcount_dh": out["wcount_dh"], "div_v": out["div_v"],
+        "rot_v": jnp.stack([out["rot_v0"], out["rot_v1"], out["rot_v2"]],
+                           axis=-1),
+    }
+
+
+def gradient_bruteforce(p: SPHENIXParams, pos, h, m, v, u, rho, cs,
+                        alpha_visc, v_sig0, a_max0, cosmo: CosmoFactors,
+                        box=None) -> Dict[str, jnp.ndarray]:
+    dx, r2 = _pair_geometry(pos, box)
+    hi = h[:, None]
+    ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
+    w = ok.astype(F32)
+    dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
+    t = sphenix.gradient_terms(
+        p, dx, r2, hi, h[None, :], m[None, :], dv, u[:, None], u[None, :],
+        rho[None, :], cs[:, None], cs[None, :], alpha_visc[None, :], cosmo)
+    return {
+        "laplace_u": jnp.sum(t["sum"]["laplace_u"] * w, axis=-1),
+        "v_sig": jnp.maximum(v_sig0, jnp.max(
+            jnp.where(ok, t["max"]["v_sig"], -jnp.inf), axis=-1)),
+        "alpha_visc_max_ngb": jnp.maximum(a_max0, jnp.max(
+            jnp.where(ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
+            axis=-1)),
+    }
+
+
+def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
+                     balsara, alpha_visc, alpha_diff, u, v_sig0,
+                     cosmo: CosmoFactors, box=None) -> Dict[str, jnp.ndarray]:
+    dx, r2 = _pair_geometry(pos, box)
+    hi = h[:, None]
+    hj = h[None, :]
+    range2 = jnp.float32(p.kernel.gamma2) * jnp.maximum(hi, hj) ** 2
+    ok = (r2 > 0) & (r2 < range2)
+    w = ok.astype(F32)
+    dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
+    t = sphenix.force_terms(
+        p, dx, r2, hi, hj, m[:, None], m[None, :], dv,
+        rho[:, None], rho[None, :], P[:, None], P[None, :],
+        cs[:, None], cs[None, :], f_gradh[:, None], f_gradh[None, :],
+        balsara[:, None], balsara[None, :], alpha_visc[:, None],
+        alpha_visc[None, :], alpha_diff[:, None], alpha_diff[None, :],
+        u[:, None], u[None, :], cosmo)
+    sums = {k: jnp.sum(val * w, axis=-1) for k, val in t["sum"].items()}
+    return {
+        "a_hydro": jnp.stack([sums["a_hydro0"], sums["a_hydro1"],
+                              sums["a_hydro2"]], axis=-1),
+        "u_dt": sums["u_dt"],
+        "h_dt": sums["h_dt"],
+        "v_sig": jnp.maximum(v_sig0, jnp.max(
+            jnp.where(ok, t["max"]["v_sig"], -jnp.inf), axis=-1)),
+    }

@@ -1,0 +1,236 @@
+"""27-stencil neighbour engine (XLA path).
+
+This is the TPU replacement for SWIFT's sorted pseudo-Verlet pair loops
+(src/runner_doiact_functions_hydro.h DOPAIR1/DOSELF1 + the 13-axis sort
+machinery of sort_part.h): instead of sorting particles along pair axes, we
+compute **dense masked pair tiles between each cell and its 27 neighbours**.
+Each stencil offset becomes a static `jnp.roll` of the cell grid — under
+GSPMD sharding these rolls compile to ICI collective-permutes, which is how
+the halo exchange of SWIFT's proxies (src/proxy.c) happens here without any
+explicit communication code.
+
+All pairwise physics is delegated to scheme term-functions
+(models/sph/sphenix.py) so the same formulas run in the brute-force checker
+and in the Pallas fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..grid.cellgrid import CellGrid
+from ..models.sph import sphenix
+from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
+
+F32 = jnp.float32
+
+# The 27 stencil offsets, self first (d=0 reuses the un-rolled arrays).
+STENCIL_27 = [(0, 0, 0)] + [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+    if not (dx == 0 and dy == 0 and dz == 0)
+]
+
+
+def _grid_view(grid: CellGrid, arr: jnp.ndarray) -> jnp.ndarray:
+    """(C, K, ...) -> (ncx, ncy, ncz, K, ...)."""
+    return arr.reshape(grid.cdim + arr.shape[1:])
+
+
+def _flat_view(grid: CellGrid, arr: jnp.ndarray) -> jnp.ndarray:
+    return arr.reshape((grid.C,) + arr.shape[3:])
+
+
+def _roll(arr: jnp.ndarray, d) -> jnp.ndarray:
+    """rolled[c] = arr[c + d] (periodic)."""
+    if d == (0, 0, 0):
+        return arr
+    return jnp.roll(arr, shift=(-d[0], -d[1], -d[2]), axis=(0, 1, 2))
+
+
+def _sanitize(mask, x, fill=1.0):
+    """Replace empty-slot values so masked pairs stay finite.
+
+    Every pair contribution is multiplied by the pair mask before reduction,
+    but NaN*0 = NaN — so any field that appears in a denominator must carry a
+    harmless value in empty slots.
+    """
+    return jnp.where(mask > 0, x, jnp.float32(fill))
+
+
+def _bi(x):  # broadcast i-side: (..., K) -> (..., K, 1)
+    return x[..., :, None]
+
+
+def _bj(x):  # broadcast j-side: (..., K) -> (..., 1, K)
+    return x[..., None, :]
+
+
+def _pair_geometry(off_i, off_j_rolled, d, edge):
+    """dx components and r2 for all (a, b) slot pairs of cells (c, c+d).
+
+    dx = x_a - x_b = off_i[a] - off_j[b] - d*edge  (exact periodic form).
+    Shapes: (..., K, K).
+    """
+    dx = tuple(
+        _bi(off_i[..., k]) - _bj(off_j_rolled[..., k])
+        - jnp.float32(d[k] * edge[k])
+        for k in range(3))
+    r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+    return dx, r2
+
+
+# ---------------------------------------------------------------------------
+# Hydro loops
+# ---------------------------------------------------------------------------
+
+def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
+                 p: SPHENIXParams) -> Dict[str, jnp.ndarray]:
+    """SPH density sums for every particle (SWIFT density SELF+PAIR tasks).
+
+    Consumes: mask, off, v, h, m.  Produces raw accumulators (rho, rho_dh,
+    wcount, wcount_dh, div_v, rot_v) BEFORE end_density h-factors.
+    """
+    edge = grid.edge
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
+    h = _sanitize(mask, g("h"))
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    hi = _bi(h)
+    range2 = gamma2 * hi * hi
+
+    acc = {k: jnp.zeros_like(h) for k in
+           ("rho", "rho_dh", "wcount", "wcount_dh", "div_v",
+            "rot_v0", "rot_v1", "rot_v2")}
+
+    for d in STENCIL_27:
+        off_j = _roll(off, d)
+        v_j = _roll(v, d)
+        m_j = _roll(m, d)
+        mask_j = _roll(mask, d)
+
+        dx, r2 = _pair_geometry(off, off_j, d, edge)
+        pair_ok = (_bj(mask_j) > 0) & (r2 > 0) & (r2 < range2)
+        w = pair_ok.astype(F32)
+
+        dv = tuple(_bi(v[..., k]) - _bj(v_j[..., k]) for k in range(3))
+        terms = sphenix.density_terms(p, dx, r2, hi, _bj(m_j), dv)
+        for key, val in terms.items():
+            acc[key] = acc[key] + jnp.sum(val * w, axis=-1)
+
+    out = {k: _flat_view(grid, a) * s["mask"] for k, a in acc.items()}
+    return {
+        "rho": out["rho"], "rho_dh": out["rho_dh"],
+        "wcount": out["wcount"], "wcount_dh": out["wcount_dh"],
+        "div_v": out["div_v"],
+        "rot_v": jnp.stack([out["rot_v0"], out["rot_v1"], out["rot_v2"]],
+                           axis=-1),
+    }
+
+
+def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
+                  p: SPHENIXParams, cosmo: CosmoFactors
+                  ) -> Dict[str, jnp.ndarray]:
+    """SPHENIX gradient loop (v_sig max, laplace_u, alpha_visc_max_ngb)."""
+    edge = grid.edge
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
+    h = _sanitize(mask, g("h"))
+    u, cs, av = g("u"), g("soundspeed"), g("alpha_visc")
+    rho = _sanitize(mask, g("rho"))
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    hi = _bi(h)
+    range2 = gamma2 * hi * hi
+
+    laplace_u = jnp.zeros_like(h)
+    v_sig = _grid_view(grid, s["v_sig"])          # init: 2*cs (reset_gradient)
+    a_max = _grid_view(grid, s["alpha_visc_max_ngb"])
+
+    for d in STENCIL_27:
+        off_j = _roll(off, d)
+        dx, r2 = _pair_geometry(off, off_j, d, edge)
+        pair_ok = (_bj(_roll(mask, d)) > 0) & (r2 > 0) & (r2 < range2)
+        w = pair_ok.astype(F32)
+
+        dv = tuple(_bi(v[..., k]) - _bj(_roll(v, d)[..., k])
+                   for k in range(3))
+        t = sphenix.gradient_terms(
+            p, dx, r2, hi, _bj(_roll(h, d)), _bj(_roll(m, d)), dv,
+            _bi(u), _bj(_roll(u, d)), jnp.maximum(_bj(_roll(rho, d)), 1e-30),
+            _bi(cs), _bj(_roll(cs, d)), _bj(_roll(av, d)), cosmo)
+
+        laplace_u = laplace_u + jnp.sum(t["sum"]["laplace_u"] * w, axis=-1)
+        v_sig = jnp.maximum(v_sig, jnp.max(
+            jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
+        a_max = jnp.maximum(a_max, jnp.max(
+            jnp.where(pair_ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
+            axis=-1))
+
+    return {
+        "laplace_u": _flat_view(grid, laplace_u) * s["mask"],
+        "v_sig": _flat_view(grid, v_sig),
+        "alpha_visc_max_ngb": _flat_view(grid, a_max),
+    }
+
+
+def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
+               p: SPHENIXParams, cosmo: CosmoFactors
+               ) -> Dict[str, jnp.ndarray]:
+    """SPHENIX force loop: a_hydro, u_dt, h_dt sums + v_sig max.
+
+    Pair range is symmetric: r < gamma*max(h_i, h_j) (DOPAIR2 semantics).
+    """
+    edge = grid.edge
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off, v = g("mask"), g("off"), g("v")
+    h = _sanitize(mask, g("h"))
+    m = _sanitize(mask, g("m"))
+    rho = _sanitize(mask, g("rho"))
+    P, cs = g("pressure"), g("soundspeed")
+    f_gh, bal, al = g("f_gradh"), g("balsara"), g("alpha_visc")
+    ad, u = g("alpha_diff"), g("u")
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    hi = _bi(h)
+
+    acc = {k: jnp.zeros_like(h) for k in
+           ("a_hydro0", "a_hydro1", "a_hydro2", "u_dt", "h_dt")}
+    v_sig = g("v_sig")
+
+    for d in STENCIL_27:
+        off_j = _roll(off, d)
+        h_j = _bj(_roll(h, d))
+        dx, r2 = _pair_geometry(off, off_j, d, edge)
+        range2 = gamma2 * jnp.maximum(hi, h_j) ** 2
+        pair_ok = (_bj(_roll(mask, d)) > 0) & (r2 > 0) & (r2 < range2)
+        w = pair_ok.astype(F32)
+
+        dv = tuple(_bi(v[..., k]) - _bj(_roll(v, d)[..., k])
+                   for k in range(3))
+        t = sphenix.force_terms(
+            p, dx, r2, hi, h_j, _bi(m), _bj(_roll(m, d)), dv,
+            jnp.maximum(_bi(rho), 1e-30),
+            jnp.maximum(_bj(_roll(rho, d)), 1e-30),
+            _bi(P), _bj(_roll(P, d)), _bi(cs), _bj(_roll(cs, d)),
+            _bi(f_gh), _bj(_roll(f_gh, d)), _bi(bal), _bj(_roll(bal, d)),
+            _bi(al), _bj(_roll(al, d)), _bi(ad), _bj(_roll(ad, d)),
+            _bi(u), _bj(_roll(u, d)), cosmo)
+
+        for key in acc:
+            acc[key] = acc[key] + jnp.sum(t["sum"][key] * w, axis=-1)
+        v_sig = jnp.maximum(v_sig, jnp.max(
+            jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
+
+    out = {k: _flat_view(grid, a) * s["mask"] for k, a in acc.items()}
+    return {
+        "a_hydro": jnp.stack([out["a_hydro0"], out["a_hydro1"],
+                              out["a_hydro2"]], axis=-1),
+        "u_dt": out["u_dt"],
+        "h_dt": out["h_dt"],
+        "v_sig": _flat_view(grid, v_sig),
+    }

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: particle-steps/sec/chip on an all-active SPH step.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: SWIFT's PASC-2016 EAGLE-volume number (BASELINE.md): 2.9 s/step
+for 376^3 particles on 256 cores = 6.9e4 particle-steps/s/core, i.e.
+4.4e6 per 64-core node.  vs_baseline is ours / one 64-core node.
+
+Round-1 scope: full SPHENIX hydro (density+ghost+gradient+force, KDK,
+per-particle bins but an all-active uniform problem — the honest apples
+comparison to SWIFT's all-active step).  Gravity joins in later rounds.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
+
+
+def main():
+    import jax
+
+    from swift_subtask_dev_tpu.engine import Engine, EngineConfig
+    from swift_subtask_dev_tpu.grid import CellGrid
+    from swift_subtask_dev_tpu.models.sph.sphenix import SPHENIXParams
+    from swift_subtask_dev_tpu.ics import uniform_box_ic
+
+    # Uniform jittered box — all particles active every step.
+    n1 = 50                      # 2*n1^3 = 250k particles
+    ic = uniform_box_ic(n=n1, jitter=0.2, seed=3)
+    n_parts = len(ic["pos"])
+
+    P = SPHENIXParams(h_max=float(ic["h"].max() * 3))
+    grid = CellGrid.build_for_positions(
+        ic["box"], interaction_range=float(ic["h"].max() * P.kernel.gamma
+                                           * 1.25),
+        pos=ic["pos"], headroom=1.6)
+
+    eng = Engine(grid, P, EngineConfig(dt_max=1e-3), 0.0, 1.0)
+    eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
+    eng.init_particles()
+
+    # warm-up (compile)
+    eng.step()
+    eng.step()
+
+    n_steps = 10
+    t0 = time.time()
+    for _ in range(n_steps):
+        eng.step()
+    jax.block_until_ready(eng.state["rho"])
+    elapsed = time.time() - t0
+
+    rate = n_steps * n_parts / elapsed
+    print(json.dumps({
+        "metric": "particle-steps/sec/chip (SPHENIX SPH, all-active)",
+        "value": round(rate, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / BASELINE_NODE, 3),
+        "n_particles": n_parts,
+        "grid": list(grid.cdim) + [grid.K],
+        "steps_timed": n_steps,
+        "wall_s": round(elapsed, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,504 @@
+"""The engine — SWIFT's task graph as one jit-compiled KDK step.
+
+The reference orchestrates each step through a dynamic task DAG
+(engine_step engine.c:2245 -> engine_launch -> runners).  Here the whole
+step is a single bulk-synchronous jitted function over padded cell tiles:
+
+    drift(all) -> rebucket -> density+ghost(active) -> gradient(active)
+    -> force(active) -> kick2(active) -> timestep(active) -> kick1(active)
+
+XLA's program order IS the dependency graph; per-particle time bins become
+``where(active, new, old)`` masks (SWIFT skips inactive cells entirely —
+engine_marktasks; we compute-and-mask, trading flops for regularity).
+
+Host/device split for the integer timeline: the device never holds a 64-bit
+tick.  Each step the host builds small per-bin tables (:class:`StepTables`)
+— which bins are active, per-bin kick/drift intervals, bin-raise
+permissions — and reads back per-bin occupancy from which it forms the
+exact next ``ti_current`` (utils/timeline.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid.cellgrid import CellGrid, bucket_fields, rebucket_offsets
+from .models.sph import sphenix
+from .models.sph.sphenix import CosmoFactors, SPHENIXParams
+from .ops import stencil
+from .utils import timeline as tl
+
+F32 = jnp.float32
+I32 = jnp.int32
+NBINS = tl.NUM_TIME_BINS
+
+
+class StepTables(NamedTuple):
+    """Per-step host-built tables indexed by time bin (0..56)."""
+
+    active: jnp.ndarray        # (57,) bool  — bin is active at ti_current
+    dt_kick1: jnp.ndarray      # (57,) f32   — first-half kick of a new step
+    dt_kick2: jnp.ndarray      # (57,) f32   — second-half kick of old step
+    dt_therm1: jnp.ndarray     # (57,) f32
+    dt_therm2: jnp.ndarray     # (57,) f32
+    dt_alpha: jnp.ndarray      # (57,) f32   — full step length per bin
+    aligned_up: jnp.ndarray    # (57,) bool  — bin b may be raised to b+1
+    dt_drift: jnp.ndarray      # () f32      — drift interval of this step
+    dt_therm_drift: jnp.ndarray  # () f32
+    max_bin: jnp.ndarray       # () i32      — ceiling from dt_max
+    min_bin: jnp.ndarray       # () i32      — floor from dt_min
+    time_base_inv: jnp.ndarray  # () f32     — 1/time_base (for bin_from_dt)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    dt_min: float = 1e-17
+    dt_max: float = 1e-2
+    with_hydro: bool = True
+    with_self_gravity: bool = False
+    with_external_gravity: bool = False
+    max_ghost_iterations: int = 30
+    rebucket_every_step: bool = True
+    eta_grav: float = 0.025   # Gravity:eta
+
+
+def bin_from_dt(dt: jnp.ndarray, time_base_inv: float) -> jnp.ndarray:
+    """Largest bin with 2^(b+1)*time_base <= dt (timeline.h get_time_bin).
+
+    Uses frexp for an exact floor(log2) on f32 — no transcendental
+    imprecision at power-of-two boundaries.
+    """
+    dti = jnp.maximum(dt * jnp.float32(time_base_inv), 2.0)
+    _, e = jnp.frexp(dti)  # dti = m * 2^e, m in [0.5, 1)
+    return (e - 2).astype(I32)
+
+
+# ---------------------------------------------------------------------------
+# The jitted hydro step
+# ---------------------------------------------------------------------------
+
+def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
+                   s: Dict, active: jnp.ndarray, max_iter: int):
+    """Density loop + smoothing-length iteration (the ghost).
+
+    The reference re-runs subset pair loops on unconverged particles
+    (runner_ghost.c:1085); here a `lax.while_loop` re-runs the full masked
+    density pass until every active particle's h satisfies the Newton/
+    bisection update — data-dependent trip count, static shapes.
+    """
+    kroot = jnp.float32(p.kernel.root)
+
+    def density_pass(h):
+        dens = stencil.density_loop(grid, {**s, "h": h}, p)
+        full = sphenix.end_density(p, {**s, "h": h, **dens}, cosmo)
+        return {k: full[k] for k in
+                ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")}
+
+    def h_update(h, d, left, right):
+        has_ngb = d["wcount"] * h ** 3 > kroot * (1.0 + 1e-5)
+        return sphenix.ghost_h_update(
+            p, h, d["wcount"], d["wcount_dh"], left, right, has_ngb)
+
+    h0 = s["h"]
+    left0 = jnp.zeros_like(h0)
+    right0 = jnp.full_like(h0, p.h_max)
+    d0 = density_pass(h0)
+    _, _, _, conv0 = h_update(h0, d0, left0, right0)
+    conv0 = conv0 | ~active
+
+    def cond(c):
+        h, d, left, right, conv, it = c
+        return (it < max_iter) & jnp.any(~conv)
+
+    def body(c):
+        h, d, left, right, conv, it = c
+        h_new, left, right, c_new = h_update(h, d, left, right)
+        upd = active & ~conv
+        h = jnp.where(upd, h_new, h)
+        d = density_pass(h)
+        h2_new, _, _, c2 = h_update(h, d, left, right)
+        conv = conv | ~upd | (upd & c2)
+        return (h, d, left, right, conv, it + 1)
+
+    h, d, left, right, conv, n_iter = jax.lax.while_loop(
+        cond, body, (h0, d0, left0, right0, conv0, jnp.int32(0)))
+    return h, d, n_iter
+
+
+def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
+               gravity_fn: Optional[Callable],
+               cosmo: CosmoFactors, s: Dict, T: StepTables):
+    """One full engine step (drift -> loops -> KDK) for the gas.
+
+    Returns (new_state, diagnostics).  Mirrors engine_step (engine.c:2245)
+    with all 64-bit timeline logic hoisted to the host via ``T``.
+    """
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # --- drift all (drift.h:144 drift_part) --------------------------------
+    a_tot = s["a_hydro"] + s["a_grav"]
+    s = {**s,
+         "off": s["off"] + s["v_full"] * T.dt_drift * s["mask"][..., None],
+         "v": s["v"] + a_tot * T.dt_drift}
+    s = sphenix.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
+
+    # --- rebucket (space_rebuild analog; exact, every step) ----------------
+    if cfg.rebucket_every_step:
+        carried = {k: v for k, v in s.items() if k not in ("mask", "off")}
+        new_fields, new_mask, new_off, n_overflow = rebucket_offsets(
+            grid, s["mask"], s["off"], carried)
+        s = {"mask": new_mask, "off": new_off, **new_fields}
+        mask_b = s["mask"] > 0
+        tb = jnp.clip(s["time_bin"], 0, NBINS)
+        active = mask_b & T.active[tb]
+    else:
+        n_overflow = jnp.int32(0)
+
+    # --- density + ghost (active only) -------------------------------------
+    h_new, dens, n_ghost_iter = _ghost_density(
+        grid, p, cosmo, s, active, cfg.max_ghost_iterations)
+    s = {**s, "h": jnp.where(active, h_new, s["h"])}
+    for k, v in dens.items():
+        act = active[..., None] if v.ndim == 3 else active
+        s = {**s, k: jnp.where(act, v, s[k])}
+    s_fb = sphenix.no_neighbours_fallback(p, s)
+    s = {**s, **{k: jnp.where(active if s[k].ndim == 2 else active[..., None],
+                              s_fb[k], s[k])
+                 for k in ("rho", "v_sig", "wcount", "rho_dh", "wcount_dh",
+                           "div_v", "laplace_u", "rot_v")}}
+
+    # --- prepare gradient + gradient loop ----------------------------------
+    prep = sphenix.prepare_gradient(p, s, cosmo)
+    rg = sphenix.reset_gradient(prep)
+    for k in ("f_gradh", "pressure", "soundspeed", "balsara",
+              "v_sig", "alpha_visc_max_ngb"):
+        s = {**s, k: jnp.where(active, rg[k], s[k])}
+
+    grad = stencil.gradient_loop(grid, s, p, cosmo)
+    for k, v in grad.items():
+        s = {**s, k: jnp.where(active, v, s[k])}
+    eg = sphenix.end_gradient(s)
+    s = {**s, "laplace_u": jnp.where(active, eg["laplace_u"],
+                                     s["laplace_u"])}
+
+    # --- prepare force (alpha evolution) + force loop -----------------------
+    dt_alpha = T.dt_alpha[tb]
+    pf = sphenix.prepare_force(p, s, cosmo, dt_alpha)
+    for k in ("alpha_visc", "div_v_prev", "alpha_diff"):
+        s = {**s, k: jnp.where(active, pf[k], s[k])}
+    ra = sphenix.reset_acceleration(s)
+    for k in ("a_hydro", "u_dt", "h_dt"):
+        v = ra[k]
+        act = active[..., None] if v.ndim == 3 else active
+        s = {**s, k: jnp.where(act, v, s[k])}
+
+    force = stencil.force_loop(grid, s, p, cosmo)
+    for k, v in force.items():
+        act = active[..., None] if v.ndim == 3 else active
+        s = {**s, k: jnp.where(act, v, s[k])}
+    ef = sphenix.end_force(s)
+    s = {**s, "h_dt": jnp.where(active, ef["h_dt"], s["h_dt"])}
+
+    # --- gravity ------------------------------------------------------------
+    if gravity_fn is not None:
+        a_grav = gravity_fn(s)
+        s = {**s, "a_grav": jnp.where(active[..., None], a_grav,
+                                      s["a_grav"])}
+
+    # --- kick2: second half of the step that just ended (kick.h kick_part) --
+    dt_k2 = T.dt_kick2[tb]
+    dt_t2 = T.dt_therm2[tb]
+    a_tot = s["a_hydro"] + s["a_grav"]
+    v_full = s["v_full"] + a_tot * dt_k2[..., None]
+    s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
+    ke = sphenix.kick_extra(p, s, cosmo, dt_t2)
+    for k in ("u_full", "u_dt"):
+        s = {**s, k: jnp.where(active, ke[k], s[k])}
+
+    # reset predicted values at the kick point (runner_time_integration:463)
+    rp = sphenix.reset_predicted_values(p, s)
+    for k in ("v", "u", "pressure", "soundspeed", "v_sig"):
+        v = rp[k]
+        act = active[..., None] if v.ndim == 3 else active
+        s = {**s, k: jnp.where(act, v, s[k])}
+
+    # --- timestep: pick the new bin (runner_do_timestep, timestep.h) --------
+    dt_cfl = sphenix.compute_timestep(p, s, cosmo)
+    dt_h = sphenix.timestep_h_change_limit(p, s)
+    new_dt = jnp.minimum(dt_cfl, dt_h)
+    if cfg.with_self_gravity or cfg.with_external_gravity:
+        a_norm = jnp.sqrt(jnp.sum((s["a_hydro"] + s["a_grav"]) ** 2, -1))
+        eps = s.get("softening", jnp.full_like(new_dt, 1e-3))
+        dt_grav = jnp.sqrt(2.0 * cfg.eta_grav * eps
+                           / jnp.maximum(a_norm, 1e-30))
+        new_dt = jnp.minimum(new_dt, dt_grav)
+    new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
+
+    too_small = active & (new_dt < cfg.dt_min)
+    want_bin = bin_from_dt(new_dt, T.time_base_inv)
+    want_bin = jnp.minimum(want_bin, T.max_bin)
+    want_bin = jnp.clip(want_bin, 1, NBINS)
+    cur_bin = tb
+    up_ok = T.aligned_up[jnp.clip(cur_bin, 0, NBINS)]
+    new_bin = jnp.where(
+        (want_bin > cur_bin) & (cur_bin > 0),
+        jnp.where(up_ok, jnp.minimum(want_bin, cur_bin + 1), cur_bin),
+        want_bin)
+    s = {**s, "time_bin": jnp.where(active, new_bin, s["time_bin"])}
+
+    # --- kick1: first half of the new step ----------------------------------
+    tb1 = jnp.clip(s["time_bin"], 0, NBINS)
+    dt_k1 = T.dt_kick1[tb1]
+    dt_t1 = T.dt_therm1[tb1]
+    a_tot = s["a_hydro"] + s["a_grav"]
+    v_full = s["v_full"] + a_tot * dt_k1[..., None]
+    s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
+    ke1 = sphenix.kick_extra(p, s, cosmo, dt_t1)
+    for k in ("u_full", "u_dt"):
+        s = {**s, k: jnp.where(active, ke1[k], s[k])}
+
+    # --- diagnostics ---------------------------------------------------------
+    bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
+                            NBINS + 5)
+    bin_counts = jnp.bincount(bins_masked.reshape(-1), length=NBINS + 6)
+    diag = {
+        "bin_counts": bin_counts[:NBINS + 1],
+        "n_overflow": n_overflow,
+        "n_dt_too_small": jnp.sum(too_small),
+        "n_ghost_iter": n_ghost_iter,
+        "n_active": jnp.sum(active),
+        "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
+    }
+    return s, diag
+
+
+# ---------------------------------------------------------------------------
+# Host-side driver
+# ---------------------------------------------------------------------------
+
+class Engine:
+    """Host orchestrator: owns the timeline, builds per-step tables,
+    launches the jitted step, collects end-of-step statistics.
+
+    The analog of the reference's struct engine + main loop (swift.c:1683).
+    """
+
+    def __init__(self, grid: CellGrid, sph: SPHENIXParams,
+                 cfg: EngineConfig, time_begin: float, time_end: float,
+                 cosmo: Optional[CosmoFactors] = None,
+                 gravity_fn: Optional[Callable] = None):
+        self.grid = grid
+        self.sph = sph
+        self.cfg = cfg
+        self.timeline = tl.Timeline(time_begin, time_end)
+        self.cosmo = cosmo or CosmoFactors.no_cosmo()
+        self.gravity_fn = gravity_fn
+        self.state: Dict = {}
+        self.step_count = 0
+
+    # --- setup ----------------------------------------------------------------
+    def load_particles(self, pos, m, v, u, h, pid=None):
+        """Bucket raw particle arrays into the tiled state (IC ingestion)."""
+        n = len(pos)
+        if pid is None:
+            pid = np.arange(n, dtype=np.int32)
+        fields = {
+            "pid": jnp.asarray(pid, I32),
+            "m": jnp.asarray(m, F32),
+            "v": jnp.asarray(v, F32),
+            "v_full": jnp.asarray(v, F32),
+            "h": jnp.asarray(h, F32),
+            "u": jnp.asarray(u, F32),
+            "u_full": jnp.asarray(u, F32),
+        }
+        out, mask, off, n_over = bucket_fields(self.grid, jnp.asarray(pos),
+                                               fields)
+        if int(n_over) != 0:
+            raise RuntimeError(
+                f"{int(n_over)} particles overflowed cell capacity "
+                f"K={self.grid.K}; rebuild the grid with more headroom")
+        C, K = self.grid.C, self.grid.K
+        z = lambda: jnp.zeros((C, K), F32)
+        z3 = lambda: jnp.zeros((C, K, 3), F32)
+        self.state = {
+            "mask": mask, "off": off, **out,
+            "u_dt": z(), "rho": z(), "wcount": z(), "wcount_dh": z(),
+            "rho_dh": z(), "div_v": z(), "rot_v": z3(),
+            "alpha_visc": jnp.full((C, K), self.sph.viscosity_alpha) * mask,
+            "v_sig": z(), "div_v_prev": z(),
+            "alpha_diff": jnp.full((C, K), self.sph.diffusion_alpha) * mask,
+            "laplace_u": z(), "f_gradh": z(), "pressure": z(),
+            "soundspeed": z(), "balsara": z(),
+            "alpha_visc_max_ngb": z(), "a_hydro": z3(), "h_dt": z(),
+            "a_grav": z3(), "a_grav_mesh": z3(),
+            "time_bin": jnp.zeros((C, K), I32),
+            "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
+        }
+        self.n_particles = n
+
+    def init_particles(self):
+        """First density/ghost/force pass + initial bins + first kick1.
+
+        Mirrors engine_init_particles (engine.c:1893): a density-only
+        launch, then a fake 0th step computing forces and timesteps.
+        """
+        T = self._tables()
+        self.state, diag = _JIT_INIT(
+            self.grid, self.sph, self.cfg, self.gravity_fn,
+            self.cosmo, self.state, T)
+        self._post_step(diag)
+        return diag
+
+    # --- stepping ---------------------------------------------------------------
+    def _tables(self, dt_drift: float = 0.0) -> StepTables:
+        t = self.timeline
+        active = t.active_bins_mask()
+        dt_half = np.zeros(NBINS + 1, np.float32)
+        dt_full = np.zeros(NBINS + 1, np.float32)
+        aligned_up = np.zeros(NBINS + 1, bool)
+        for b in range(1, NBINS + 1):
+            dti = tl.get_integer_timestep(b)
+            dt_half[b] = 0.5 * dti * t.time_base
+            dt_full[b] = dti * t.time_base
+            up = tl.get_integer_timestep(min(b + 1, NBINS))
+            aligned_up[b] = (t.ti_current % up) == 0
+        max_bin = 1
+        while (max_bin < NBINS and
+               tl.get_integer_timestep(max_bin + 1) * t.time_base
+               <= self.cfg.dt_max):
+            max_bin += 1
+        return StepTables(
+            active=jnp.asarray(active),
+            dt_kick1=jnp.asarray(dt_half),
+            dt_kick2=jnp.asarray(dt_half),
+            dt_therm1=jnp.asarray(dt_half),
+            dt_therm2=jnp.asarray(dt_half),
+            dt_alpha=jnp.asarray(dt_full),
+            aligned_up=jnp.asarray(aligned_up),
+            dt_drift=jnp.float32(dt_drift),
+            dt_therm_drift=jnp.float32(dt_drift),
+            max_bin=jnp.int32(max_bin),
+            min_bin=jnp.int32(1),
+            time_base_inv=jnp.float32(t.time_base_inv),
+        )
+
+    def step(self):
+        """Advance to the next ti_end_min (engine_step, engine.c:2245)."""
+        t = self.timeline
+        ti_next = self._ti_end_min
+        dt_drift = (ti_next - t.ti_current) * t.time_base
+        t.ti_current = ti_next
+        T = self._tables(dt_drift=dt_drift)
+        self.state, diag = _JIT_STEP(
+            self.grid, self.sph, self.cfg, self.gravity_fn,
+            self.cosmo, self.state, T)
+        self._post_step(diag)
+        self.step_count += 1
+        return diag
+
+    def _post_step(self, diag):
+        counts = np.asarray(diag["bin_counts"])
+        self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)
+        if int(diag["n_overflow"]) != 0:
+            raise RuntimeError(
+                f"cell overflow during rebucket at step {self.step_count}: "
+                f"{int(diag['n_overflow'])} particles (grid too tight)")
+        if int(diag["n_dt_too_small"]) != 0:
+            raise RuntimeError(
+                f"{int(diag['n_dt_too_small'])} particles want dt < dt_min")
+        # h grew beyond stencil coverage -> would silently lose pairs
+        h_reach = float(diag["h_max_active"]) * self.sph.kernel.gamma
+        if h_reach > min(self.grid.edge) * (1 + 1e-5):
+            raise RuntimeError(
+                f"smoothing length reach {h_reach:.4g} exceeds cell edge "
+                f"{min(self.grid.edge):.4g}: re-grid needed "
+                f"(reference space_regrid analog)")
+
+    @property
+    def time(self) -> float:
+        return self.timeline.time_of(self.timeline.ti_current)
+
+    def run(self, t_end: Optional[float] = None, max_steps: int = 10 ** 9):
+        t_end = self.timeline.time_end if t_end is None else t_end
+        ti_end = min(
+            tl.MAX_NR_TIMESTEPS,
+            int(round((t_end - self.timeline.time_begin)
+                      / self.timeline.time_base)))
+        steps = 0
+        while self.timeline.ti_current < ti_end and steps < max_steps:
+            self.step()
+            steps += 1
+        return steps
+
+
+def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
+    """engine_init_particles: density/ghost + force + first bins + kick1."""
+    mask_b = s["mask"] > 0
+    active = mask_b  # everyone is active at t=0
+
+    h_new, dens, n_iter = _ghost_density(grid, p, cosmo, s, active,
+                                         cfg.max_ghost_iterations)
+    s = {**s, "h": jnp.where(active, h_new, s["h"])}
+    for k, v in dens.items():
+        act = active[..., None] if v.ndim == 3 else active
+        s = {**s, k: jnp.where(act, v, s[k])}
+    s = sphenix.no_neighbours_fallback(p, s)
+    s = sphenix.prepare_gradient(p, s, cosmo)
+    s = sphenix.reset_gradient(s)
+    grad = stencil.gradient_loop(grid, s, p, cosmo)
+    s = {**s, **grad}
+    s = sphenix.end_gradient(s)
+    s = sphenix.prepare_force(p, s, cosmo, jnp.float32(0.0))
+    s = sphenix.reset_acceleration(s)
+    force = stencil.force_loop(grid, s, p, cosmo)
+    s = {**s, **force}
+    s = sphenix.end_force(s)
+
+    if gravity_fn is not None:
+        s = {**s, "a_grav": gravity_fn(s)}
+
+    # initial timestep + bins
+    dt_cfl = sphenix.compute_timestep(p, s, cosmo)
+    dt_h = sphenix.timestep_h_change_limit(p, s)
+    new_dt = jnp.minimum(jnp.minimum(dt_cfl, dt_h), jnp.float32(cfg.dt_max))
+    too_small = active & (new_dt < cfg.dt_min)
+    new_bin = jnp.clip(bin_from_dt(new_dt, T.time_base_inv), 1, NBINS)
+    new_bin = jnp.minimum(new_bin, T.max_bin)
+    s = {**s, "time_bin": jnp.where(active, new_bin, 0)}
+
+    # first half-kick
+    dt_k1 = T.dt_kick1[jnp.clip(s["time_bin"], 0, NBINS)]
+    a_tot = s["a_hydro"] + s["a_grav"]
+    s = {**s, "v_full": s["v_full"] + a_tot * dt_k1[..., None]
+         * s["mask"][..., None]}
+    ke = sphenix.kick_extra(p, s, cosmo, dt_k1 * s["mask"])
+    s = {**s, "u_full": ke["u_full"], "u_dt": ke["u_dt"]}
+
+    bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
+                            NBINS + 5)
+    bin_counts = jnp.bincount(bins_masked.reshape(-1), length=NBINS + 6)
+    diag = {
+        "bin_counts": bin_counts[:NBINS + 1],
+        "n_overflow": jnp.int32(0),
+        "n_dt_too_small": jnp.sum(too_small),
+        "n_ghost_iter": n_iter,
+        "n_active": jnp.sum(active),
+        "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
+    }
+    return s, diag
+
+
+# Module-level jitted entry points: static on (grid, scheme, config,
+# gravity_fn) so engines with equal setups share one compilation —
+# the analog of SWIFT compiling its runners once.
+_JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3))
+_JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))

@@ -40,6 +40,25 @@ class CellGrid:
     cdim: Tuple[int, int, int]
     K: int
 
+    def __post_init__(self):
+        if any(c < 3 for c in self.cdim):
+            raise ValueError(
+                f"cdim {self.cdim} < 3: the 27-stencil needs >= 3 cells per "
+                "axis (otherwise offsets alias and pairs double-count)")
+
+    def validate_range(self, interaction_range: float) -> None:
+        """Check every cell edge covers the interaction range.
+
+        The analog of SWIFT's cell-width >= h_max requirement
+        (space_regrid, space.c) — violating it silently loses pairs.
+        """
+        bad = [e for e in self.edge if e < interaction_range * (1 - 1e-6)]
+        if bad:
+            raise ValueError(
+                f"cell edges {self.edge} smaller than interaction range "
+                f"{interaction_range}: box too thin or h too large "
+                f"(need box >= 3*range per axis)")
+
     @property
     def C(self) -> int:
         return self.cdim[0] * self.cdim[1] * self.cdim[2]
@@ -105,7 +124,9 @@ class CellGrid:
         lin = (ijk[:, 0] * cdim[1] + ijk[:, 1]) * cdim[2] + ijk[:, 2]
         max_count = int(np.bincount(lin).max()) if len(lin) else 1
         K = int(math.ceil(max_count * headroom / k_align)) * k_align
-        return CellGrid(box=box, cdim=tuple(cdim), K=max(K, k_align))
+        g = CellGrid(box=box, cdim=tuple(cdim), K=max(K, k_align))
+        g.validate_range(interaction_range)
+        return g
 
     # --- coordinate helpers ---------------------------------------------------
     def cell_corners(self) -> np.ndarray:

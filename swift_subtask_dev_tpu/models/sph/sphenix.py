@@ -477,7 +477,7 @@ def ghost_h_update(p: SPHENIXParams, h_old, wcount, wcount_dh, left, right,
 
 def no_neighbours_fallback(p: SPHENIXParams, s):
     """hydro_part_has_no_neighbours (hydro.h:793)."""
-    h_inv_dim = (1.0 / s["h"]) ** 3
+    h_inv_dim = (1.0 / _safe_h(s)) ** 3
     kroot = jnp.float32(p.kernel.root)
     none = s["wcount"] * s["h"] ** 3 < 1e-5 * p.eta_dim
     def w(field, val):

@@ -191,9 +191,13 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     h = _sanitize(mask, g("h"))
     m = _sanitize(mask, g("m"))
     rho = _sanitize(mask, g("rho"))
-    P, cs = g("pressure"), g("soundspeed")
-    f_gh, bal, al = g("f_gradh"), g("balsara"), g("alpha_visc")
-    ad, u = g("alpha_diff"), g("u")
+    P = _sanitize(mask, g("pressure"))
+    cs = _sanitize(mask, g("soundspeed"), fill=0.0)
+    f_gh = _sanitize(mask, g("f_gradh"), fill=0.0)
+    bal = _sanitize(mask, g("balsara"), fill=0.0)
+    al = _sanitize(mask, g("alpha_visc"), fill=0.0)
+    ad = _sanitize(mask, g("alpha_diff"), fill=0.0)
+    u = _sanitize(mask, g("u"), fill=0.0)
 
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)

@@ -40,18 +40,16 @@ def main():
                                            * 1.25),
         pos=ic["pos"], headroom=1.6)
 
-    eng = Engine(grid, P, EngineConfig(dt_max=1e-3), 0.0, 1.0)
+    eng = Engine(grid, P, EngineConfig(dt_max=2e-4), 0.0, 1.0)
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 
-    # warm-up (compile)
-    eng.step()
-    eng.step()
+    # warm-up (compile the batched step)
+    eng.run_fixed_dt(16, per_launch=16)
 
-    n_steps = 10
+    n_steps = 64
     t0 = time.time()
-    for _ in range(n_steps):
-        eng.step()
+    eng.run_fixed_dt(n_steps, per_launch=16)
     jax.block_until_ready(eng.state["rho"])
     elapsed = time.time() - t0
 

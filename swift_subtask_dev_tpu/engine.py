@@ -423,6 +423,33 @@ class Engine:
                 f"{min(self.grid.edge):.4g}: re-grid needed "
                 f"(reference space_regrid analog)")
 
+    def run_fixed_dt(self, n_steps: int, per_launch: int = 8):
+        """Advance n_steps with the global fixed timestep (= dt_max),
+        batching per_launch steps per device launch.  Requires dt_max below
+        every particle's CFL limit; raises if any particle disagrees."""
+        t = self.timeline
+        # everyone must already be in max_bin
+        T = self._tables()
+        b = int(T.max_bin)
+        dti = tl.get_integer_timestep(b)
+        T = self._tables(dt_drift=dti * t.time_base)
+        done = 0
+        while done < n_steps:
+            k = min(per_launch, n_steps - done)
+            self.state, diag = _JIT_MULTI(
+                self.grid, self.sph, self.cfg, self.gravity_fn, k,
+                self.cosmo, self.state, T)
+            if bool(diag["bin_deviation"]):
+                raise RuntimeError(
+                    "fixed-dt run invalid: a particle left the maximal bin "
+                    "(CFL below dt_max) or a cell overflowed")
+            t.ti_current += k * dti
+            self.step_count += k
+            done += k
+        counts = np.zeros(NBINS + 1, int)
+        counts[b] = 1
+        self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)
+
     @property
     def time(self) -> float:
         return self.timeline.time_of(self.timeline.ti_current)
@@ -497,8 +524,30 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     return s, diag
 
 
+def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T):
+    """k engine steps in one launch via lax.scan (fixed global timestep).
+
+    Valid only while every particle stays in the same (maximal) time bin,
+    so the per-step tables are constant — the all-active regime used for
+    benchmarking.  A diagnostic flag records any bin deviation so the host
+    can reject the result (it would mean the CFL dropped below the fixed
+    dt and per-step host control is required).
+    """
+    def body(carry, _):
+        s, bad = carry
+        s2, diag = hydro_step(grid, p, cfg, gravity_fn, cosmo, s, T)
+        bins = jnp.where(s2["mask"] > 0, s2["time_bin"], T.max_bin)
+        bad = bad | jnp.any(bins != T.max_bin) | (diag["n_overflow"] > 0)
+        return (s2, bad), diag["n_active"]
+
+    (s, bad), n_active = jax.lax.scan(
+        body, (s, jnp.bool_(False)), None, length=k)
+    return s, {"bin_deviation": bad, "n_active_last": n_active[-1]}
+
+
 # Module-level jitted entry points: static on (grid, scheme, config,
 # gravity_fn) so engines with equal setups share one compilation —
 # the analog of SWIFT compiling its runners once.
 _JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3))
 _JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))
+_JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4))

@@ -1,0 +1,154 @@
+"""SPHENIX hydro loops on the Pallas pair engine (single-chip fast path).
+
+Same contracts as ops/stencil.py density/gradient/force_loop — the engine
+picks a backend.  The physics callbacks reuse models/sph/sphenix.py term
+functions verbatim, so XLA path, Pallas path and brute force can never
+drift apart.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ..grid.cellgrid import CellGrid
+from ..models.sph import sphenix
+from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
+from . import pallas_pairs
+
+
+def _cosmo_scalars(cosmo: CosmoFactors):
+    return tuple(cosmo)
+
+
+def _cosmo_from(sc):
+    return CosmoFactors(*sc[:7])
+
+F32 = jnp.float32
+
+
+def _vec(fields: Dict, s: Dict, name: str):
+    for k in range(3):
+        fields[f"{name}{k}"] = s[name][..., k]
+
+
+def _common_fields(s: Dict) -> Dict[str, jnp.ndarray]:
+    f = {"mask": s["mask"]}
+    _vec(f, s, "off")
+    return f
+
+
+def _san(s, key, fill=1.0):
+    return jnp.where(s["mask"] > 0, s[key], jnp.float32(fill))
+
+
+def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                 interpret: bool = False) -> Dict[str, jnp.ndarray]:
+    fields = _common_fields(s)
+    _vec(fields, s, "v")
+    fields["h"] = _san(s, "h")
+    fields["m"] = s["m"]
+    order = list(fields)
+    gamma2 = float(p.kernel.gamma2)
+
+    def pair_fn(sf, nf, dx, r2, sc):
+        h_i = sf("h")
+        ok = r2 < gamma2 * h_i * h_i
+        dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
+        t = sphenix.density_terms(p, dx, r2, h_i, nf("m"), dv)
+        sums = [t["rho"], t["rho_dh"], t["wcount"], t["wcount_dh"],
+                t["div_v"], t["rot_v0"], t["rot_v1"], t["rot_v2"]]
+        return ok, sums, []
+
+    sums, _ = pallas_pairs.pair_apply(
+        grid, fields, order, pair_fn, n_sum=8, n_max=0,
+        shifts_scale=grid.edge, interpret=interpret)
+    m = s["mask"]
+    return {
+        "rho": sums[0] * m, "rho_dh": sums[1] * m, "wcount": sums[2] * m,
+        "wcount_dh": sums[3] * m, "div_v": sums[4] * m,
+        "rot_v": jnp.stack([sums[5] * m, sums[6] * m, sums[7] * m], -1),
+    }
+
+
+def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                  cosmo: CosmoFactors, interpret: bool = False
+                  ) -> Dict[str, jnp.ndarray]:
+    fields = _common_fields(s)
+    _vec(fields, s, "v")
+    fields["h"] = _san(s, "h")
+    fields["m"] = s["m"]
+    fields["u"] = s["u"]
+    fields["rho"] = _san(s, "rho")
+    fields["cs"] = _san(s, "soundspeed", 0.0)
+    fields["av"] = _san(s, "alpha_visc", 0.0)
+    order = list(fields)
+    gamma2 = float(p.kernel.gamma2)
+
+    def pair_fn(sf, nf, dx, r2, sc):
+        h_i = sf("h")
+        ok = r2 < gamma2 * h_i * h_i
+        dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
+        t = sphenix.gradient_terms(
+            p, dx, r2, h_i, nf("h"), nf("m"), dv, sf("u"), nf("u"),
+            nf("rho"), sf("cs"), nf("cs"), nf("av"), _cosmo_from(sc))
+        return ok, [t["sum"]["laplace_u"]], \
+            [t["max"]["v_sig"], t["max"]["alpha_visc_max_ngb"]]
+
+    sums, maxes = pallas_pairs.pair_apply(
+        grid, fields, order, pair_fn, n_sum=1, n_max=2,
+        shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
+        interpret=interpret)
+    m = s["mask"]
+    return {
+        "laplace_u": sums[0] * m,
+        "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
+        "alpha_visc_max_ngb": jnp.maximum(s["alpha_visc_max_ngb"],
+                                          maxes[1]),
+    }
+
+
+def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+               cosmo: CosmoFactors, interpret: bool = False
+               ) -> Dict[str, jnp.ndarray]:
+    fields = _common_fields(s)
+    _vec(fields, s, "v")
+    fields["h"] = _san(s, "h")
+    fields["m"] = _san(s, "m")
+    fields["u"] = _san(s, "u", 0.0)
+    fields["rho"] = _san(s, "rho")
+    fields["P"] = _san(s, "pressure")
+    fields["cs"] = _san(s, "soundspeed", 0.0)
+    fields["fgh"] = _san(s, "f_gradh", 0.0)
+    fields["bal"] = _san(s, "balsara", 0.0)
+    fields["al"] = _san(s, "alpha_visc", 0.0)
+    fields["ad"] = _san(s, "alpha_diff", 0.0)
+    order = list(fields)
+    gamma2 = float(p.kernel.gamma2)
+
+    def pair_fn(sf, nf, dx, r2, sc):
+        h_i, h_j = sf("h"), nf("h")
+        ok = r2 < gamma2 * jnp.maximum(h_i, h_j) ** 2
+        dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
+        t = sphenix.force_terms(
+            p, dx, r2, h_i, h_j, sf("m"), nf("m"), dv,
+            sf("rho"), nf("rho"), sf("P"), nf("P"), sf("cs"), nf("cs"),
+            sf("fgh"), nf("fgh"), sf("bal"), nf("bal"),
+            sf("al"), nf("al"), sf("ad"), nf("ad"), sf("u"), nf("u"),
+            _cosmo_from(sc))
+        sums = [t["sum"]["a_hydro0"], t["sum"]["a_hydro1"],
+                t["sum"]["a_hydro2"], t["sum"]["u_dt"], t["sum"]["h_dt"]]
+        return ok, sums, [t["max"]["v_sig"]]
+
+    sums, maxes = pallas_pairs.pair_apply(
+        grid, fields, order, pair_fn, n_sum=5, n_max=1,
+        shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
+        interpret=interpret)
+    m = s["mask"]
+    return {
+        "a_hydro": jnp.stack([sums[0] * m, sums[1] * m, sums[2] * m], -1),
+        "u_dt": sums[3] * m,
+        "h_dt": sums[4] * m,
+        "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
+    }

@@ -1,0 +1,121 @@
+"""Short-range (P2P) gravity over the 27-stencil — the near field of P3M.
+
+The reference computes near-field gravity with FMM P2P kernels on SoA
+caches (runner_doiact_grav.c:584 runner_dopair_grav_pp_truncated,
+gravity_iact.h) with:
+  * C2-spline softening (kernel_gravity.h:79 kernel_grav_force_eval):
+      W(u) = 21u^5 - 90u^4 + 140u^3 - 84u^2 + 14,  u = r/H < 1
+    giving  a = -G m W(u)/H^3 * dx  inside the softening and Newtonian
+    1/r^3 outside;
+  * Gadget-like long-range truncation chi(r, r_s)
+    (kernel_long_gravity.h:34): force factor
+      corr(r) = erfc(u) + 2u/sqrt(pi) exp(-u^2),  u = r / (2 r_s)
+    so that P2P + PM(exp(-k^2 r_s^2)) sums to the exact force.
+
+Here the pair enumeration is the same dense 27-stencil as hydro.  The
+multipole (M2L/M2P) far-field acceleration of the reference's FMM is
+subsumed by the PM mesh: choosing the gravity cell edge >= r_cut makes
+everything beyond the stencil pure mesh — the classic P3M split.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..grid.cellgrid import CellGrid
+from .stencil import STENCIL_27, _bi, _bj, _grid_view, _flat_view, _roll, \
+    _pair_geometry, _sanitize
+
+F32 = jnp.float32
+_SQRT_PI_INV = 0.5641895835477563  # 1/sqrt(pi)
+
+
+def softened_force_factor(r2, H):
+    """|f|/(m G) * r: the softened 1/r^2 kernel as factor on dx/r.
+
+    Returns F(r) with a = -G m F(r) dx (dx unnormalised), i.e.
+    F = 1/r^3 outside the softening H and W(r/H)/H^3 inside.
+    """
+    r = jnp.sqrt(r2)
+    r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+    u = r / H
+    # C2 spline force kernel (kernel_gravity.h:91)
+    W = 21.0 * u - 90.0
+    W = W * u + 140.0
+    W = W * u - 84.0
+    W = W * u
+    W = W * u + 14.0
+    inside = W / (H * H * H)
+    outside = r_inv * r_inv * r_inv
+    return jnp.where(r < H, inside, outside)
+
+
+def truncation_factor(r2, r_s_inv):
+    """Gadget-like short-range truncation chi_force(r, r_s).
+
+    erfc(u) + 2u/sqrt(pi) e^{-u^2}, u = r/(2 r_s)
+    (kernel_long_gravity.h:70-100).
+    """
+    r = jnp.sqrt(r2)
+    u = 0.5 * r * r_s_inv
+    return jax.lax.erfc(u) + 2.0 * u * _SQRT_PI_INV * jnp.exp(-u * u)
+
+
+def p2p_accelerations(grid: CellGrid,
+                      species: Sequence[Dict[str, jnp.ndarray]],
+                      G: float, H_soft: float,
+                      r_s: float = 0.0, periodic_truncation: bool = True):
+    """Short-range gravity between all species bucketed on the same grid.
+
+    species: list of dicts with keys mask, off, m — each (C, K_s) tiles on
+    `grid` (K may differ per species).  Returns a list of (C, K_s, 3)
+    accelerations and (C, K_s) potentials.
+
+    H_soft: the softening length H (= 3 * Plummer-equivalent epsilon,
+    gravity_properties.c).  r_s: mesh smoothing scale; 0 or
+    periodic_truncation=False disables the truncation (pure Newtonian
+    near-field, for non-periodic runs).
+    """
+    edge = grid.edge
+    r_s_inv = 1.0 / r_s if r_s > 0 else 0.0
+    H = jnp.float32(H_soft)
+
+    outs = []
+    for si in species:
+        mask_i = _grid_view(grid, si["mask"])
+        off_i = _grid_view(grid, si["off"])
+        acc = jnp.zeros(off_i.shape, F32)
+        pot = jnp.zeros(mask_i.shape, F32)
+
+        for sj in species:
+            mask_j0 = _grid_view(grid, sj["mask"])
+            off_j0 = _grid_view(grid, sj["off"])
+            m_j0 = _grid_view(grid, sj["m"])
+
+            for d in STENCIL_27:
+                off_j = _roll(off_j0, d)
+                m_j = _bj(_roll(m_j0, d))
+                ok = (_bj(_roll(mask_j0, d)) > 0)
+                dx, r2 = _pair_geometry(off_i, off_j, d, edge)
+                ok = ok & (r2 > 0)
+                w = ok.astype(F32)
+
+                F = softened_force_factor(r2, H)
+                if periodic_truncation and r_s > 0:
+                    F = F * truncation_factor(r2, r_s_inv)
+                gmF = jnp.float32(G) * m_j * F * w
+                acc = acc - jnp.stack(
+                    [jnp.sum(gmF * dx[k], axis=-1) for k in range(3)],
+                    axis=-1)
+                # potential (for energy checks): softened -1/r outside only
+                r = jnp.sqrt(r2)
+                r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+                pot = pot - jnp.sum(jnp.float32(G) * m_j * r_inv * w,
+                                    axis=-1)
+
+        outs.append((_flat_view(grid, acc) * si["mask"][..., None],
+                     _flat_view(grid, pot) * si["mask"]))
+    return outs

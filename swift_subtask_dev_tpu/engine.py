@@ -33,6 +33,7 @@ from .grid.cellgrid import CellGrid, bucket_fields, rebucket_offsets
 from .models.sph import sphenix
 from .models.sph.sphenix import CosmoFactors, SPHENIXParams
 from .ops import stencil
+from .ops import hydro_pallas
 from .utils import timeline as tl
 
 F32 = jnp.float32
@@ -61,6 +62,7 @@ class StepTables(NamedTuple):
 class EngineConfig:
     dt_min: float = 1e-17
     dt_max: float = 1e-2
+    backend: str = "xla"  # 'xla' (roll-stencil; GSPMD-shardable) | 'pallas'
     with_hydro: bool = True
     with_self_gravity: bool = False
     with_external_gravity: bool = False
@@ -84,8 +86,16 @@ def bin_from_dt(dt: jnp.ndarray, time_base_inv: float) -> jnp.ndarray:
 # The jitted hydro step
 # ---------------------------------------------------------------------------
 
+def _loops(cfg: EngineConfig):
+    """Select the neighbour-loop backend (ops/stencil vs ops/hydro_pallas)."""
+    if cfg.backend == "pallas":
+        return hydro_pallas
+    return stencil
+
+
 def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
-                   s: Dict, active: jnp.ndarray, max_iter: int):
+                   s: Dict, active: jnp.ndarray, max_iter: int,
+                   loops=stencil):
     """Density loop + smoothing-length iteration (the ghost).
 
     The reference re-runs subset pair loops on unconverged particles
@@ -96,7 +106,7 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
     kroot = jnp.float32(p.kernel.root)
 
     def density_pass(h):
-        dens = stencil.density_loop(grid, {**s, "h": h}, p)
+        dens = loops.density_loop(grid, {**s, "h": h}, p)
         full = sphenix.end_density(p, {**s, "h": h, **dens}, cosmo)
         return {k: full[k] for k in
                 ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")}
@@ -164,8 +174,9 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         n_overflow = jnp.int32(0)
 
     # --- density + ghost (active only) -------------------------------------
+    loops = _loops(cfg)
     h_new, dens, n_ghost_iter = _ghost_density(
-        grid, p, cosmo, s, active, cfg.max_ghost_iterations)
+        grid, p, cosmo, s, active, cfg.max_ghost_iterations, loops)
     s = {**s, "h": jnp.where(active, h_new, s["h"])}
     for k, v in dens.items():
         act = active[..., None] if v.ndim == 3 else active
@@ -183,7 +194,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
               "v_sig", "alpha_visc_max_ngb"):
         s = {**s, k: jnp.where(active, rg[k], s[k])}
 
-    grad = stencil.gradient_loop(grid, s, p, cosmo)
+    grad = loops.gradient_loop(grid, s, p, cosmo)
     for k, v in grad.items():
         s = {**s, k: jnp.where(active, v, s[k])}
     eg = sphenix.end_gradient(s)
@@ -201,7 +212,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
 
-    force = stencil.force_loop(grid, s, p, cosmo)
+    force = loops.force_loop(grid, s, p, cosmo)
     for k, v in force.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
@@ -472,8 +483,9 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     mask_b = s["mask"] > 0
     active = mask_b  # everyone is active at t=0
 
+    loops = _loops(cfg)
     h_new, dens, n_iter = _ghost_density(grid, p, cosmo, s, active,
-                                         cfg.max_ghost_iterations)
+                                         cfg.max_ghost_iterations, loops)
     s = {**s, "h": jnp.where(active, h_new, s["h"])}
     for k, v in dens.items():
         act = active[..., None] if v.ndim == 3 else active
@@ -481,12 +493,12 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     s = sphenix.no_neighbours_fallback(p, s)
     s = sphenix.prepare_gradient(p, s, cosmo)
     s = sphenix.reset_gradient(s)
-    grad = stencil.gradient_loop(grid, s, p, cosmo)
+    grad = loops.gradient_loop(grid, s, p, cosmo)
     s = {**s, **grad}
     s = sphenix.end_gradient(s)
     s = sphenix.prepare_force(p, s, cosmo, jnp.float32(0.0))
     s = sphenix.reset_acceleration(s)
-    force = stencil.force_loop(grid, s, p, cosmo)
+    force = loops.force_loop(grid, s, p, cosmo)
     s = {**s, **force}
     s = sphenix.end_force(s)
 
@@ -545,9 +557,165 @@ def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T):
     return s, {"bin_deviation": bad, "n_active_last": n_active[-1]}
 
 
+def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
+            eps_soft: float, s: Dict, T: StepTables):
+    """Collisionless (dark-matter) step: drift -> rebucket -> gravity ->
+    KDK, the analog of SWIFT's gravity-only pipeline (runner_doiact_grav +
+    kick_gpart, kick.h:141)."""
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # drift
+    s = {**s, "off": s["off"] + s["v_full"] * T.dt_drift
+         * s["mask"][..., None]}
+
+    # rebucket
+    carried = {k: v for k, v in s.items() if k not in ("mask", "off")}
+    new_fields, new_mask, new_off, n_overflow = rebucket_offsets(
+        grid, s["mask"], s["off"], carried)
+    s = {"mask": new_mask, "off": new_off, **new_fields}
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # gravity (all particles — inactive ones keep their old a_grav)
+    acc = gravity_fn(s)
+    s = {**s, "a_grav": jnp.where(active[..., None], acc, s["a_grav"])}
+
+    # kick2 (second half of finished step)
+    dt_k2 = T.dt_kick2[tb]
+    v_full = s["v_full"] + s["a_grav"] * dt_k2[..., None]
+    s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
+
+    # timestep: dt = sqrt(2 eta eps / |a|) (gravity.h
+    # gravity_compute_timestep_self)
+    a_norm = jnp.sqrt(jnp.sum(s["a_grav"] ** 2, -1))
+    new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
+                      / jnp.maximum(a_norm, 1e-30))
+    new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
+    too_small = active & (new_dt < cfg.dt_min)
+    want_bin = jnp.clip(bin_from_dt(new_dt, T.time_base_inv), 1, NBINS)
+    want_bin = jnp.minimum(want_bin, T.max_bin)
+    up_ok = T.aligned_up[jnp.clip(tb, 0, NBINS)]
+    new_bin = jnp.where(
+        (want_bin > tb) & (tb > 0),
+        jnp.where(up_ok, jnp.minimum(want_bin, tb + 1), tb), want_bin)
+    s = {**s, "time_bin": jnp.where(active, new_bin, s["time_bin"])}
+
+    # kick1 (first half of new step)
+    tb1 = jnp.clip(s["time_bin"], 0, NBINS)
+    dt_k1 = T.dt_kick1[tb1]
+    v_full = s["v_full"] + s["a_grav"] * dt_k1[..., None]
+    s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
+
+    bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
+                            NBINS + 5)
+    bin_counts = jnp.bincount(bins_masked.reshape(-1), length=NBINS + 6)
+    diag = {
+        "bin_counts": bin_counts[:NBINS + 1],
+        "n_overflow": n_overflow,
+        "n_dt_too_small": jnp.sum(too_small),
+        "n_ghost_iter": jnp.int32(0),
+        "n_active": jnp.sum(active),
+        "h_max_active": jnp.float32(0.0),
+    }
+    return s, diag
+
+
+def _dm_init(grid, cfg, gravity_fn, eps_soft, s, T):
+    acc = gravity_fn(s)
+    s = {**s, "a_grav": acc}
+    a_norm = jnp.sqrt(jnp.sum(acc ** 2, -1))
+    new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
+                      / jnp.maximum(a_norm, 1e-30))
+    new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
+    mask_b = s["mask"] > 0
+    new_bin = jnp.clip(bin_from_dt(new_dt, T.time_base_inv), 1, NBINS)
+    new_bin = jnp.minimum(new_bin, T.max_bin)
+    s = {**s, "time_bin": jnp.where(mask_b, new_bin, 0)}
+    dt_k1 = T.dt_kick1[jnp.clip(s["time_bin"], 0, NBINS)]
+    s = {**s, "v_full": s["v_full"] + acc * dt_k1[..., None]
+         * s["mask"][..., None]}
+    bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
+                            NBINS + 5)
+    bin_counts = jnp.bincount(bins_masked.reshape(-1), length=NBINS + 6)
+    diag = {"bin_counts": bin_counts[:NBINS + 1],
+            "n_overflow": jnp.int32(0),
+            "n_dt_too_small": jnp.sum(mask_b & (new_dt < cfg.dt_min)),
+            "n_ghost_iter": jnp.int32(0), "n_active": jnp.sum(mask_b),
+            "h_max_active": jnp.float32(0.0)}
+    return s, diag
+
+
 # Module-level jitted entry points: static on (grid, scheme, config,
 # gravity_fn) so engines with equal setups share one compilation —
 # the analog of SWIFT compiling its runners once.
 _JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3))
 _JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))
 _JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4))
+_JIT_DM_STEP = jax.jit(dm_step, static_argnums=(0, 1, 2, 3))
+_JIT_DM_INIT = jax.jit(_dm_init, static_argnums=(0, 1, 2, 3))
+
+
+class DMEngine(Engine):
+    """Gravity-only engine (EAGLE_DMO-style runs): same timeline/tables
+    machinery, collisionless KDK stepping."""
+
+    def __init__(self, grid, cfg: EngineConfig, time_begin, time_end,
+                 gravity_fn: Callable, eps_soft: float,
+                 cosmo=None):
+        from .models.sph.sphenix import SPHENIXParams
+        super().__init__(grid, SPHENIXParams(), cfg, time_begin, time_end,
+                         cosmo=cosmo, gravity_fn=gravity_fn)
+        self.eps_soft = float(eps_soft)
+
+    def load_dm(self, pos, m, v, pid=None):
+        n = len(pos)
+        if pid is None:
+            pid = np.arange(n, dtype=np.int32)
+        fields = {
+            "pid": jnp.asarray(pid, I32),
+            "m": jnp.asarray(m, F32),
+            "v_full": jnp.asarray(v, F32),
+        }
+        out, mask, off, n_over = bucket_fields(self.grid, jnp.asarray(pos),
+                                               fields)
+        if int(n_over) != 0:
+            raise RuntimeError(f"{int(n_over)} particles overflow K")
+        C, K = self.grid.C, self.grid.K
+        self.state = {
+            "mask": mask, "off": off, **out,
+            "a_grav": jnp.zeros((C, K, 3), F32),
+            "time_bin": jnp.zeros((C, K), I32),
+        }
+        self.n_particles = n
+
+    def init_particles(self):
+        T = self._tables()
+        self.state, diag = _JIT_DM_INIT(
+            self.grid, self.cfg, self.gravity_fn, self.eps_soft,
+            self.state, T)
+        self._post_step(diag)
+        return diag
+
+    def step(self):
+        t = self.timeline
+        ti_next = self._ti_end_min
+        dt_drift = (ti_next - t.ti_current) * t.time_base
+        t.ti_current = ti_next
+        T = self._tables(dt_drift=dt_drift)
+        self.state, diag = _JIT_DM_STEP(
+            self.grid, self.cfg, self.gravity_fn, self.eps_soft,
+            self.state, T)
+        self._post_step(diag)
+        self.step_count += 1
+        return diag
+
+    def _post_step(self, diag):
+        counts = np.asarray(diag["bin_counts"])
+        self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)
+        if int(diag["n_overflow"]) != 0:
+            raise RuntimeError("cell overflow during rebucket")
+        if int(diag["n_dt_too_small"]) != 0:
+            raise RuntimeError("dt below dt_min")

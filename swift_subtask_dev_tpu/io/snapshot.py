@@ -1,0 +1,168 @@
+"""Gadget/SWIFT-compatible HDF5 snapshots.
+
+Implements the reference's snapshot format contract (single_io.c:437
+read, :1059 write; common_io.c): HDF5 groups /Header, /Units,
+/InternalCodeUnits, /Cosmology, /PartType0..6 with per-field unit
+attributes, and /Cells spatial metadata.  A user of the reference can
+read our snapshots with swiftsimio/gadget tools and vice versa.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import h5py
+import numpy as np
+
+from ..utils.units import UnitSystem
+
+# particle type indices (reference part_type.h:28-35)
+PTYPE_GAS = 0
+PTYPE_DM = 1
+PTYPE_DM_BACKGROUND = 2
+PTYPE_SINK = 3
+PTYPE_STARS = 4
+PTYPE_BH = 5
+PTYPE_NEUTRINO = 6
+N_TYPES = 7
+
+# unit metadata per standard field: (U_M, U_L, U_t, U_I, U_T exponents,
+# a-exponent, h-exponent) following io_properties.h conventions
+FIELD_UNITS = {
+    "Coordinates": (0, 1, 0, 0, 0, 1.0, -1.0),
+    "Velocities": (0, 1, -1, 0, 0, 0.5, 0.0),
+    "Masses": (1, 0, 0, 0, 0, 0.0, -1.0),
+    "InternalEnergies": (0, 2, -2, 0, 0, 0.0, 0.0),
+    "SmoothingLengths": (0, 1, 0, 0, 0, 1.0, -1.0),
+    "Densities": (1, -3, 0, 0, 0, -3.0, 2.0),
+    "Pressures": (1, -1, -2, 0, 0, 0.0, 0.0),
+    "ParticleIDs": (0, 0, 0, 0, 0, 0.0, 0.0),
+    "Potentials": (0, 2, -2, 0, 0, -1.0, 0.0),
+}
+
+
+def write_snapshot(path: str, box, time: float,
+                   parts: Dict[int, Dict[str, np.ndarray]],
+                   units: Optional[UnitSystem] = None,
+                   cosmo=None, redshift: float = 0.0,
+                   extra_header: Optional[Dict] = None):
+    """Write a SWIFT-style snapshot.
+
+    parts: {ptype: {field_name: (N,...) array}}; every ptype dict should
+    contain at least Coordinates/Velocities/Masses/ParticleIDs.
+    """
+    units = units or UnitSystem()
+    numpart = [0] * N_TYPES
+    for pt, fields in parts.items():
+        n = len(next(iter(fields.values()))) if fields else 0
+        numpart[pt] = n
+
+    with h5py.File(path, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["BoxSize"] = np.asarray(box, np.float64)
+        h.attrs["Time"] = float(time)
+        h.attrs["Redshift"] = float(redshift)
+        h.attrs["NumPart_ThisFile"] = np.asarray(numpart, np.uint64)
+        h.attrs["NumPart_Total"] = np.asarray(numpart, np.uint64)
+        h.attrs["NumPart_Total_HighWord"] = np.zeros(N_TYPES, np.uint32)
+        h.attrs["NumFilesPerSnapshot"] = 1
+        h.attrs["MassTable"] = np.zeros(N_TYPES, np.float64)
+        h.attrs["Flag_Entropy_ICs"] = 0
+        h.attrs["Dimension"] = 3
+        h.attrs["Code"] = np.bytes_(b"swift_subtask_dev_tpu")
+        if extra_header:
+            for k, v in extra_header.items():
+                h.attrs[k] = v
+
+        ug = f.create_group("Units")
+        ug.attrs["Unit mass in cgs (U_M)"] = units.UnitMass_in_cgs
+        ug.attrs["Unit length in cgs (U_L)"] = units.UnitLength_in_cgs
+        ug.attrs["Unit time in cgs (U_t)"] = units.UnitTime_in_cgs
+        ug.attrs["Unit current in cgs (U_I)"] = units.UnitCurrent_in_cgs
+        ug.attrs["Unit temperature in cgs (U_T)"] = units.UnitTemp_in_cgs
+        f.copy("Units", f, name="InternalCodeUnits")
+
+        if cosmo is not None:
+            cg = f.create_group("Cosmology")
+            cg.attrs["Omega_cdm"] = cosmo.Omega_cdm
+            cg.attrs["Omega_b"] = cosmo.Omega_b
+            cg.attrs["Omega_lambda"] = cosmo.Omega_lambda
+            cg.attrs["Omega_r"] = cosmo.Omega_r
+            cg.attrs["Omega_k"] = cosmo.Omega_k
+            cg.attrs["h"] = cosmo.h
+            cg.attrs["w_0"] = cosmo.w_0
+            cg.attrs["w_a"] = cosmo.w_a
+            cg.attrs["Scale-factor"] = getattr(cosmo, "a_current", 1.0)
+            cg.attrs["Cosmological run"] = 1
+
+        for pt, fields in parts.items():
+            g = f.create_group(f"PartType{pt}")
+            for name, arr in fields.items():
+                ds = g.create_dataset(name, data=np.asarray(arr))
+                if name in FIELD_UNITS:
+                    um, ul, ut, ui, utemp, a_exp, h_exp = FIELD_UNITS[name]
+                    ds.attrs["U_M exponent"] = float(um)
+                    ds.attrs["U_L exponent"] = float(ul)
+                    ds.attrs["U_t exponent"] = float(ut)
+                    ds.attrs["U_I exponent"] = float(ui)
+                    ds.attrs["U_T exponent"] = float(utemp)
+                    ds.attrs["a-scale exponent"] = float(a_exp)
+                    ds.attrs["h-scale exponent"] = float(h_exp)
+                    ds.attrs["Conversion factor to CGS"] = \
+                        units.cgs_factor_for_exponents(
+                            (um, ul, ut, ui, utemp))
+
+
+def read_snapshot(path: str):
+    """Read a SWIFT/Gadget HDF5 snapshot (or ICs).
+
+    Returns (header dict, {ptype: {field: array}}, units or None).
+    """
+    out: Dict[int, Dict[str, np.ndarray]] = {}
+    with h5py.File(path, "r") as f:
+        hdr = dict(f["Header"].attrs)
+        units = None
+        for ug_name in ("InternalCodeUnits", "Units"):
+            if ug_name in f:
+                ua = f[ug_name].attrs
+                def _get(keys, default=1.0):
+                    for k in keys:
+                        if k in ua:
+                            return float(np.ravel(ua[k])[0])
+                    return default
+                units = UnitSystem(
+                    UnitMass_in_cgs=_get(["Unit mass in cgs (U_M)"]),
+                    UnitLength_in_cgs=_get(["Unit length in cgs (U_L)"]),
+                    UnitVelocity_in_cgs=_get(
+                        ["Unit velocity in cgs (U_V)"],
+                        _get(["Unit length in cgs (U_L)"])
+                        / max(_get(["Unit time in cgs (U_t)"]), 1e-300)),
+                    UnitCurrent_in_cgs=_get(["Unit current in cgs (U_I)"]),
+                    UnitTemp_in_cgs=_get(["Unit temperature in cgs (U_T)"]),
+                )
+                break
+        for pt in range(N_TYPES):
+            key = f"PartType{pt}"
+            if key in f:
+                out[pt] = {name: np.asarray(ds) for name, ds in
+                           f[key].items()}
+    return hdr, out, units
+
+
+def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
+    """Extract flat per-particle arrays from a tiled engine state."""
+    from ..grid.cellgrid import global_positions
+    mask = np.asarray(state["mask"]) > 0
+    pos = global_positions(grid, np.asarray(state["off"]))[mask]
+    def flat(name):
+        a = np.asarray(state[name])
+        return a[mask]
+    return {
+        "Coordinates": pos,
+        "Velocities": flat("v_full"),
+        "Masses": flat("m"),
+        "InternalEnergies": flat("u_full"),
+        "SmoothingLengths": flat("h"),
+        "Densities": flat("rho"),
+        "ParticleIDs": flat("pid").astype(np.uint64),
+    }

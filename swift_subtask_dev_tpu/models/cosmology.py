@@ -1,0 +1,174 @@
+"""FLRW cosmology — integration tables and KDK operator factors.
+
+Re-derivation of the reference's src/cosmology.c (cosmology_init:856):
+the integer timeline of a cosmological run lives in **log(a)**
+(ti <-> a = a_begin * exp(ti * time_base)), and every drift/kick is an
+integral of a power of 1/a over d(log a)/H:
+
+  drift      : int dt / a^2      (comoving position update)
+  kick_grav  : int dt / a        (gravity accelerations)
+  kick_therm : int dt / a^{3(g-1)-1}... (thermal, a^-2 for gamma=5/3 usage
+               below follows cosmology_get_therm_kick_factor)
+  kick_corr  : int dt            (mesh/correction terms)
+
+The reference integrates with GSL on the fly; here we precompute dense
+f64 tables ONCE on the host (numpy cumulative Simpson) and every factor
+lookup is an interpolation — all 64-bit time handling stays host-side,
+matching the engine's StepTables design.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..utils import timeline as tl
+from ..utils.constants import PhysicalConstants
+from .sph.sphenix import CosmoFactors
+
+TABLE_SIZE = 30000
+
+
+@dataclass
+class Cosmology:
+    """FLRW model + tables (reference struct cosmology, cosmology.h).
+
+    All quantities in internal units; H0 derived from h via the reduced
+    Hubble constant in internal units.
+    """
+
+    Omega_cdm: float
+    Omega_b: float
+    Omega_lambda: float
+    h: float
+    a_begin: float
+    a_end: float
+    Omega_r: float = 0.0
+    Omega_k: float = 0.0
+    w_0: float = -1.0
+    w_a: float = 0.0
+    phys_const: Optional[PhysicalConstants] = None
+    hydro_gamma: float = 5.0 / 3.0
+
+    def __post_init__(self):
+        self.Omega_m = self.Omega_cdm + self.Omega_b
+        # H0 in internal units (phys_const carries 100 km/s/Mpc equivalent)
+        if self.phys_const is not None:
+            self.H0 = self.h * self.phys_const.const_reduced_hubble
+        else:
+            self.H0 = self.h * 0.000102271  # 100 km/s/Mpc in (Mpc, km/s) units
+        self.log_a_begin = math.log(self.a_begin)
+        self.log_a_end = math.log(self.a_end)
+        # timeline in log(a): time_base mirrors cosmology.c:871
+        self.time_base = (self.log_a_end - self.log_a_begin) \
+            / tl.MAX_NR_TIMESTEPS
+        self.time_base_inv = 1.0 / self.time_base
+        self._build_tables()
+
+    # --- background evolution -------------------------------------------------
+    def w_de(self, a):
+        """CPL dark energy equation of state w(a) = w0 + wa(1-a)."""
+        return self.w_0 + self.w_a * (1.0 - a)
+
+    def _de_density_factor(self, a):
+        """exp(3 int_a^1 (1+w)/a da) for CPL (cosmology.c w_tilde)."""
+        return a ** (-3.0 * (1.0 + self.w_0 + self.w_a)) \
+            * np.exp(-3.0 * self.w_a * (1.0 - a))
+
+    def E(self, a):
+        """H(a)/H0 (cosmology.c E())."""
+        a = np.asarray(a, np.float64)
+        return np.sqrt(self.Omega_r / a ** 4 + self.Omega_m / a ** 3
+                       + self.Omega_k / a ** 2
+                       + self.Omega_lambda * self._de_density_factor(a))
+
+    def H(self, a):
+        return self.H0 * self.E(a)
+
+    # --- tables ---------------------------------------------------------------
+    def _build_tables(self):
+        # dense grid in log(a) spanning a slightly beyond [a_begin, a_end]
+        la = np.linspace(self.log_a_begin, self.log_a_end, TABLE_SIZE)
+        a = np.exp(la)
+        H = self.H(a)
+        dla = la[1] - la[0]
+        # dt = d(log a) / H ; integrals by cumulative trapezoid
+        def cumint(integrand):
+            inc = 0.5 * (integrand[1:] + integrand[:-1]) * dla
+            return np.concatenate([[0.0], np.cumsum(inc)])
+
+        self._la = la
+        self._t = cumint(1.0 / H)                    # cosmic time since a_begin
+        self._drift = cumint(1.0 / (H * a * a))      # int dt/a^2
+        self._grav_kick = cumint(1.0 / (H * a))      # int dt/a
+        g3 = 3.0 * (self.hydro_gamma - 1.0) - 1.0    # therm: dt/a^{3(g-1)-1}...
+        self._therm_kick = cumint(a ** (-g3) / H)
+        self._corr_kick = cumint(1.0 / H)            # int dt (mesh/corr)
+
+    def _interp(self, table, log_a):
+        return np.interp(log_a, self._la, table)
+
+    # --- ti <-> a mapping -------------------------------------------------------
+    def a_of_ti(self, ti: int) -> float:
+        return math.exp(self.log_a_begin + ti * self.time_base)
+
+    def log_a_of_ti(self, ti: int) -> float:
+        return self.log_a_begin + ti * self.time_base
+
+    def time_of_ti(self, ti: int) -> float:
+        """Cosmic time since a_begin (for outputs)."""
+        return float(self._interp(self._t, self.log_a_of_ti(ti)))
+
+    # --- operator factors (cosmology.c:1217-1345) -------------------------------
+    def _factor(self, table, ti_start: int, ti_end: int) -> float:
+        la0 = self.log_a_of_ti(ti_start)
+        la1 = self.log_a_of_ti(ti_end)
+        return float(self._interp(table, la1) - self._interp(table, la0))
+
+    def drift_factor(self, ti_start, ti_end):
+        return self._factor(self._drift, ti_start, ti_end)
+
+    def grav_kick_factor(self, ti_start, ti_end):
+        return self._factor(self._grav_kick, ti_start, ti_end)
+
+    def therm_kick_factor(self, ti_start, ti_end):
+        return self._factor(self._therm_kick, ti_start, ti_end)
+
+    def corr_kick_factor(self, ti_start, ti_end):
+        return self._factor(self._corr_kick, ti_start, ti_end)
+
+    def delta_time(self, ti_start, ti_end):
+        return self._factor(self._t, ti_start, ti_end)
+
+    # --- per-step factors for the SPH equations ---------------------------------
+    def factors_at(self, ti: int) -> CosmoFactors:
+        """CosmoFactors snapshot at ti (a_factor_* from cosmology.c:400-460)."""
+        import jax.numpy as jnp
+        a = self.a_of_ti(ti)
+        H = float(self.H(a))
+        g = self.hydro_gamma
+        f32 = jnp.float32
+        return CosmoFactors(
+            a=f32(a), H=f32(H), a_inv2=f32(1.0 / a ** 2),
+            fac_mu=f32(a ** (0.5 * (3.0 * g - 5.0))),
+            a_factor_sound_speed=f32(a ** (-0.5 * (3.0 * g - 1.0)) * a),
+            a_factor_Balsara_eps=f32(a ** (0.5 * (1.0 - 3.0 * g)) * a ** 1.5),
+            a_factor_internal_energy=f32(a ** (-3.0 * (g - 1.0))),
+        )
+
+
+def make_cosmology_from_params(params, phys_const=None) -> Cosmology:
+    """Build from the reference's Cosmology: YAML section."""
+    g = lambda k: params.get_float("Cosmology", k)
+    o = lambda k, d: params.opt_float("Cosmology", k, d)
+    return Cosmology(
+        Omega_cdm=g("Omega_cdm"), Omega_b=g("Omega_b"),
+        Omega_lambda=g("Omega_lambda"), h=g("h"),
+        a_begin=g("a_begin"), a_end=g("a_end"),
+        Omega_r=o("Omega_r", 0.0), Omega_k=o("Omega_k", 0.0),
+        w_0=o("w_0", -1.0), w_a=o("w_a", 0.0),
+        phys_const=phys_const,
+    )

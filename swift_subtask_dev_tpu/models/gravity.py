@@ -1,0 +1,100 @@
+"""Self-gravity solver: P3M = PM mesh (long range) + 27-stencil P2P.
+
+The reference's gravity is FMM multipoles + PM mesh (runner_doiact_grav.c,
+mesh_gravity.c).  Here the near field below the mesh scale is direct P2P
+over the cell stencil (the multipole hierarchy's role is subsumed by
+choosing the gravity cell edge >= r_cut; batched M2L lands in a later
+round for very clustered cases).
+
+All species bucketed on the same grid interact: gas-gas, gas-dm, dm-dm
+pairs all go through the same kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid.cellgrid import CellGrid
+from ..ops import p2p_gravity, pm_gravity
+
+F32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class GravityParams:
+    """Reference Gravity: YAML section (gravity_properties.c)."""
+
+    G: float = 1.0
+    eps: float = 1e-3            # Plummer-equivalent comoving softening
+    mesh_N: int = 64             # Gravity:mesh_side_length
+    a_smooth: float = 1.25
+    r_cut_ratio: float = 4.5
+    eta: float = 0.025           # Gravity:eta (timestep)
+    theta_cr: float = 0.7        # MAC opening angle (FMM; future use)
+    periodic: bool = True
+
+    @property
+    def H_soft(self) -> float:
+        """Softening kernel size H = 3 * Plummer eps (kernel_gravity.h)."""
+        return 3.0 * self.eps
+
+
+class GravitySolver:
+    """Owns the PM mesh and computes P3M accelerations for tiled species."""
+
+    def __init__(self, gp: GravityParams, grid: CellGrid):
+        self.gp = gp
+        self.grid = grid
+        self.pm = pm_gravity.PMMeshParams(
+            N=gp.mesh_N, box=grid.box, a_smooth=gp.a_smooth,
+            r_cut_max_ratio=gp.r_cut_ratio)
+        if gp.periodic and min(grid.edge) < self.pm.r_cut * (1 - 1e-6):
+            raise ValueError(
+                f"gravity cell edge {min(grid.edge):.4g} < r_cut "
+                f"{self.pm.r_cut:.4g}: increase mesh_N or coarsen the grid")
+        # cell corner positions (C, 3) — static constant for global pos
+        self.corners = jnp.asarray(grid.cell_corners(), jnp.float32)
+
+    def positions_of(self, s: Dict) -> jnp.ndarray:
+        """(C, K, 3) absolute positions from tiled offsets (f32)."""
+        return self.corners[:, None, :] + s["off"]
+
+    def accelerations(self, species: Sequence[Dict]) -> List:
+        """P3M accelerations + potentials for each species dict
+        (mask/off/m).  Returns [(acc (C,K,3), pot (C,K)), ...]."""
+        gp = self.gp
+        # --- PM long range over ALL species ---------------------------------
+        pos_all = [self.positions_of(s) for s in species]
+        m_all = [s["m"] * s["mask"] for s in species]
+        grid_mass = 0.0
+        for pos, m in zip(pos_all, m_all):
+            grid_mass = grid_mass + pm_gravity.cic_deposit(self.pm, pos, m)
+        phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
+        acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
+
+        # --- P2P short range -------------------------------------------------
+        pp = p2p_gravity.p2p_accelerations(
+            self.grid, species, gp.G, H_soft=gp.H_soft,
+            r_s=self.pm.r_s if gp.periodic else 0.0,
+            periodic_truncation=gp.periodic)
+
+        outs = []
+        for s, pos, (acc_pp, pot_pp) in zip(species, pos_all, pp):
+            ax = pm_gravity.cic_gather(self.pm, acc_mesh[0], pos)
+            ay = pm_gravity.cic_gather(self.pm, acc_mesh[1], pos)
+            az = pm_gravity.cic_gather(self.pm, acc_mesh[2], pos)
+            pot = pm_gravity.cic_gather(self.pm, phi, pos)
+            a_pm = jnp.stack([ax, ay, az], -1) * s["mask"][..., None]
+            outs.append((acc_pp + a_pm, pot_pp + pot * s["mask"]))
+        return outs
+
+    def gas_gravity_fn(self):
+        """gravity_fn hook for the hydro engine (gas self-gravity only)."""
+        def fn(s: Dict) -> jnp.ndarray:
+            [(acc, _)] = self.accelerations([s])
+            return acc
+        return fn

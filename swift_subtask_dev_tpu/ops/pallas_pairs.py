@@ -63,11 +63,13 @@ def _pack(grid: CellGrid, fields: Sequence[jnp.ndarray], CB: int,
     ncx, ncy, ncz = grid.cdim
     K = grid.K
     (nxp, nyp, nzp), Cp, Cpad, M, deltas = _geometry(grid, CB)
+    F = len(fields)
+    Fp = int(math.ceil(F / 8)) * 8  # sublane-tile alignment for DMA
     stacked = jnp.stack(fields, axis=1)               # (C, F, K)
-    x = stacked.reshape(ncx, ncy, ncz, len(fields), K)
+    x = stacked.reshape(ncx, ncy, ncz, F, K)
     x = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)), mode="wrap")
-    x = x.reshape(Cp, len(fields), K)
-    x = jnp.pad(x, ((M, Cpad - Cp + M), (0, 0), (0, Kp - K)))
+    x = x.reshape(Cp, F, K)
+    x = jnp.pad(x, ((M, Cpad - Cp + M), (0, Fp - F), (0, Kp - K)))
     return x, M, Cp, Cpad, deltas
 
 
@@ -114,7 +116,7 @@ def pair_apply(grid: CellGrid,
         if Kp % cand == 0 and CB * cand * Kp * 4 * 16 <= 10 * 2 ** 20:
             KI = cand
             break
-    F = len(field_order)
+    F = int(math.ceil(len(field_order) / 8)) * 8
     X, M, Cp, Cpad, deltas = _pack(
         grid, [fields[name] for name in field_order], CB, Kp)
     nblocks = Cpad // CB
@@ -132,10 +134,16 @@ def pair_apply(grid: CellGrid,
              OFFSETS[o][1] * edge[1],
              OFFSETS[o][2] * edge[2]] for o in range(27)]
     rows += [[0.0, 0.0, 0.0, 0.0]] * 5
-    flat = [v for row in rows for v in row] + \
-        [float(v) for v in scalars]
-    tab_len = len(flat)
-    sc_arr = jnp.asarray(flat, jnp.float32).reshape(1, tab_len)
+    static_part = jnp.asarray([v for row in rows for v in row],
+                              jnp.float32)
+    if n_sc:
+        # scalars may be traced (e.g. per-step cosmology factors)
+        dyn = jnp.stack([jnp.asarray(v, jnp.float32) for v in scalars])
+        flat = jnp.concatenate([static_part, dyn])
+    else:
+        flat = static_part
+    tab_len = int(flat.shape[0])
+    sc_arr = flat.reshape(1, tab_len)
 
     def kernel(tab_ref, x_hbm, sum_ref, max_ref,
                nbr_buf, acc_s, acc_m, sems):

@@ -23,6 +23,9 @@ BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from swift_subtask_dev_tpu.engine import Engine, EngineConfig
     from swift_subtask_dev_tpu.grid import CellGrid
@@ -30,7 +33,7 @@ def main():
     from swift_subtask_dev_tpu.ics import uniform_box_ic
 
     # Uniform jittered box — all particles active every step.
-    n1 = 50                      # 2*n1^3 = 250k particles
+    n1 = 36                      # 2*n1^3 = 93k particles
     ic = uniform_box_ic(n=n1, jitter=0.2, seed=3)
     n_parts = len(ic["pos"])
 
@@ -40,7 +43,7 @@ def main():
                                            * 1.25),
         pos=ic["pos"], headroom=1.6)
 
-    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="pallas"), 0.0, 1.0)
+    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="xla"), 0.0, 1.0)
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 

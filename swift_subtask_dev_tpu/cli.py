@@ -1,0 +1,196 @@
+"""Command-line interface — the analog of the reference's swift binary.
+
+Mirrors the flag surface of swift.c:210-341: physics switches (--hydro,
+--self-gravity, --cosmology), a YAML parameter file, -P overrides,
+-n step limits, and the same parameter sections (TimeIntegration,
+Snapshots, SPH, Gravity, Scheduler, Statistics...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as wallclock
+from typing import Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="swift-tpu",
+        description="TPU-native cosmological SPH + gravity engine")
+    ap.add_argument("paramfile", help="YAML parameter file")
+    ap.add_argument("--hydro", action="store_true",
+                    help="run with hydrodynamics")
+    ap.add_argument("--self-gravity", action="store_true",
+                    help="run with self-gravity")
+    ap.add_argument("--cosmology", action="store_true",
+                    help="comoving cosmological integration")
+    ap.add_argument("-n", "--steps", type=int, default=-1,
+                    help="maximum number of steps")
+    ap.add_argument("-P", "--param", action="append", default=[],
+                    metavar="SEC:PAR:VAL", help="parameter override")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debugging)")
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "xla"],
+                    help="neighbour-loop backend")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .engine import Engine, EngineConfig
+    from .grid import CellGrid
+    from .io.snapshot import (read_snapshot, write_snapshot,
+                              gas_state_to_fields, PTYPE_GAS)
+    from .io.statistics import StatisticsWriter, gas_statistics
+    from .models.gravity import GravityParams, GravitySolver
+    from .models.sph.sphenix import SPHENIXParams
+    from .models.sph import kernels
+    from .utils import Params, UnitSystem
+
+    params = Params.from_file(args.paramfile, overrides=args.param)
+
+    units = UnitSystem(
+        UnitMass_in_cgs=params.opt_float("InternalUnitSystem",
+                                         "UnitMass_in_cgs", 1.0),
+        UnitLength_in_cgs=params.opt_float("InternalUnitSystem",
+                                           "UnitLength_in_cgs", 1.0),
+        UnitVelocity_in_cgs=params.opt_float("InternalUnitSystem",
+                                             "UnitVelocity_in_cgs", 1.0),
+        UnitCurrent_in_cgs=params.opt_float("InternalUnitSystem",
+                                            "UnitCurrent_in_cgs", 1.0),
+        UnitTemp_in_cgs=params.opt_float("InternalUnitSystem",
+                                         "UnitTemp_in_cgs", 1.0))
+
+    t_begin = params.get_float("TimeIntegration", "time_begin")
+    t_end = params.get_float("TimeIntegration", "time_end")
+    dt_max = params.get_float("TimeIntegration", "dt_max")
+    dt_min = params.opt_float("TimeIntegration", "dt_min", 1e-17)
+
+    ic_file = params.get_string("InitialConditions", "file_name")
+    hdr, parts, ic_units = read_snapshot(ic_file)
+    box = np.atleast_1d(np.asarray(hdr["BoxSize"], np.float64))
+    if box.size == 1:
+        box = np.repeat(box, 3)
+
+    if not args.hydro:
+        print("swift-tpu: only --hydro runs are wired in this version",
+              file=sys.stderr)
+
+    gas = parts.get(PTYPE_GAS)
+    if gas is None or not args.hydro:
+        print("No gas particles / --hydro not given; nothing to do",
+              file=sys.stderr)
+        return 1
+
+    kernel_name = params.opt_string("SPH", "kernel", "cubic-spline")
+    sph = SPHENIXParams(
+        kernel=kernels.KERNELS[kernel_name],
+        eta_neighbours=params.get_float("SPH", "resolution_eta"),
+        CFL=params.get_float("SPH", "CFL_condition"),
+        h_tolerance=params.opt_float("SPH", "h_tolerance", 1e-4),
+        h_max=params.opt_float("SPH", "h_max", 1e30),
+        max_smoothing_iterations=params.opt_int(
+            "SPH", "max_ghost_iterations", 30),
+        minimal_internal_energy=params.opt_float(
+            "SPH", "minimal_internal_energy", 0.0),
+    )
+
+    pos = np.asarray(gas["Coordinates"], np.float64)
+    h0 = np.asarray(gas["SmoothingLengths"], np.float32)
+    grid = CellGrid.build_for_positions(
+        tuple(box), float(h0.max() * sph.kernel.gamma * 1.3), pos,
+        headroom=1.6)
+    if args.verbose:
+        print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
+
+    gravity_fn = None
+    cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
+                       with_self_gravity=args.self_gravity,
+                       backend=args.backend)
+    if args.self_gravity:
+        gp = GravityParams(
+            G=units.constants().const_newton_G,
+            eps=params.opt_float("Gravity", "max_physical_baryon_softening",
+                                 params.opt_float("Gravity",
+                                                  "comoving_baryon_softening",
+                                                  1e-3)),
+            mesh_N=params.opt_int("Gravity", "mesh_side_length", 64),
+            a_smooth=params.opt_float("Gravity", "a_smooth", 1.25),
+            r_cut_ratio=params.opt_float("Gravity", "r_cut_max", 4.5),
+            eta=params.opt_float("Gravity", "eta", 0.025))
+        solver = GravitySolver(gp, grid)
+        gravity_fn = solver.gas_gravity_fn()
+
+    eng = Engine(grid, sph, cfg, t_begin, t_end, gravity_fn=gravity_fn)
+    eng.load_particles(
+        pos, np.asarray(gas["Masses"], np.float32),
+        np.asarray(gas["Velocities"], np.float32),
+        np.asarray(gas["InternalEnergies"], np.float32), h0,
+        pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
+
+    stats_every = params.opt_float("Statistics", "delta_time", 0.0)
+    stats = StatisticsWriter(
+        params.opt_string("Statistics", "basename", "statistics") + ".txt")
+    snap_base = params.opt_string("Snapshots", "basename", "output")
+    snap_dt = params.opt_float("Snapshots", "delta_time", 0.0)
+
+    t0 = wallclock.time()
+    eng.init_particles()
+    if args.verbose:
+        print(f"init done in {wallclock.time()-t0:.1f}s")
+
+    next_snap = t_begin + snap_dt if snap_dt > 0 else np.inf
+    next_stat = t_begin
+    snap_i = 0
+    max_steps = args.steps if args.steps > 0 else 10 ** 9
+    step_t0 = wallclock.time()
+    while eng.timeline.ti_current * eng.timeline.time_base \
+            + t_begin < t_end and eng.step_count < max_steps:
+        diag = eng.step()
+        if args.verbose and eng.step_count % 10 == 0:
+            dt_wall = wallclock.time() - step_t0
+            print(f"step {eng.step_count}  t={eng.time:.6f} "
+                  f"active={int(diag['n_active'])}  wall={dt_wall:.1f}s")
+        if eng.time >= next_stat and stats_every > 0:
+            stats.write(eng.step_count, eng.time,
+                        gas_statistics(eng.state))
+            next_stat += stats_every
+        if eng.time >= next_snap:
+            write_snapshot(f"{snap_base}_{snap_i:04d}.hdf5", tuple(box),
+                           eng.time,
+                           {PTYPE_GAS: gas_state_to_fields(grid, eng.state)},
+                           units=units)
+            snap_i += 1
+            next_snap += snap_dt
+
+    write_snapshot(f"{snap_base}_{snap_i:04d}.hdf5", tuple(box), eng.time,
+                   {PTYPE_GAS: gas_state_to_fields(grid, eng.state)},
+                   units=units)
+    params.dump_used("used_parameters.yml")
+    params.dump_unused("unused_parameters.yml")
+    if args.verbose:
+        print(f"done: {eng.step_count} steps, t={eng.time:.6f}, "
+              f"wrote {snap_base}_{snap_i:04d}.hdf5")
+    return 0
+
+
+def fof_main(argv=None) -> int:
+    print("swift-tpu-fof: FOF group finder lands in a later round",
+          file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -306,33 +306,53 @@ class Engine:
     def __init__(self, grid: CellGrid, sph: SPHENIXParams,
                  cfg: EngineConfig, time_begin: float, time_end: float,
                  cosmo: Optional[CosmoFactors] = None,
-                 gravity_fn: Optional[Callable] = None):
+                 gravity_fn: Optional[Callable] = None,
+                 cosmology=None):
         self.grid = grid
         self.sph = sph
         self.cfg = cfg
-        self.timeline = tl.Timeline(time_begin, time_end)
-        self.cosmo = cosmo or CosmoFactors.no_cosmo()
+        self.cosmology = cosmology  # models.cosmology.Cosmology or None
+        if cosmology is not None:
+            # cosmological runs: the integer timeline lives in log(a)
+            self.timeline = tl.Timeline(cosmology.log_a_begin,
+                                        cosmology.log_a_end)
+            self.cosmo = cosmology.factors_at(0)
+        else:
+            self.timeline = tl.Timeline(time_begin, time_end)
+            self.cosmo = cosmo or CosmoFactors.no_cosmo()
         self.gravity_fn = gravity_fn
         self.state: Dict = {}
         self.step_count = 0
 
     # --- setup ----------------------------------------------------------------
     def load_particles(self, pos, m, v, u, h, pid=None):
-        """Bucket raw particle arrays into the tiled state (IC ingestion)."""
+        """Bucket raw particle arrays into the tiled state (IC ingestion).
+
+        Uses the native (C++/OpenMP) counting sort when available — the
+        analog of the reference's threadpooled space_rebuild — and falls
+        back to the jitted path otherwise."""
         n = len(pos)
         if pid is None:
             pid = np.arange(n, dtype=np.int32)
-        fields = {
-            "pid": jnp.asarray(pid, I32),
-            "m": jnp.asarray(m, F32),
-            "v": jnp.asarray(v, F32),
-            "v_full": jnp.asarray(v, F32),
-            "h": jnp.asarray(h, F32),
-            "u": jnp.asarray(u, F32),
-            "u_full": jnp.asarray(u, F32),
+        np_fields = {
+            "pid": np.asarray(pid, np.int32),
+            "m": np.asarray(m, np.float32),
+            "v": np.asarray(v, np.float32),
+            "v_full": np.asarray(v, np.float32),
+            "h": np.asarray(h, np.float32),
+            "u": np.asarray(u, np.float32),
+            "u_full": np.asarray(u, np.float32),
         }
-        out, mask, off, n_over = bucket_fields(self.grid, jnp.asarray(pos),
-                                               fields)
+        from . import native
+        if native.available():
+            out_np, mask_np, off_np, n_over = native.bucket_fields_native(
+                self.grid, np.asarray(pos, np.float64), np_fields)
+            out = {k: jnp.asarray(v) for k, v in out_np.items()}
+            mask, off = jnp.asarray(mask_np), jnp.asarray(off_np)
+        else:
+            fields = {k: jnp.asarray(v) for k, v in np_fields.items()}
+            out, mask, off, n_over = bucket_fields(
+                self.grid, jnp.asarray(pos), fields)
         if int(n_over) != 0:
             raise RuntimeError(
                 f"{int(n_over)} particles overflowed cell capacity "
@@ -370,45 +390,84 @@ class Engine:
         return diag
 
     # --- stepping ---------------------------------------------------------------
-    def _tables(self, dt_drift: float = 0.0) -> StepTables:
+    def _tables(self, dt_drift: float = 0.0,
+                ti_drift_start: Optional[int] = None) -> StepTables:
         t = self.timeline
+        c = self.cosmology
         active = t.active_bins_mask()
-        dt_half = np.zeros(NBINS + 1, np.float32)
+        dt_k1 = np.zeros(NBINS + 1, np.float32)
+        dt_k2 = np.zeros(NBINS + 1, np.float32)
+        dt_t1 = np.zeros(NBINS + 1, np.float32)
+        dt_t2 = np.zeros(NBINS + 1, np.float32)
         dt_full = np.zeros(NBINS + 1, np.float32)
         aligned_up = np.zeros(NBINS + 1, bool)
+        ti = t.ti_current
         for b in range(1, NBINS + 1):
             dti = tl.get_integer_timestep(b)
-            dt_half[b] = 0.5 * dti * t.time_base
-            dt_full[b] = dti * t.time_base
+            if c is None:
+                dt_k1[b] = dt_k2[b] = dt_t1[b] = dt_t2[b] =                     0.5 * dti * t.time_base
+                dt_full[b] = dti * t.time_base
+            else:
+                # kick2 closes [ti - dti/2, ti]; kick1 opens [ti, ti + dti/2]
+                # using the cosmology integral tables (kick.h semantics)
+                lo2 = max(ti - dti // 2, 0)
+                hi1 = min(ti + dti // 2, tl.MAX_NR_TIMESTEPS)
+                dt_k2[b] = c.grav_kick_factor(lo2, ti)
+                dt_k1[b] = c.grav_kick_factor(ti, hi1)
+                dt_t2[b] = c.therm_kick_factor(lo2, ti)
+                dt_t1[b] = c.therm_kick_factor(ti, hi1)
+                dt_full[b] = c.delta_time(max(ti - dti, 0), ti)
             up = tl.get_integer_timestep(min(b + 1, NBINS))
-            aligned_up[b] = (t.ti_current % up) == 0
-        max_bin = 1
-        while (max_bin < NBINS and
-               tl.get_integer_timestep(max_bin + 1) * t.time_base
-               <= self.cfg.dt_max):
-            max_bin += 1
+            aligned_up[b] = (ti % up) == 0
+        if c is None:
+            max_bin = 1
+            while (max_bin < NBINS and
+                   tl.get_integer_timestep(max_bin + 1) * t.time_base
+                   <= self.cfg.dt_max):
+                max_bin += 1
+            tb_inv = t.time_base_inv
+            dt_therm_drift = dt_drift
+        else:
+            # dt_max is a physical time: find the largest bin whose span
+            # stays under it
+            max_bin = 1
+            while (max_bin < NBINS and
+                   c.delta_time(ti, min(ti + tl.get_integer_timestep(
+                       max_bin + 1), tl.MAX_NR_TIMESTEPS)) <= self.cfg.dt_max):
+                max_bin += 1
+            # physical dt -> Delta log(a): multiply by H (the reference's
+            # cosmology->time_step_factor, timestep.h)
+            a_now = c.a_of_ti(ti)
+            tb_inv = float(c.H(a_now)) * t.time_base_inv
+            self.cosmo = c.factors_at(ti)
+            if ti_drift_start is not None:
+                dt_drift = c.drift_factor(ti_drift_start, ti)
+                dt_therm_drift = c.therm_kick_factor(ti_drift_start, ti)
+            else:
+                dt_therm_drift = dt_drift
         return StepTables(
             active=jnp.asarray(active),
-            dt_kick1=jnp.asarray(dt_half),
-            dt_kick2=jnp.asarray(dt_half),
-            dt_therm1=jnp.asarray(dt_half),
-            dt_therm2=jnp.asarray(dt_half),
+            dt_kick1=jnp.asarray(dt_k1),
+            dt_kick2=jnp.asarray(dt_k2),
+            dt_therm1=jnp.asarray(dt_t1),
+            dt_therm2=jnp.asarray(dt_t2),
             dt_alpha=jnp.asarray(dt_full),
             aligned_up=jnp.asarray(aligned_up),
             dt_drift=jnp.float32(dt_drift),
-            dt_therm_drift=jnp.float32(dt_drift),
+            dt_therm_drift=jnp.float32(dt_therm_drift),
             max_bin=jnp.int32(max_bin),
             min_bin=jnp.int32(1),
-            time_base_inv=jnp.float32(t.time_base_inv),
+            time_base_inv=jnp.float32(tb_inv),
         )
 
     def step(self):
         """Advance to the next ti_end_min (engine_step, engine.c:2245)."""
         t = self.timeline
         ti_next = self._ti_end_min
-        dt_drift = (ti_next - t.ti_current) * t.time_base
+        ti_old = t.ti_current
+        dt_drift = (ti_next - ti_old) * t.time_base
         t.ti_current = ti_next
-        T = self._tables(dt_drift=dt_drift)
+        T = self._tables(dt_drift=dt_drift, ti_drift_start=ti_old)
         self.state, diag = _JIT_STEP(
             self.grid, self.sph, self.cfg, self.gravity_fn,
             self.cosmo, self.state, T)

@@ -63,6 +63,7 @@ class EngineConfig:
     dt_min: float = 1e-17
     dt_max: float = 1e-2
     backend: str = "xla"  # 'xla' (roll-stencil; GSPMD-shardable) | 'pallas'
+    stencil_scan: bool = False  # lax.scan over offsets (small sharded graphs)
     with_hydro: bool = True
     with_self_gravity: bool = False
     with_external_gravity: bool = False
@@ -86,10 +87,28 @@ def bin_from_dt(dt: jnp.ndarray, time_base_inv: float) -> jnp.ndarray:
 # The jitted hydro step
 # ---------------------------------------------------------------------------
 
+class _ScanStencil:
+    """stencil loops with use_scan=True (GSPMD-friendly small graphs)."""
+
+    @staticmethod
+    def density_loop(grid, s, p):
+        return stencil.density_loop(grid, s, p, use_scan=True)
+
+    @staticmethod
+    def gradient_loop(grid, s, p, cosmo):
+        return stencil.gradient_loop(grid, s, p, cosmo, use_scan=True)
+
+    @staticmethod
+    def force_loop(grid, s, p, cosmo):
+        return stencil.force_loop(grid, s, p, cosmo, use_scan=True)
+
+
 def _loops(cfg: EngineConfig):
     """Select the neighbour-loop backend (ops/stencil vs ops/hydro_pallas)."""
     if cfg.backend == "pallas":
         return hydro_pallas
+    if cfg.stencil_scan:
+        return _ScanStencil
     return stencil
 
 
@@ -122,6 +141,16 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
     d0 = density_pass(h0)
     _, _, _, conv0 = h_update(h0, d0, left0, right0)
     conv0 = conv0 | ~active
+
+    if max_iter == 0:
+        # ghost-free mode: one Newton h-update + one re-density.  Used by
+        # the multi-chip dry run — GSPMD sharding propagation through a
+        # while_loop with a ~40-leaf carry is pathologically slow, and a
+        # straight-line step exercises the same collectives.
+        h1, _, _, _ = h_update(h0, d0, left0, right0)
+        h1 = jnp.where(active, h1, h0)
+        d1 = density_pass(h1)
+        return h1, d1, jnp.int32(1)
 
     def cond(c):
         h, d, left, right, conv, it = c

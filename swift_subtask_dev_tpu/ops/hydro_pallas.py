@@ -63,7 +63,8 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 
     sums, _ = pallas_pairs.pair_apply(
         grid, fields, order, pair_fn, n_sum=8, n_max=0,
-        shifts_scale=grid.edge, interpret=interpret)
+        shifts_scale=grid.edge, pad_fills={"h": 1.0},
+        interpret=interpret)
     m = s["mask"]
     return {
         "rho": sums[0] * m, "rho_dh": sums[1] * m, "wcount": sums[2] * m,
@@ -99,7 +100,7 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     sums, maxes = pallas_pairs.pair_apply(
         grid, fields, order, pair_fn, n_sum=1, n_max=2,
         shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
-        interpret=interpret)
+        pad_fills={"h": 1.0, "rho": 1.0}, interpret=interpret)
     m = s["mask"]
     return {
         "laplace_u": sums[0] * m,
@@ -144,6 +145,7 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     sums, maxes = pallas_pairs.pair_apply(
         grid, fields, order, pair_fn, n_sum=5, n_max=1,
         shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
+        pad_fills={"h": 1.0, "m": 1.0, "rho": 1.0, "P": 1.0},
         interpret=interpret)
     m = s["mask"]
     return {

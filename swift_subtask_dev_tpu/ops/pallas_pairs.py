@@ -53,7 +53,7 @@ def _geometry(grid: CellGrid, CB: int):
 
 
 def _pack(grid: CellGrid, fields: Sequence[jnp.ndarray], CB: int,
-          Kp: int):
+          Kp: int, pad_fills=None):
     """(C, K) field list -> halo-padded (Cbuf, F, Kp) tensor.
 
     Kp is the lane-aligned slot count (>= K, multiple of 128): sub-128
@@ -70,6 +70,12 @@ def _pack(grid: CellGrid, fields: Sequence[jnp.ndarray], CB: int,
     x = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0)), mode="wrap")
     x = x.reshape(Cp, F, K)
     x = jnp.pad(x, ((M, Cpad - Cp + M), (0, Fp - F), (0, Kp - K)))
+    if pad_fills and Kp > K:
+        # division-sensitive fields (h, m, rho, P) must not be zero in the
+        # slot-padding region: masked-pair contributions are multiplied by
+        # zero, but inf/NaN from 1/0 is not neutralised by that on device
+        for fi, fill in pad_fills.items():
+            x = x.at[:, fi, K:].set(fill)
     return x, M, Cp, Cpad, deltas
 
 
@@ -92,6 +98,7 @@ def pair_apply(grid: CellGrid,
                shifts_scale: Tuple[float, float, float],
                CB: int = 0,
                scalars: Sequence[jnp.ndarray] = (),
+               pad_fills=None,
                interpret: bool = False):
     """Run `pair_fn` over all cell pairs of the 27-stencil.
 
@@ -110,15 +117,18 @@ def pair_apply(grid: CellGrid,
     Kp = max(128, int(math.ceil(K / 128)) * 128)
     if CB <= 0:
         CB = 128 if Kp <= 128 else 64
-    # i-chunk size bounding the (CB, KI, Kp) temporaries to ~10 MB of VMEM
-    KI = 8
-    for cand in range(Kp, 7, -8):
-        if Kp % cand == 0 and CB * cand * Kp * 4 * 16 <= 10 * 2 ** 20:
-            KI = cand
-            break
+    # cell-chunk size bounding the (CBc, Kp, Kp) pair temporaries
+    CBc = 8
+    while CBc * 2 * Kp * Kp * 4 * 16 <= 10 * 2 ** 20 and CBc * 2 <= CB:
+        CBc *= 2
     F = int(math.ceil(len(field_order) / 8)) * 8
+    fill_by_idx = None
+    if pad_fills:
+        fill_by_idx = {field_order.index(nm): v
+                       for nm, v in pad_fills.items() if nm in field_order}
     X, M, Cp, Cpad, deltas = _pack(
-        grid, [fields[name] for name in field_order], CB, Kp)
+        grid, [fields[name] for name in field_order], CB, Kp,
+        fill_by_idx)
     nblocks = Cpad // CB
     fidx = {name: i for i, name in enumerate(field_order)}
     edge = grid.edge
@@ -190,29 +200,41 @@ def pair_apply(grid: CellGrid,
             sx = tab_ref[0, 4 * o + 1]
             sy = tab_ref[0, 4 * o + 2]
             sz = tab_ref[0, 4 * o + 3]
-            nmask = nf("mask")
-            for ci in range(Kp // KI):
-                sl = slice(ci * KI, (ci + 1) * KI)
+
+            # chunk over CELLS (the untiled leading axis): one pair-tile
+            # evaluation per fori iteration keeps the Mosaic program small
+            def cell_chunk(ci, _):
+                c0 = pl.multiple_of(ci * CBc, CBc)
+                csl = pl.ds(c0, CBc)
 
                 def sfc(name):
-                    return S[:, fidx[name], sl][:, :, None]  # (CB, KI, 1)
+                    # (CBc, Kp, 1): i-side slots of this cell chunk
+                    # (read from the ref: pl.ds indexes refs, not values)
+                    return nbr_buf[2, csl, fidx[name], :][:, :, None]
 
-                dx = (sfc("off0") - nf("off0") - sx,
-                      sfc("off1") - nf("off1") - sy,
-                      sfc("off2") - nf("off2") - sz)
+                def nfc(name):
+                    # (CBc, 1, Kp): j-side slots of the neighbour cells
+                    return nbr_buf[slot, csl, fidx[name], :][:, None, :]
+
+                dx = (sfc("off0") - nfc("off0") - sx,
+                      sfc("off1") - nfc("off1") - sy,
+                      sfc("off2") - nfc("off2") - sz)
                 r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
 
-                ok = (nmask > 0) & (r2 > 0)
-                ok_extra, sums, maxes = pair_fn(sfc, nf, dx, r2, sc)
+                ok = (nfc("mask") > 0) & (r2 > 0)
+                ok_extra, sums, maxes = pair_fn(sfc, nfc, dx, r2, sc)
                 ok = ok & ok_extra
                 w = ok.astype(F32)
                 for i, val in enumerate(sums):
-                    acc_s[i, :, sl] = acc_s[i, :, sl] \
+                    acc_s[i, csl, :] = acc_s[i, csl, :] \
                         + jnp.sum(val * w, axis=2)
                 for i, val in enumerate(maxes):
-                    acc_m[i, :, sl] = jnp.maximum(
-                        acc_m[i, :, sl],
+                    acc_m[i, csl, :] = jnp.maximum(
+                        acc_m[i, csl, :],
                         jnp.max(jnp.where(ok, val, -jnp.inf), axis=2))
+                return 0
+
+            jax.lax.fori_loop(0, CB // CBc, cell_chunk, 0)
             return 0
 
         jax.lax.fori_loop(0, 27, body, 0)

@@ -69,18 +69,48 @@ def _bj(x):  # broadcast j-side: (..., K) -> (..., 1, K)
     return x[..., None, :]
 
 
-def _pair_geometry(off_i, off_j_rolled, d, edge):
-    """dx components and r2 for all (a, b) slot pairs of cells (c, c+d).
-
-    dx = x_a - x_b = off_i[a] - off_j[b] - d*edge  (exact periodic form).
-    Shapes: (..., K, K).
-    """
+def _pair_geometry_shift(off_i, off_j_rolled, shift):
+    """dx components and r2 for all (a, b) slot pairs; shift = d*edge."""
     dx = tuple(
-        _bi(off_i[..., k]) - _bj(off_j_rolled[..., k])
-        - jnp.float32(d[k] * edge[k])
+        _bi(off_i[..., k]) - _bj(off_j_rolled[..., k]) - shift[k]
         for k in range(3))
     r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
     return dx, r2
+
+# ---------------------------------------------------------------------------
+# Offset application: unrolled (single-chip; best fusion) or lax.scan over
+# pre-rolled stacks (27x smaller graph — used for GSPMD-sharded compiles,
+# where sharding propagation over an unrolled program is very slow).
+# ---------------------------------------------------------------------------
+
+def _apply_offsets(grid: CellGrid, j_fields: Dict[str, jnp.ndarray],
+                   acc0, accumulate, use_scan: bool):
+    """accumulate(acc, j_rolled: dict, shift: (3,) f32 or tuple) -> acc."""
+    edge = grid.edge
+    if not use_scan:
+        for d in STENCIL_27:
+            shift = (jnp.float32(d[0] * edge[0]),
+                     jnp.float32(d[1] * edge[1]),
+                     jnp.float32(d[2] * edge[2]))
+            acc = accumulate(acc0 if d is STENCIL_27[0] else acc,
+                             {k: _roll(v, d) for k, v in j_fields.items()},
+                             shift)
+            if d is STENCIL_27[0]:
+                acc0 = None  # consumed
+        return acc
+    stacked = {k: jnp.stack([_roll(v, d) for d in STENCIL_27])
+               for k, v in j_fields.items()}
+    shifts = jnp.asarray(
+        [[d[0] * edge[0], d[1] * edge[1], d[2] * edge[2]]
+         for d in STENCIL_27], jnp.float32)
+
+    def body(acc, xs):
+        jf, sh = xs
+        return accumulate(acc, jf, (sh[0], sh[1], sh[2])), None
+
+    acc, _ = jax.lax.scan(body, acc0, (stacked, shifts))
+    return acc
+
 
 
 # ---------------------------------------------------------------------------
@@ -88,13 +118,13 @@ def _pair_geometry(off_i, off_j_rolled, d, edge):
 # ---------------------------------------------------------------------------
 
 def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
-                 p: SPHENIXParams) -> Dict[str, jnp.ndarray]:
+                 p: SPHENIXParams, use_scan: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
     """SPH density sums for every particle (SWIFT density SELF+PAIR tasks).
 
     Consumes: mask, off, v, h, m.  Produces raw accumulators (rho, rho_dh,
     wcount, wcount_dh, div_v, rot_v) BEFORE end_density h-factors.
     """
-    edge = grid.edge
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
     h = _sanitize(mask, g("h"))
@@ -103,25 +133,20 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     hi = _bi(h)
     range2 = gamma2 * hi * hi
 
-    acc = {k: jnp.zeros_like(h) for k in
-           ("rho", "rho_dh", "wcount", "wcount_dh", "div_v",
-            "rot_v0", "rot_v1", "rot_v2")}
+    keys = ("rho", "rho_dh", "wcount", "wcount_dh", "div_v",
+            "rot_v0", "rot_v1", "rot_v2")
+    acc0 = {k: jnp.zeros_like(h) for k in keys}
+    j_fields = {"off": off, "v": v, "m": m, "mask": mask}
 
-    for d in STENCIL_27:
-        off_j = _roll(off, d)
-        v_j = _roll(v, d)
-        m_j = _roll(m, d)
-        mask_j = _roll(mask, d)
-
-        dx, r2 = _pair_geometry(off, off_j, d, edge)
-        pair_ok = (_bj(mask_j) > 0) & (r2 > 0) & (r2 < range2)
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
+        pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
+        dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
+        terms = sphenix.density_terms(p, dx, r2, hi, _bj(jf["m"]), dv)
+        return {k: acc[k] + jnp.sum(terms[k] * w, axis=-1) for k in keys}
 
-        dv = tuple(_bi(v[..., k]) - _bj(v_j[..., k]) for k in range(3))
-        terms = sphenix.density_terms(p, dx, r2, hi, _bj(m_j), dv)
-        for key, val in terms.items():
-            acc[key] = acc[key] + jnp.sum(val * w, axis=-1)
-
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
     out = {k: _flat_view(grid, a) * s["mask"] for k, a in acc.items()}
     return {
         "rho": out["rho"], "rho_dh": out["rho_dh"],
@@ -133,10 +158,9 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
 
 
 def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
-                  p: SPHENIXParams, cosmo: CosmoFactors
-                  ) -> Dict[str, jnp.ndarray]:
+                  p: SPHENIXParams, cosmo: CosmoFactors,
+                  use_scan: bool = False) -> Dict[str, jnp.ndarray]:
     """SPHENIX gradient loop (v_sig max, laplace_u, alpha_visc_max_ngb)."""
-    edge = grid.edge
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
     h = _sanitize(mask, g("h"))
@@ -147,30 +171,31 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     hi = _bi(h)
     range2 = gamma2 * hi * hi
 
-    laplace_u = jnp.zeros_like(h)
-    v_sig = _grid_view(grid, s["v_sig"])          # init: 2*cs (reset_gradient)
-    a_max = _grid_view(grid, s["alpha_visc_max_ngb"])
+    acc0 = (jnp.zeros_like(h), _grid_view(grid, s["v_sig"]),
+            _grid_view(grid, s["alpha_visc_max_ngb"]))
+    j_fields = {"off": off, "v": v, "m": m, "mask": mask, "h": h,
+                "u": u, "rho": rho, "cs": cs, "av": av}
 
-    for d in STENCIL_27:
-        off_j = _roll(off, d)
-        dx, r2 = _pair_geometry(off, off_j, d, edge)
-        pair_ok = (_bj(_roll(mask, d)) > 0) & (r2 > 0) & (r2 < range2)
+    def accumulate(acc, jf, shift):
+        laplace_u, v_sig, a_max = acc
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
+        pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
-
-        dv = tuple(_bi(v[..., k]) - _bj(_roll(v, d)[..., k])
-                   for k in range(3))
+        dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
         t = sphenix.gradient_terms(
-            p, dx, r2, hi, _bj(_roll(h, d)), _bj(_roll(m, d)), dv,
-            _bi(u), _bj(_roll(u, d)), jnp.maximum(_bj(_roll(rho, d)), 1e-30),
-            _bi(cs), _bj(_roll(cs, d)), _bj(_roll(av, d)), cosmo)
-
+            p, dx, r2, hi, _bj(jf["h"]), _bj(jf["m"]), dv,
+            _bi(u), _bj(jf["u"]), jnp.maximum(_bj(jf["rho"]), 1e-30),
+            _bi(cs), _bj(jf["cs"]), _bj(jf["av"]), cosmo)
         laplace_u = laplace_u + jnp.sum(t["sum"]["laplace_u"] * w, axis=-1)
         v_sig = jnp.maximum(v_sig, jnp.max(
             jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
         a_max = jnp.maximum(a_max, jnp.max(
             jnp.where(pair_ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
             axis=-1))
+        return (laplace_u, v_sig, a_max)
 
+    laplace_u, v_sig, a_max = _apply_offsets(grid, j_fields, acc0,
+                                             accumulate, use_scan)
     return {
         "laplace_u": _flat_view(grid, laplace_u) * s["mask"],
         "v_sig": _flat_view(grid, v_sig),
@@ -179,13 +204,12 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
 
 
 def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
-               p: SPHENIXParams, cosmo: CosmoFactors
-               ) -> Dict[str, jnp.ndarray]:
+               p: SPHENIXParams, cosmo: CosmoFactors,
+               use_scan: bool = False) -> Dict[str, jnp.ndarray]:
     """SPHENIX force loop: a_hydro, u_dt, h_dt sums + v_sig max.
 
     Pair range is symmetric: r < gamma*max(h_i, h_j) (DOPAIR2 semantics).
     """
-    edge = grid.edge
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v = g("mask"), g("off"), g("v")
     h = _sanitize(mask, g("h"))
@@ -202,35 +226,35 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)
 
-    acc = {k: jnp.zeros_like(h) for k in
-           ("a_hydro0", "a_hydro1", "a_hydro2", "u_dt", "h_dt")}
-    v_sig = g("v_sig")
+    keys = ("a_hydro0", "a_hydro1", "a_hydro2", "u_dt", "h_dt")
+    acc0 = ({k: jnp.zeros_like(h) for k in keys}, g("v_sig"))
+    j_fields = {"off": off, "v": v, "m": m, "mask": mask, "h": h, "u": u,
+                "rho": rho, "P": P, "cs": cs, "f_gh": f_gh, "bal": bal,
+                "al": al, "ad": ad}
 
-    for d in STENCIL_27:
-        off_j = _roll(off, d)
-        h_j = _bj(_roll(h, d))
-        dx, r2 = _pair_geometry(off, off_j, d, edge)
+    def accumulate(acc, jf, shift):
+        sums, v_sig = acc
+        h_j = _bj(jf["h"])
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
         range2 = gamma2 * jnp.maximum(hi, h_j) ** 2
-        pair_ok = (_bj(_roll(mask, d)) > 0) & (r2 > 0) & (r2 < range2)
+        pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
-
-        dv = tuple(_bi(v[..., k]) - _bj(_roll(v, d)[..., k])
-                   for k in range(3))
+        dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
         t = sphenix.force_terms(
-            p, dx, r2, hi, h_j, _bi(m), _bj(_roll(m, d)), dv,
-            jnp.maximum(_bi(rho), 1e-30),
-            jnp.maximum(_bj(_roll(rho, d)), 1e-30),
-            _bi(P), _bj(_roll(P, d)), _bi(cs), _bj(_roll(cs, d)),
-            _bi(f_gh), _bj(_roll(f_gh, d)), _bi(bal), _bj(_roll(bal, d)),
-            _bi(al), _bj(_roll(al, d)), _bi(ad), _bj(_roll(ad, d)),
-            _bi(u), _bj(_roll(u, d)), cosmo)
-
-        for key in acc:
-            acc[key] = acc[key] + jnp.sum(t["sum"][key] * w, axis=-1)
+            p, dx, r2, hi, h_j, _bi(m), _bj(jf["m"]), dv,
+            jnp.maximum(_bi(rho), 1e-30), jnp.maximum(_bj(jf["rho"]), 1e-30),
+            _bi(P), _bj(jf["P"]), _bi(cs), _bj(jf["cs"]),
+            _bi(f_gh), _bj(jf["f_gh"]), _bi(bal), _bj(jf["bal"]),
+            _bi(al), _bj(jf["al"]), _bi(ad), _bj(jf["ad"]),
+            _bi(u), _bj(jf["u"]), cosmo)
+        sums = {k: sums[k] + jnp.sum(t["sum"][k] * w, axis=-1)
+                for k in keys}
         v_sig = jnp.maximum(v_sig, jnp.max(
             jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
+        return (sums, v_sig)
 
-    out = {k: _flat_view(grid, a) * s["mask"] for k, a in acc.items()}
+    sums, v_sig = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    out = {k: _flat_view(grid, a) * s["mask"] for k, a in sums.items()}
     return {
         "a_hydro": jnp.stack([out["a_hydro0"], out["a_hydro1"],
                               out["a_hydro2"]], axis=-1),

@@ -39,11 +39,15 @@ def main():
     n_parts = len(ic["pos"])
     print(f"N = {n_parts}")
 
-    P = SPHENIXParams(h_max=0.2, CFL=0.1)
+    # grid sized for blast-driven h growth; h_max capped just under the
+    # stencil reach so the engine's regrid guard never trips (SWIFT's
+    # equivalent: h_max + space_regrid, space.c)
     grid = CellGrid.build_for_positions(
-        ic["box"], float(ic["h"].max() * P.kernel.gamma * 2.2),
+        ic["box"], float(ic["h"].max() * 3.2),
         ic["pos"], headroom=2.2)
-    print(f"grid: {grid.cdim} K={grid.K}")
+    P = SPHENIXParams(h_max=float(min(grid.edge) / 1.825742 * 0.98),
+                      CFL=0.1)
+    print(f"grid: {grid.cdim} K={grid.K} h_max={P.h_max:.3f}")
 
     eng = Engine(grid, P,
                  EngineConfig(dt_max=1e-3, backend=args.backend),

@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..grid.cellgrid import CellGrid
-from .stencil import STENCIL_27, _bi, _bj, _grid_view, _flat_view, _roll, \
-    _pair_geometry, _sanitize
+from .stencil import (STENCIL_27, _bi, _bj, _grid_view, _flat_view,
+                      _roll, _pair_geometry_shift, _sanitize)
 
 F32 = jnp.float32
 _SQRT_PI_INV = 0.5641895835477563  # 1/sqrt(pi)
@@ -99,7 +99,10 @@ def p2p_accelerations(grid: CellGrid,
                 off_j = _roll(off_j0, d)
                 m_j = _bj(_roll(m_j0, d))
                 ok = (_bj(_roll(mask_j0, d)) > 0)
-                dx, r2 = _pair_geometry(off_i, off_j, d, edge)
+                shift = (jnp.float32(d[0] * edge[0]),
+                         jnp.float32(d[1] * edge[1]),
+                         jnp.float32(d[2] * edge[2]))
+                dx, r2 = _pair_geometry_shift(off_i, off_j, shift)
                 ok = ok & (r2 > 0)
                 w = ok.astype(F32)
 

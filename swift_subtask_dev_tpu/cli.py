@@ -187,9 +187,74 @@ def main(argv=None) -> int:
 
 
 def fof_main(argv=None) -> int:
-    print("swift-tpu-fof: FOF group finder lands in a later round",
-          file=sys.stderr)
-    return 1
+    """swift-tpu-fof: snapshot -> FOF -> group catalogue (swift_fof.c)."""
+    ap = argparse.ArgumentParser(prog="swift-tpu-fof")
+    ap.add_argument("snapshot", help="input snapshot/IC HDF5")
+    ap.add_argument("-o", "--output", default="fof_catalogue.hdf5")
+    ap.add_argument("-l", "--linking-length", type=float, default=0.0,
+                    help="absolute linking length (default: 0.2 * mean "
+                         "interparticle separation)")
+    ap.add_argument("--min-size", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import os
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import h5py
+    import jax.numpy as jnp
+    from .grid import CellGrid, bucket_fields
+    from .io.snapshot import read_snapshot
+    from .ops.fof import fof_labels, group_catalogue
+
+    hdr, parts, _ = read_snapshot(args.snapshot)
+    box = np.atleast_1d(np.asarray(hdr["BoxSize"], np.float64))
+    if box.size == 1:
+        box = np.repeat(box, 3)
+    # FOF runs on all gravitating particles (reference: gparts)
+    pos_all, pid_all = [], []
+    for pt, fields in parts.items():
+        if "Coordinates" in fields:
+            pos_all.append(np.asarray(fields["Coordinates"], np.float64))
+            pid_all.append(np.asarray(fields["ParticleIDs"]))
+    pos = np.concatenate(pos_all)
+    pids = np.concatenate(pid_all)
+    n = len(pos)
+
+    ell = args.linking_length
+    if ell <= 0:
+        ell = 0.2 * float(np.prod(box)) ** (1 / 3) / n ** (1 / 3)
+
+    grid = CellGrid.build_for_positions(
+        tuple(box), max(ell, min(box) / 64), pos, headroom=1.6)
+    f, mask, off, nov = bucket_fields(
+        grid, jnp.asarray(pos),
+        {"pid": jnp.asarray(pids.astype(np.int64) & 0x7FFFFFFF,
+                            jnp.int32)})
+    if int(nov):
+        print(f"warning: {int(nov)} particles overflowed cells",
+              file=sys.stderr)
+    labels, nsweeps = fof_labels(grid, mask, off, ell)
+    cat = group_catalogue(np.asarray(labels), np.asarray(mask),
+                          min_size=args.min_size)
+    valid = np.asarray(mask).reshape(-1) > 0
+    gid = cat["group_id"].reshape(-1)[valid]
+    pid_out = np.asarray(f["pid"]).reshape(-1)[valid]
+    with h5py.File(args.output, "w") as fo:
+        g = fo.create_group("Groups")
+        g.create_dataset("GroupSizes", data=cat["group_sizes"])
+        g.attrs["NumGroups"] = cat["n_groups"]
+        g.attrs["LinkingLength"] = ell
+        p = fo.create_group("Particles")
+        p.create_dataset("ParticleIDs", data=pid_out)
+        p.create_dataset("GroupIDs", data=gid)
+    print(f"FOF: {cat['n_groups']} groups (min_size={args.min_size}), "
+          f"largest={cat['group_sizes'][0] if cat['n_groups'] else 0}, "
+          f"{int(nsweeps)} sweeps -> {args.output}")
+    return 0
 
 
 if __name__ == "__main__":

@@ -22,31 +22,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid.cellgrid import CellGrid
-from .stencil import STENCIL_27, _bi, _bj, _grid_view, _flat_view, _roll
+from .stencil import (STENCIL_27, _apply_offsets, _bi, _bj, _grid_view,
+                      _flat_view, _roll)
 
 I32 = jnp.int32
 BIG = np.int32(2 ** 31 - 1)
 
 
-def fof_sweep(grid: CellGrid, mask, off, labels, ell2):
+def fof_sweep(grid: CellGrid, mask, off, labels, ell2,
+              use_scan: bool = True):
     """One min-label propagation sweep (all 27 offsets)."""
-    edge = grid.edge
     maskg = _grid_view(grid, mask)
     offg = _grid_view(grid, off)
     lab = _grid_view(grid, labels)
 
-    best = lab
-    for d in STENCIL_27:
-        off_j = _roll(offg, d)
-        lab_j = _roll(lab, d)
-        mask_j = _roll(maskg, d)
-        dx = tuple(
-            _bi(offg[..., k]) - _bj(off_j[..., k])
-            - jnp.float32(d[k] * edge[k]) for k in range(3))
+    def accumulate(best, jf, shift):
+        dx = tuple(_bi(offg[..., k]) - _bj(jf["off"][..., k]) - shift[k]
+                   for k in range(3))
         r2 = dx[0] ** 2 + dx[1] ** 2 + dx[2] ** 2
-        ok = (_bj(mask_j) > 0) & (r2 < ell2)
-        cand = jnp.where(ok, _bj(lab_j), BIG)
-        best = jnp.minimum(best, jnp.min(cand, axis=-1))
+        ok = (_bj(jf["mask"]) > 0) & (r2 < ell2)
+        cand = jnp.where(ok, _bj(jf["lab"]), BIG)
+        return jnp.minimum(best, jnp.min(cand, axis=-1))
+
+    best = _apply_offsets(grid, {"off": offg, "mask": maskg, "lab": lab},
+                          lab, accumulate, use_scan)
     best = jnp.where(maskg > 0, best, BIG)
     return _flat_view(grid, best)
 

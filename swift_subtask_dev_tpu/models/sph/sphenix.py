@@ -379,7 +379,9 @@ def predict_extra(p: SPHENIXParams, s, cosmo: CosmoFactors, dt_drift,
     u = s["u"] + s["u_dt"] * dt_therm
     h_inv = 1.0 / _safe_h(s)
     w1 = s["h_dt"] * h_inv * dt_drift
-    h = s["h"] * jnp.exp(w1)
+    # cap at h_max: the drift extrapolation must respect the same ceiling
+    # the ghost enforces, or inactive particles outgrow the stencil reach
+    h = jnp.clip(s["h"] * jnp.exp(w1), 0.0, p.h_max)
     rho = s["rho"] * jnp.exp(-HYDRO_DIM * w1)
     min_u = p.minimal_internal_energy / cosmo.a_factor_internal_energy
     u = jnp.maximum(u, min_u)

@@ -53,6 +53,7 @@ def main(argv=None) -> int:
     from .grid import CellGrid
     from .io.snapshot import (read_snapshot, write_snapshot,
                               gas_state_to_fields, PTYPE_GAS)
+    from .io.logs import TimestepsWriter
     from .io.statistics import StatisticsWriter, gas_statistics
     from .models.gravity import GravityParams, GravitySolver
     from .models.sph.sphenix import SPHENIXParams
@@ -143,6 +144,7 @@ def main(argv=None) -> int:
     stats_every = params.opt_float("Statistics", "delta_time", 0.0)
     stats = StatisticsWriter(
         params.opt_string("Statistics", "basename", "statistics") + ".txt")
+    steps_log = TimestepsWriter("timesteps.txt")
     snap_base = params.opt_string("Snapshots", "basename", "output")
     snap_dt = params.opt_float("Snapshots", "delta_time", 0.0)
 
@@ -158,7 +160,9 @@ def main(argv=None) -> int:
     step_t0 = wallclock.time()
     while eng.timeline.ti_current * eng.timeline.time_base \
             + t_begin < t_end and eng.step_count < max_steps:
+        t_before = eng.time
         diag = eng.step()
+        steps_log.write(eng.step_count, eng.time, eng.time - t_before, diag)
         if args.verbose and eng.step_count % 10 == 0:
             dt_wall = wallclock.time() - step_t0
             print(f"step {eng.step_count}  t={eng.time:.6f} "

@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import sys
 import time as wallclock
-from typing import Optional
 
 import numpy as np
 

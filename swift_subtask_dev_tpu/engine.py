@@ -20,9 +20,7 @@ exact next ``ti_current`` (utils/timeline.py).
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Callable, Dict, NamedTuple, Optional
 
 import jax

@@ -8,7 +8,7 @@ fraction of wall-clock spent outside device execution ("deadtime").
 from __future__ import annotations
 
 import time as wallclock
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

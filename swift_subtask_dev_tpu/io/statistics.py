@@ -8,7 +8,7 @@ calls (a psum under sharding) over the tiled state.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

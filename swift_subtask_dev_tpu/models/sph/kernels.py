@@ -17,10 +17,8 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from functools import partial
 
 import jax.numpy as jnp
-import numpy as np
 
 HYDRO_DIMENSION = 3.0
 

@@ -15,15 +15,15 @@ end (host side).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..grid.cellgrid import CellGrid
-from .stencil import (STENCIL_27, _apply_offsets, _bi, _bj, _grid_view,
-                      _flat_view, _roll)
+from .stencil import (_apply_offsets, _bi, _bj, _grid_view,
+                      _flat_view)
 
 I32 = jnp.int32
 BIG = np.int32(2 ** 31 - 1)

@@ -20,7 +20,7 @@ everything beyond the stencil pure mesh — the classic P3M split.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,12 +16,10 @@ P2P loops in p2p_gravity.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 F32 = jnp.float32
 

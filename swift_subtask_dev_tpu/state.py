@@ -19,8 +19,6 @@ Global positions only materialize at I/O time (f64 on host).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -7,7 +7,7 @@ there so that unit conversions agree bit-for-bit in double precision.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 
 # --- CGS values (match reference src/physical_constants_cgs.h) -------------
 NEWTON_G_CGS = 6.67430e-8  # cm^3 g^-1 s^-2

@@ -16,7 +16,6 @@ host computes the exact next ``ti_end_min``.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np

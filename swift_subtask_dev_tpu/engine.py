@@ -66,6 +66,10 @@ class EngineConfig:
     with_self_gravity: bool = False
     with_external_gravity: bool = False
     max_ghost_iterations: int = 30
+    ghost_unroll: bool = False  # unroll the ghost loop (GSPMD-friendly:
+    # identical results whenever the while_loop would converge within
+    # max_ghost_iterations, because unconverged-only masking makes the
+    # extra iterations no-ops)
     rebucket_every_step: bool = True
     eta_grav: float = 0.025   # Gravity:eta
 
@@ -112,7 +116,7 @@ def _loops(cfg: EngineConfig):
 
 def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
                    s: Dict, active: jnp.ndarray, max_iter: int,
-                   loops=stencil):
+                   loops=stencil, unroll: bool = False):
     """Density loop + smoothing-length iteration (the ghost).
 
     The reference re-runs subset pair loops on unconverged particles
@@ -164,6 +168,18 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
         conv = conv | ~upd | (upd & c2)
         return (h, d, left, right, conv, it + 1)
 
+    if unroll:
+        # straight-line version for GSPMD-sharded compiles: sharding
+        # propagation through a while_loop with this many carries is
+        # pathologically slow, and the unconverged-only masking makes the
+        # unrolled body a no-op once converged, so results match the
+        # while_loop whenever it converges within max_iter.
+        c = (h0, d0, left0, right0, conv0, jnp.int32(0))
+        for _ in range(max_iter):
+            c = body(c)
+        h, d, _, _, _, n_iter = c
+        return h, d, n_iter
+
     h, d, left, right, conv, n_iter = jax.lax.while_loop(
         cond, body, (h0, d0, left0, right0, conv0, jnp.int32(0)))
     return h, d, n_iter
@@ -203,7 +219,8 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     # --- density + ghost (active only) -------------------------------------
     loops = _loops(cfg)
     h_new, dens, n_ghost_iter = _ghost_density(
-        grid, p, cosmo, s, active, cfg.max_ghost_iterations, loops)
+        grid, p, cosmo, s, active, cfg.max_ghost_iterations, loops,
+        unroll=cfg.ghost_unroll)
     s = {**s, "h": jnp.where(active, h_new, s["h"])}
     for k, v in dens.items():
         act = active[..., None] if v.ndim == 3 else active
@@ -571,7 +588,8 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
 
     loops = _loops(cfg)
     h_new, dens, n_iter = _ghost_density(grid, p, cosmo, s, active,
-                                         cfg.max_ghost_iterations, loops)
+                                         cfg.max_ghost_iterations, loops,
+                                         unroll=cfg.ghost_unroll)
     s = {**s, "h": jnp.where(active, h_new, s["h"])}
     for k, v in dens.items():
         act = active[..., None] if v.ndim == 3 else active

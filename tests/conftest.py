@@ -1,8 +1,9 @@
-"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+"""Test configuration: CPU platform with 8 virtual devices.
 
-The reference tests multi-node behavior only under real mpirun; we can do
-better — JAX's host-platform device count gives us an 8-device mesh on CPU,
-so the sharded code paths are exercised in every CI run.
+The reference tests multi-node behavior only under real mpirun; here the
+host-platform device count gives an 8-device mesh on CPU, which
+tests/test_parallel.py uses to check the sharded step against the
+single-device step.  Everything else runs unsharded on device 0.
 """
 
 import os

@@ -2,8 +2,12 @@
 
 Mirrors the flag surface of swift.c:210-341: physics switches (--hydro,
 --self-gravity, --cosmology), a YAML parameter file, -P overrides,
--n step limits, and the same parameter sections (TimeIntegration,
-Snapshots, SPH, Gravity, Scheduler, Statistics...).
+-n step limits, -r restart, and the same parameter sections
+(TimeIntegration, Snapshots, SPH, Gravity, Scheduler, Statistics,
+Restarts...).  Run modes:
+
+  --hydro [--self-gravity] [--cosmology]   gas engine (SPHENIX KDK)
+  --self-gravity (no --hydro)              collisionless DMO engine
 """
 
 from __future__ import annotations
@@ -30,11 +34,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="maximum number of steps")
     ap.add_argument("-P", "--param", action="append", default=[],
                     metavar="SEC:PAR:VAL", help="parameter override")
+    ap.add_argument("-r", "--restart", action="store_true",
+                    help="resume from the checkpoint in Restarts:basename")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging)")
-    ap.add_argument("--backend", default="pallas",
+    ap.add_argument("--backend", default="xla",
                     choices=["pallas", "xla"],
-                    help="neighbour-loop backend")
+                    help="neighbour-loop backend (default: the fastest)")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
 
@@ -48,12 +54,14 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from .engine import Engine, EngineConfig
+    from .engine import DMEngine, Engine, EngineConfig
     from .grid import CellGrid
     from .io.snapshot import (read_snapshot, write_snapshot,
-                              gas_state_to_fields, PTYPE_GAS)
+                              gas_state_to_fields, PTYPE_GAS, PTYPE_DM)
     from .io.logs import TimestepsWriter
-    from .io.statistics import StatisticsWriter, gas_statistics
+    from .io import restart as rst
+    from .io.statistics import StatisticsWriter, species_statistics
+    from .models.cosmology import make_cosmology_from_params
     from .models.gravity import GravityParams, GravitySolver
     from .models.sph.sphenix import SPHENIXParams
     from .models.sph import kernels
@@ -73,8 +81,13 @@ def main(argv=None) -> int:
         UnitTemp_in_cgs=params.opt_float("InternalUnitSystem",
                                          "UnitTemp_in_cgs", 1.0))
 
-    t_begin = params.get_float("TimeIntegration", "time_begin")
-    t_end = params.get_float("TimeIntegration", "time_end")
+    cosmology = None
+    if args.cosmology:
+        cosmology = make_cosmology_from_params(params, units.constants())
+        t_begin, t_end = cosmology.a_begin, cosmology.a_end
+    else:
+        t_begin = params.get_float("TimeIntegration", "time_begin")
+        t_end = params.get_float("TimeIntegration", "time_end")
     dt_max = params.get_float("TimeIntegration", "dt_max")
     dt_min = params.opt_float("TimeIntegration", "dt_min", 1e-17)
 
@@ -84,41 +97,17 @@ def main(argv=None) -> int:
     if box.size == 1:
         box = np.repeat(box, 3)
 
-    if not args.hydro:
-        print("swift-tpu: only --hydro runs are wired in this version",
-              file=sys.stderr)
-
-    gas = parts.get(PTYPE_GAS)
-    if gas is None or not args.hydro:
-        print("No gas particles / --hydro not given; nothing to do",
+    if not args.hydro and not args.self_gravity:
+        print("Nothing to do: pass --hydro and/or --self-gravity",
               file=sys.stderr)
         return 1
 
-    kernel_name = params.opt_string("SPH", "kernel", "cubic-spline")
-    sph = SPHENIXParams(
-        kernel=kernels.KERNELS[kernel_name],
-        eta_neighbours=params.get_float("SPH", "resolution_eta"),
-        CFL=params.get_float("SPH", "CFL_condition"),
-        h_tolerance=params.opt_float("SPH", "h_tolerance", 1e-4),
-        h_max=params.opt_float("SPH", "h_max", 1e30),
-        max_smoothing_iterations=params.opt_int(
-            "SPH", "max_ghost_iterations", 30),
-        minimal_internal_energy=params.opt_float(
-            "SPH", "minimal_internal_energy", 0.0),
-    )
+    gas = parts.get(PTYPE_GAS)
+    dm = parts.get(PTYPE_DM)
+    dmo = args.self_gravity and not args.hydro
 
-    pos = np.asarray(gas["Coordinates"], np.float64)
-    h0 = np.asarray(gas["SmoothingLengths"], np.float32)
-    grid = CellGrid.build_for_positions(
-        tuple(box), float(h0.max() * sph.kernel.gamma * 1.3), pos,
-        headroom=1.6)
-    if args.verbose:
-        print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
-
-    gravity_fn = None
-    cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
-                       with_self_gravity=args.self_gravity,
-                       backend=args.backend)
+    # --- gravity parameter block (shared by both run modes) ------------------
+    gp = None
     if args.self_gravity:
         gp = GravityParams(
             G=units.constants().const_newton_G,
@@ -130,57 +119,160 @@ def main(argv=None) -> int:
             a_smooth=params.opt_float("Gravity", "a_smooth", 1.25),
             r_cut_ratio=params.opt_float("Gravity", "r_cut_max", 4.5),
             eta=params.opt_float("Gravity", "eta", 0.025))
-        solver = GravitySolver(gp, grid)
-        gravity_fn = solver.gas_gravity_fn()
 
-    eng = Engine(grid, sph, cfg, t_begin, t_end, gravity_fn=gravity_fn)
-    eng.load_particles(
-        pos, np.asarray(gas["Masses"], np.float32),
-        np.asarray(gas["Velocities"], np.float32),
-        np.asarray(gas["InternalEnergies"], np.float32), h0,
-        pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
-
+    # --- observability + restart policy --------------------------------------
     stats_every = params.opt_float("Statistics", "delta_time", 0.0)
     stats = StatisticsWriter(
         params.opt_string("Statistics", "basename", "statistics") + ".txt")
-    steps_log = TimestepsWriter("timesteps.txt")
+    steps_log = TimestepsWriter("timesteps.txt",
+                                cosmological=args.cosmology)
     snap_base = params.opt_string("Snapshots", "basename", "output")
     snap_dt = params.opt_float("Snapshots", "delta_time", 0.0)
+    restart_base = params.opt_string("Restarts", "basename",
+                                     "restart/swift_tpu")
+    policy = rst.RestartPolicy(
+        delta_hours=params.opt_float("Restarts", "delta_hours", 5.0),
+        max_run_time_hours=params.opt_float("Restarts", "max_run_time", 0.0)
+        or None,
+        restart_dir=params.opt_string("Restarts", "subdir", "restart"))
 
+    if dmo:
+        # ---------------- gravity-only (EAGLE_DMO-style) run ------------------
+        if dm is None:
+            print("--self-gravity without gas needs PartType1 in the ICs",
+                  file=sys.stderr)
+            return 1
+        pos = np.asarray(dm["Coordinates"], np.float64)
+        mesh_N = gp.mesh_N
+        # gravity grid: edge >= r_cut (P3M split; models/gravity.py)
+        r_cut = gp.r_cut_ratio * gp.a_smooth * float(box[0]) / mesh_N
+        grid = CellGrid.build_for_positions(tuple(box), r_cut * 1.05, pos,
+                                            headroom=1.6)
+        if args.verbose:
+            print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
+        solver = GravitySolver(gp, grid)
+
+        def gfn(s):
+            [(acc, pot)] = solver.accelerations([s])
+            return acc, pot
+
+        eng = DMEngine(grid, EngineConfig(dt_min=dt_min, dt_max=dt_max,
+                                          eta_grav=gp.eta),
+                       t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
+                       cosmology=cosmology)
+        eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
+                    np.asarray(dm["Velocities"], np.float32),
+                    pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
+        state_fields = None  # snapshots use dm fields below
+    else:
+        # ---------------- hydro (+ optional self-gravity) run -----------------
+        if gas is None:
+            print("--hydro needs PartType0 in the ICs", file=sys.stderr)
+            return 1
+        kernel_name = params.opt_string("SPH", "kernel", "cubic-spline")
+        sph = SPHENIXParams(
+            kernel=kernels.KERNELS[kernel_name],
+            eta_neighbours=params.get_float("SPH", "resolution_eta"),
+            CFL=params.get_float("SPH", "CFL_condition"),
+            h_tolerance=params.opt_float("SPH", "h_tolerance", 1e-4),
+            h_max=params.opt_float("SPH", "h_max", 1e30),
+            max_smoothing_iterations=params.opt_int(
+                "SPH", "max_ghost_iterations", 30),
+            minimal_internal_energy=params.opt_float(
+                "SPH", "minimal_internal_energy", 0.0),
+        )
+
+        pos = np.asarray(gas["Coordinates"], np.float64)
+        h0 = np.asarray(gas["SmoothingLengths"], np.float32)
+        # grid sizing: SPH:h_max is the contract when given (one outlier h
+        # must not coarsen the whole grid); otherwise h.max() + headroom
+        if sph.h_max < 1e29:
+            h_sizing = float(sph.h_max)
+            h0 = np.minimum(h0, sph.h_max)
+            reach = h_sizing * sph.kernel.gamma * 1.01
+        else:
+            h_sizing = float(h0.max())
+            reach = h_sizing * sph.kernel.gamma * 1.3
+        grid = CellGrid.build_for_positions(tuple(box), reach, pos,
+                                            headroom=1.6)
+        if args.verbose:
+            print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
+
+        gravity_fn = None
+        cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
+                           with_self_gravity=args.self_gravity,
+                           backend=args.backend)
+        if args.self_gravity:
+            solver = GravitySolver(gp, grid)
+            gravity_fn = solver.gas_gravity_fn()
+
+        eng = Engine(grid, sph, cfg, t_begin, t_end,
+                     gravity_fn=gravity_fn, cosmology=cosmology)
+        eng.load_particles(
+            pos, np.asarray(gas["Masses"], np.float32),
+            np.asarray(gas["Velocities"], np.float32),
+            np.asarray(gas["InternalEnergies"], np.float32), h0,
+            pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
+
+    # --- restart resume -------------------------------------------------------
     t0 = wallclock.time()
-    eng.init_particles()
-    if args.verbose:
-        print(f"init done in {wallclock.time()-t0:.1f}s")
+    if args.restart:
+        state, meta = rst.load_checkpoint(restart_base)
+        rst.restore_engine(eng, state, meta)
+        if args.verbose:
+            print(f"resumed from {restart_base} at step {eng.step_count}")
+    else:
+        eng.init_particles()
+        if args.verbose:
+            print(f"init done in {wallclock.time()-t0:.1f}s")
+
+    def write_snap(i):
+        fields = gas_state_to_fields(eng.grid, eng.state)
+        pt = PTYPE_DM if dmo else PTYPE_GAS
+        if dmo:
+            fields.pop("InternalEnergies", None)
+            fields.pop("SmoothingLengths", None)
+            fields.pop("Densities", None)
+        write_snapshot(f"{snap_base}_{i:04d}.hdf5", tuple(box), eng.time,
+                       {pt: fields}, units=units,
+                       cosmo=cosmology, cells_cdim=eng.grid.cdim)
 
     next_snap = t_begin + snap_dt if snap_dt > 0 else np.inf
     next_stat = t_begin
     snap_i = 0
     max_steps = args.steps if args.steps > 0 else 10 ** 9
-    step_t0 = wallclock.time()
-    while eng.timeline.ti_current * eng.timeline.time_base \
-            + t_begin < t_end and eng.step_count < max_steps:
+    stopped = False
+    from .utils.timeline import MAX_NR_TIMESTEPS
+    while (eng.timeline.ti_current < MAX_NR_TIMESTEPS
+           and eng.step_count < max_steps and not stopped):
         t_before = eng.time
+        t_launch = wallclock.time()
         diag = eng.step()
-        steps_log.write(eng.step_count, eng.time, eng.time - t_before, diag)
+        busy_ms = (wallclock.time() - t_launch) * 1000.0
+        steps_log.write(eng.step_count, eng.time, eng.time - t_before,
+                        diag, busy_ms=busy_ms)
         if args.verbose and eng.step_count % 10 == 0:
-            dt_wall = wallclock.time() - step_t0
             print(f"step {eng.step_count}  t={eng.time:.6f} "
-                  f"active={int(diag['n_active'])}  wall={dt_wall:.1f}s")
+                  f"active={int(diag['n_active'])} "
+                  f"wall={wallclock.time()-t0:.1f}s")
         if eng.time >= next_stat and stats_every > 0:
-            stats.write(eng.step_count, eng.time,
-                        gas_statistics(eng.state))
+            st = species_statistics(eng.grid, eng.state)
+            stats.write(eng.step_count, eng.time, st)
             next_stat += stats_every
         if eng.time >= next_snap:
-            write_snapshot(f"{snap_base}_{snap_i:04d}.hdf5", tuple(box),
-                           eng.time,
-                           {PTYPE_GAS: gas_state_to_fields(grid, eng.state)},
-                           units=units)
+            write_snap(snap_i)
             snap_i += 1
             next_snap += snap_dt
+        if policy.should_checkpoint() or policy.should_stop():
+            rst.save_checkpoint(restart_base, eng.state,
+                                rst.engine_meta(eng))
+            policy.checkpointed()
+            if policy.should_stop():
+                print("stop requested (stop file / max_run_time): "
+                      "checkpointed and exiting", file=sys.stderr)
+                stopped = True
 
-    write_snapshot(f"{snap_base}_{snap_i:04d}.hdf5", tuple(box), eng.time,
-                   {PTYPE_GAS: gas_state_to_fields(grid, eng.state)},
-                   units=units)
+    write_snap(snap_i)
     params.dump_used("used_parameters.yml")
     params.dump_unused("unused_parameters.yml")
     if args.verbose:

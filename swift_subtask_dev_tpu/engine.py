@@ -74,6 +74,14 @@ class EngineConfig:
     eta_grav: float = 0.025   # Gravity:eta
 
 
+def _call_gravity(gravity_fn, s):
+    """gravity_fn may return acc or (acc, potential)."""
+    out = gravity_fn(s)
+    if isinstance(out, tuple):
+        return out
+    return out, None
+
+
 def bin_from_dt(dt: jnp.ndarray, time_base_inv: float) -> jnp.ndarray:
     """Largest bin with 2^(b+1)*time_base <= dt (timeline.h get_time_bin).
 
@@ -265,9 +273,11 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 
     # --- gravity ------------------------------------------------------------
     if gravity_fn is not None:
-        a_grav = gravity_fn(s)
+        a_grav, pot = _call_gravity(gravity_fn, s)
         s = {**s, "a_grav": jnp.where(active[..., None], a_grav,
                                       s["a_grav"])}
+        if pot is not None and "pot" in s:
+            s = {**s, "pot": jnp.where(active, pot, s["pot"])}
 
     # --- kick2: second half of the step that just ended (kick.h kick_part) --
     dt_k2 = T.dt_kick2[tb]
@@ -414,7 +424,7 @@ class Engine:
             "laplace_u": z(), "f_gradh": z(), "pressure": z(),
             "soundspeed": z(), "balsara": z(),
             "alpha_visc_max_ngb": z(), "a_hydro": z3(), "h_dt": z(),
-            "a_grav": z3(), "a_grav_mesh": z3(),
+            "a_grav": z3(), "a_grav_mesh": z3(), "pot": z(),
             "time_bin": jnp.zeros((C, K), I32),
             "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
         }
@@ -607,7 +617,10 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     s = sphenix.end_force(s)
 
     if gravity_fn is not None:
-        s = {**s, "a_grav": gravity_fn(s)}
+        a_grav, pot = _call_gravity(gravity_fn, s)
+        s = {**s, "a_grav": a_grav}
+        if pot is not None and "pot" in s:
+            s = {**s, "pot": pot}
 
     # initial timestep + bins
     dt_cfl = sphenix.compute_timestep(p, s, cosmo)
@@ -684,8 +697,10 @@ def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
     active = mask_b & T.active[tb]
 
     # gravity (all particles — inactive ones keep their old a_grav)
-    acc = gravity_fn(s)
+    acc, pot = _call_gravity(gravity_fn, s)
     s = {**s, "a_grav": jnp.where(active[..., None], acc, s["a_grav"])}
+    if pot is not None and "pot" in s:
+        s = {**s, "pot": jnp.where(active, pot, s["pot"])}
 
     # kick2 (second half of finished step)
     dt_k2 = T.dt_kick2[tb]
@@ -728,8 +743,10 @@ def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
 
 
 def _dm_init(grid, cfg, gravity_fn, eps_soft, s, T):
-    acc = gravity_fn(s)
+    acc, pot = _call_gravity(gravity_fn, s)
     s = {**s, "a_grav": acc}
+    if pot is not None and "pot" in s:
+        s = {**s, "pot": pot}
     a_norm = jnp.sqrt(jnp.sum(acc ** 2, -1))
     new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
                       / jnp.maximum(a_norm, 1e-30))
@@ -768,10 +785,11 @@ class DMEngine(Engine):
 
     def __init__(self, grid, cfg: EngineConfig, time_begin, time_end,
                  gravity_fn: Callable, eps_soft: float,
-                 cosmo=None):
+                 cosmo=None, cosmology=None):
         from .models.sph.sphenix import SPHENIXParams
         super().__init__(grid, SPHENIXParams(), cfg, time_begin, time_end,
-                         cosmo=cosmo, gravity_fn=gravity_fn)
+                         cosmo=cosmo, gravity_fn=gravity_fn,
+                         cosmology=cosmology)
         self.eps_soft = float(eps_soft)
 
     def load_dm(self, pos, m, v, pid=None):
@@ -791,6 +809,7 @@ class DMEngine(Engine):
         self.state = {
             "mask": mask, "off": off, **out,
             "a_grav": jnp.zeros((C, K, 3), F32),
+            "pot": jnp.zeros((C, K), F32),
             "time_bin": jnp.zeros((C, K), I32),
         }
         self.n_particles = n

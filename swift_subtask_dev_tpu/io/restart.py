@@ -12,14 +12,22 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Tuple
+import time as wallclock
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 
 def save_checkpoint(path: str, state: Dict, meta: Dict) -> None:
-    """Write state arrays (npz) + metadata (json) atomically."""
+    """Write state arrays (npz) + metadata (json) atomically.
+
+    The previous generation is kept as ``<path>.prev.*`` (restart.c:333),
+    so a crash mid-write can always fall back one checkpoint.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    for ext in (".npz", ".meta.json"):
+        if os.path.exists(path + ext):
+            os.replace(path + ext, path + ".prev" + ext)
     arrays = {k: np.asarray(v) for k, v in state.items()}
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
@@ -27,7 +35,45 @@ def save_checkpoint(path: str, state: Dict, meta: Dict) -> None:
     with open(path + ".meta.json.tmp", "w") as f:
         json.dump(meta, f)
     os.replace(path + ".meta.json.tmp", path + ".meta.json")
-    # keep previous generation like restart.c:333 (.prev)
+
+
+def stop_file_present(restart_dir: str, name: str = "stop") -> bool:
+    """The reference polls <restart_dir>/stop each step (restart.c:310):
+    if present, dump a checkpoint and exit cleanly."""
+    return os.path.exists(os.path.join(restart_dir, name))
+
+
+class RestartPolicy:
+    """Timed checkpoint cadence + max-run-time guard (restart.c:310-376).
+
+    Mirrors the Restarts: parameter block: ``delta_hours`` between
+    checkpoint dumps, ``max_run_time`` (hours) after which the run should
+    checkpoint and stop (for queue-chained jobs; the resubmit command
+    itself is out of scope — the caller exits with a distinct code).
+    """
+
+    def __init__(self, delta_hours: float = 5.0,
+                 max_run_time_hours: Optional[float] = None,
+                 restart_dir: str = "restart"):
+        self.delta_s = delta_hours * 3600.0
+        self.max_run_s = (max_run_time_hours * 3600.0
+                          if max_run_time_hours else None)
+        self.restart_dir = restart_dir
+        self.t_start = wallclock.time()
+        self.t_last_dump = self.t_start
+
+    def should_checkpoint(self) -> bool:
+        return wallclock.time() - self.t_last_dump >= self.delta_s
+
+    def checkpointed(self) -> None:
+        self.t_last_dump = wallclock.time()
+
+    def should_stop(self) -> bool:
+        if stop_file_present(self.restart_dir):
+            return True
+        if self.max_run_s is not None:
+            return wallclock.time() - self.t_start >= self.max_run_s
+        return False
 
 
 def load_checkpoint(path: str) -> Tuple[Dict, Dict]:

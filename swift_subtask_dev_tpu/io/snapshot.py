@@ -3,8 +3,10 @@
 Implements the reference's snapshot format contract (single_io.c:437
 read, :1059 write; common_io.c): HDF5 groups /Header, /Units,
 /InternalCodeUnits, /Cosmology, /PartType0..6 with per-field unit
-attributes, and /Cells spatial metadata.  A user of the reference can
-read our snapshots with swiftsimio/gadget tools and vice versa.
+attributes, and — when a cell grid is supplied — /Cells spatial metadata
+(cell-contiguous storage + Centres/Counts/OffsetsInFile per type,
+common_io_cells.c:275).  A user of the reference can read our snapshots
+with swiftsimio/gadget tools and vice versa.
 """
 
 from __future__ import annotations
@@ -45,13 +47,47 @@ def write_snapshot(path: str, box, time: float,
                    parts: Dict[int, Dict[str, np.ndarray]],
                    units: Optional[UnitSystem] = None,
                    cosmo=None, redshift: float = 0.0,
-                   extra_header: Optional[Dict] = None):
+                   extra_header: Optional[Dict] = None,
+                   cells_cdim: Optional[tuple] = None):
     """Write a SWIFT-style snapshot.
 
     parts: {ptype: {field_name: (N,...) array}}; every ptype dict should
     contain at least Coordinates/Velocities/Masses/ParticleIDs.
+
+    cells_cdim: if given, particles are stored cell-contiguously on a
+    ``cells_cdim`` top grid and a /Cells group (Centres + per-type
+    Counts/OffsetsInFile/Files) is written, enabling spatial sub-reads —
+    the reference's common_io_cells.c:275 contract.
     """
     units = units or UnitSystem()
+    box3 = np.broadcast_to(np.asarray(box, np.float64).ravel(), (3,))
+
+    cells_meta = None
+    if cells_cdim is not None:
+        cdim = tuple(int(c) for c in cells_cdim)
+        C = cdim[0] * cdim[1] * cdim[2]
+        edge = box3 / np.asarray(cdim, np.float64)
+        counts_per_type = {}
+        offsets_per_type = {}
+        for pt, fields in list(parts.items()):
+            if not fields:
+                continue
+            x = np.mod(np.asarray(fields["Coordinates"], np.float64), box3)
+            ijk = np.clip((x / edge).astype(np.int64), 0,
+                          np.asarray(cdim) - 1)
+            lin = (ijk[:, 0] * cdim[1] + ijk[:, 1]) * cdim[2] + ijk[:, 2]
+            order = np.argsort(lin, kind="stable")
+            parts[pt] = {name: np.asarray(arr)[order]
+                         for name, arr in fields.items()}
+            counts = np.bincount(lin, minlength=C).astype(np.int64)
+            counts_per_type[pt] = counts
+            offsets_per_type[pt] = np.concatenate(
+                [[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        ix, iy, iz = np.meshgrid(*[np.arange(c) for c in cdim],
+                                 indexing="ij")
+        centres = (np.stack([ix, iy, iz], -1).reshape(-1, 3) + 0.5) * edge
+        cells_meta = (cdim, centres, counts_per_type, offsets_per_type)
+
     numpart = [0] * N_TYPES
     for pt, fields in parts.items():
         n = len(next(iter(fields.values()))) if fields else 0
@@ -94,6 +130,25 @@ def write_snapshot(path: str, box, time: float,
             cg.attrs["w_a"] = cosmo.w_a
             cg.attrs["Scale-factor"] = getattr(cosmo, "a_current", 1.0)
             cg.attrs["Cosmological run"] = 1
+
+        if cells_meta is not None:
+            cdim, centres, counts_per_type, offsets_per_type = cells_meta
+            cg = f.create_group("Cells")
+            meta = cg.create_group("Meta-data")
+            meta.attrs["dimension"] = np.asarray(cdim, np.int32)
+            meta.attrs["nr_cells"] = np.int32(len(centres))
+            meta.attrs["size"] = (box3
+                                  / np.asarray(cdim, np.float64))
+            cg.create_dataset("Centres", data=centres)
+            gc = cg.create_group("Counts")
+            go = cg.create_group("OffsetsInFile")
+            gf = cg.create_group("Files")
+            for pt, counts in counts_per_type.items():
+                gc.create_dataset(f"PartType{pt}", data=counts)
+                go.create_dataset(f"PartType{pt}",
+                                  data=offsets_per_type[pt])
+                gf.create_dataset(f"PartType{pt}",
+                                  data=np.zeros(len(counts), np.int32))
 
         for pt, fields in parts.items():
             g = f.create_group(f"PartType{pt}")
@@ -150,19 +205,26 @@ def read_snapshot(path: str):
 
 
 def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
-    """Extract flat per-particle arrays from a tiled engine state."""
+    """Extract flat per-particle arrays from a tiled engine state.
+
+    Works for gas and DM states alike: fields absent from the state
+    (e.g. u_full/h/rho for collisionless particles) are skipped.
+    """
     from ..grid.cellgrid import global_positions
     mask = np.asarray(state["mask"]) > 0
     pos = global_positions(grid, np.asarray(state["off"]))[mask]
+
     def flat(name):
-        a = np.asarray(state[name])
-        return a[mask]
-    return {
-        "Coordinates": pos,
-        "Velocities": flat("v_full"),
-        "Masses": flat("m"),
-        "InternalEnergies": flat("u_full"),
-        "SmoothingLengths": flat("h"),
-        "Densities": flat("rho"),
-        "ParticleIDs": flat("pid").astype(np.uint64),
-    }
+        return np.asarray(state[name])[mask]
+
+    out = {"Coordinates": pos,
+           "Velocities": flat("v_full"),
+           "Masses": flat("m"),
+           "ParticleIDs": flat("pid").astype(np.uint64)}
+    for key, name in (("u_full", "InternalEnergies"),
+                      ("h", "SmoothingLengths"),
+                      ("rho", "Densities"),
+                      ("pot", "Potentials")):
+        if key in state:
+            out[name] = flat(key)
+    return out

@@ -93,8 +93,12 @@ class GravitySolver:
         return outs
 
     def gas_gravity_fn(self):
-        """gravity_fn hook for the hydro engine (gas self-gravity only)."""
-        def fn(s: Dict) -> jnp.ndarray:
-            [(acc, _)] = self.accelerations([s])
-            return acc
+        """gravity_fn hook for the hydro engine (gas self-gravity only).
+
+        Returns (acc, potential) so the engine can carry per-particle
+        potentials for the E_pot statistics reduction (statistics.c:635).
+        """
+        def fn(s: Dict):
+            [(acc, pot)] = self.accelerations([s])
+            return acc, pot
         return fn

@@ -64,6 +64,28 @@ def truncation_factor(r2, r_s_inv):
     return jax.lax.erfc(u) + 2.0 * u * _SQRT_PI_INV * jnp.exp(-u * u)
 
 
+def softened_pot_factor(r2, H):
+    """phi = -G m P(r): the softened 1/r potential kernel.
+
+    Outside the softening H this is 1/r; inside it is (3 - S(u))/H with
+    S(u) = 3u^7 - 15u^6 + 28u^5 - 21u^4 + 7u^2 — the exact integral of the
+    C2 force spline above, matching kernel_grav_pot_eval
+    (kernel_gravity.h:62).
+    """
+    r = jnp.sqrt(r2)
+    r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+    u = r / H
+    u2 = u * u
+    S = u2 * (7.0 + u2 * (-21.0 + u * (28.0 + u * (-15.0 + 3.0 * u))))
+    inside = (3.0 - S) / H
+    return jnp.where(r < H, inside, r_inv)
+
+
+def pot_truncation_factor(r2, r_s_inv):
+    """chi_pot(r, r_s) = erfc(r / (2 r_s)) (kernel_long_gravity.h:52)."""
+    return jax.lax.erfc(0.5 * jnp.sqrt(r2) * r_s_inv)
+
+
 def p2p_accelerations(grid: CellGrid,
                       species: Sequence[Dict[str, jnp.ndarray]],
                       G: float, H_soft: float,
@@ -113,11 +135,12 @@ def p2p_accelerations(grid: CellGrid,
                 acc = acc - jnp.stack(
                     [jnp.sum(gmF * dx[k], axis=-1) for k in range(3)],
                     axis=-1)
-                # potential (for energy checks): softened -1/r outside only
-                r = jnp.sqrt(r2)
-                r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
-                pot = pot - jnp.sum(jnp.float32(G) * m_j * r_inv * w,
-                                    axis=-1)
+                # potential: softened (kernel_grav_pot_eval) and, for
+                # periodic runs, erfc-truncated to match the mesh split
+                P = softened_pot_factor(r2, H)
+                if periodic_truncation and r_s > 0:
+                    P = P * pot_truncation_factor(r2, r_s_inv)
+                pot = pot - jnp.sum(jnp.float32(G) * m_j * P * w, axis=-1)
 
         outs.append((_flat_view(grid, acc) * si["mask"][..., None],
                      _flat_view(grid, pot) * si["mask"]))

@@ -13,6 +13,7 @@ Restarts...).  Run modes:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time as wallclock
 
@@ -30,6 +31,9 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="run with self-gravity")
     ap.add_argument("--cosmology", action="store_true",
                     help="comoving cosmological integration")
+    ap.add_argument("--limiter", action="store_true",
+                    help="time-step limiter (reference --limiter: wake "
+                         "particles >2 bins above an active neighbour)")
     ap.add_argument("-n", "--steps", type=int, default=-1,
                     help="maximum number of steps")
     ap.add_argument("-P", "--param", action="append", default=[],
@@ -157,7 +161,8 @@ def main(argv=None) -> int:
             return acc, pot
 
         eng = DMEngine(grid, EngineConfig(dt_min=dt_min, dt_max=dt_max,
-                                          eta_grav=gp.eta),
+                                          eta_grav=gp.eta,
+                                          p2p_reach=solver.pm.r_cut),
                        t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
                        cosmology=cosmology)
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
@@ -201,10 +206,12 @@ def main(argv=None) -> int:
         gravity_fn = None
         cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
                            with_self_gravity=args.self_gravity,
+                           with_timestep_limiter=args.limiter,
                            backend=args.backend)
         if args.self_gravity:
             solver = GravitySolver(gp, grid)
             gravity_fn = solver.gas_gravity_fn()
+            cfg = dataclasses.replace(cfg, p2p_reach=solver.pm.r_cut)
 
         eng = Engine(grid, sph, cfg, t_begin, t_end,
                      gravity_fn=gravity_fn, cosmology=cosmology)

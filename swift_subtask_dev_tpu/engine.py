@@ -48,12 +48,19 @@ class StepTables(NamedTuple):
     dt_therm1: jnp.ndarray     # (57,) f32
     dt_therm2: jnp.ndarray     # (57,) f32
     dt_alpha: jnp.ndarray      # (57,) f32   — full step length per bin
+    dt_therm_full: jnp.ndarray  # (57,) f32  — thermal integral over the
+    # particle's full elapsed step [ti-dti, ti] (cooling's dt_therm,
+    # runner_others.c runner_do_cooling)
     aligned_up: jnp.ndarray    # (57,) bool  — bin b may be raised to b+1
     dt_drift: jnp.ndarray      # () f32      — drift interval of this step
     dt_therm_drift: jnp.ndarray  # () f32
     max_bin: jnp.ndarray       # () i32      — ceiling from dt_max
     min_bin: jnp.ndarray       # () i32      — floor from dt_min
     time_base_inv: jnp.ndarray  # () f32     — 1/time_base (for bin_from_dt)
+    wake_dv: jnp.ndarray       # (57,57) f32 — limiter wake kick (velocity):
+    # [old_bin, new_bin] -> net dt of (undo old kick1) + (advance to the new
+    # step start) + (new kick1), timestep_limit_part (timestep_limiter.h:64)
+    wake_du: jnp.ndarray       # (57,57) f32 — same for the thermal kick
 
 
 @dataclass(frozen=True)
@@ -70,8 +77,19 @@ class EngineConfig:
     # identical results whenever the while_loop would converge within
     # max_ghost_iterations, because unconverged-only masking makes the
     # extra iterations no-ops)
-    rebucket_every_step: bool = True
+    rebucket_every_step: bool = False
+    # trigger-based rebucket (the default): drift displacements are
+    # accumulated and the counting sort runs only when the bound
+    # 2*D + reach > min_edge could be violated — the analog of SWIFT's
+    # rebuild triggers (engine.c:2392-2448) vs per-step rebuilds.
+    rebucket_trigger: bool = True
+    rebucket_safety: float = 0.9  # fraction of the safe margin to use
+    p2p_reach: float = 0.0    # P2P gravity r_cut (coverage margin term);
+    # set by callers that wire a stencil-based gravity_fn
     eta_grav: float = 0.025   # Gravity:eta
+    with_timestep_limiter: bool = False  # SWIFT --limiter: cap active bins
+    # at min_ngb+2 and wake inactive particles whose neighbours got fast
+    # (runner_do_limiter, runner_time_integration.c:1324)
 
 
 def _call_gravity(gravity_fn, s):
@@ -193,38 +211,14 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
     return h, d, n_iter
 
 
-def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
-               gravity_fn: Optional[Callable],
-               cosmo: CosmoFactors, s: Dict, T: StepTables):
-    """One full engine step (drift -> loops -> KDK) for the gas.
+def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
+               cosmo: CosmoFactors, s: Dict, active, dt_alpha_table):
+    """The SPH loop chain on gas tiles: density+ghost -> gradient -> force.
 
-    Returns (new_state, diagnostics).  Mirrors engine_step (engine.c:2245)
-    with all 64-bit timeline logic hoisted to the host via ``T``.
+    Shared by the single-species hydro_step and the multi-species engine.
+    Updates only active particles; returns (state, n_ghost_iter).
     """
-    mask_b = s["mask"] > 0
     tb = jnp.clip(s["time_bin"], 0, NBINS)
-    active = mask_b & T.active[tb]
-
-    # --- drift all (drift.h:144 drift_part) --------------------------------
-    a_tot = s["a_hydro"] + s["a_grav"]
-    s = {**s,
-         "off": s["off"] + s["v_full"] * T.dt_drift * s["mask"][..., None],
-         "v": s["v"] + a_tot * T.dt_drift}
-    s = sphenix.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
-
-    # --- rebucket (space_rebuild analog; exact, every step) ----------------
-    if cfg.rebucket_every_step:
-        carried = {k: v for k, v in s.items() if k not in ("mask", "off")}
-        new_fields, new_mask, new_off, n_overflow = rebucket_offsets(
-            grid, s["mask"], s["off"], carried)
-        s = {"mask": new_mask, "off": new_off, **new_fields}
-        mask_b = s["mask"] > 0
-        tb = jnp.clip(s["time_bin"], 0, NBINS)
-        active = mask_b & T.active[tb]
-    else:
-        n_overflow = jnp.int32(0)
-
-    # --- density + ghost (active only) -------------------------------------
     loops = _loops(cfg)
     h_new, dens, n_ghost_iter = _ghost_density(
         grid, p, cosmo, s, active, cfg.max_ghost_iterations, loops,
@@ -254,7 +248,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                      s["laplace_u"])}
 
     # --- prepare force (alpha evolution) + force loop -----------------------
-    dt_alpha = T.dt_alpha[tb]
+    dt_alpha = dt_alpha_table[tb]
     pf = sphenix.prepare_force(p, s, cosmo, dt_alpha)
     for k in ("alpha_visc", "div_v_prev", "alpha_diff"):
         s = {**s, k: jnp.where(active, pf[k], s[k])}
@@ -270,6 +264,43 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         s = {**s, k: jnp.where(act, v, s[k])}
     ef = sphenix.end_force(s)
     s = {**s, "h_dt": jnp.where(active, ef["h_dt"], s["h_dt"])}
+    return s, n_ghost_iter
+
+
+def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
+               gravity_fn: Optional[Callable],
+               cosmo: CosmoFactors, s: Dict, T: StepTables,
+               cooling_fn: Optional[Callable] = None):
+    """One full engine step (drift -> loops -> KDK) for the gas.
+
+    Returns (new_state, diagnostics).  Mirrors engine_step (engine.c:2245)
+    with all 64-bit timeline logic hoisted to the host via ``T``.
+    """
+    if "drift_accum" not in s:  # older checkpoints: force a rebucket
+        s = {**s, "drift_accum": jnp.float32(1e30)}
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # --- drift all (drift.h:144 drift_part) --------------------------------
+    a_tot = s["a_hydro"] + s["a_grav"]
+    s = {**s,
+         "off": s["off"] + s["v_full"] * T.dt_drift * s["mask"][..., None],
+         "v": s["v"] + a_tot * T.dt_drift}
+    s = sphenix.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
+
+    # --- rebucket (space_rebuild analog) ------------------------------------
+    reach = jnp.maximum(
+        jnp.max(jnp.where(mask_b, s["h"], 0.0))
+        * jnp.float32(p.kernel.gamma),
+        jnp.float32(cfg.p2p_reach))
+    s, n_overflow = _rebucket_phase(grid, cfg, s, T, reach)
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # --- density/ghost/gradient/force loops (active only) -------------------
+    s, n_ghost_iter = _gas_loops(grid, p, cfg, cosmo, s, active, T.dt_alpha)
 
     # --- gravity ------------------------------------------------------------
     if gravity_fn is not None:
@@ -279,7 +310,75 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         if pot is not None and "pot" in s:
             s = {**s, "pot": jnp.where(active, pot, s["pot"])}
 
-    # --- kick2: second half of the step that just ended (kick.h kick_part) --
+    # --- cooling: rewrite u_dt before kick2 integrates it --------------------
+    # (runner_do_cooling, runner_others.c; cooling_cool_part semantics)
+    if cooling_fn is not None:
+        upd = cooling_fn(s, cosmo, T.dt_therm_full[tb])
+        for k, v in upd.items():
+            s = {**s, k: jnp.where(active, v, s[k])}
+
+    s, too_small, n_woken = _gas_kdk(grid, p, cfg, cosmo, s, T, active,
+                                     mask_b, tb)
+
+    # --- diagnostics ---------------------------------------------------------
+    bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
+                            NBINS + 5)
+    bin_counts = jnp.bincount(bins_masked.reshape(-1), length=NBINS + 6)
+    diag = {
+        "bin_counts": bin_counts[:NBINS + 1],
+        "n_overflow": n_overflow,
+        "n_dt_too_small": jnp.sum(too_small),
+        "n_ghost_iter": n_ghost_iter,
+        "n_active": jnp.sum(active),
+        "n_woken": n_woken,
+        "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
+    }
+    return s, diag
+
+
+def _rebucket_phase(grid: CellGrid, cfg: EngineConfig, s: Dict,
+                    T: StepTables, reach):
+    """Counting-sort rebuild, either unconditional or trigger-based.
+
+    Trigger: after cumulative per-particle drift D, a true pair can only
+    straddle >1 cell when 2*D + reach >= min_edge — rebucket before that,
+    like SWIFT's rebuild triggers (engine.c:2392-2448) tied to cell width
+    >= h_max (space_regrid, space.c).  ``reach`` is the largest pair
+    interaction range of this species (gamma*h_max and/or the P2P r_cut).
+    """
+    def _rebucket(st):
+        carried = {k: v for k, v in st.items()
+                   if k not in ("mask", "off", "drift_accum")}
+        new_fields, new_mask, new_off, nov = rebucket_offsets(
+            grid, st["mask"], st["off"], carried)
+        return {"mask": new_mask, "off": new_off,
+                "drift_accum": jnp.zeros_like(st["drift_accum"]),
+                **new_fields}, nov
+
+    if cfg.rebucket_every_step:
+        return _rebucket(s)
+    if not cfg.rebucket_trigger:
+        return s, jnp.int32(0)
+    mask_b = s["mask"] > 0
+    v_norm = jnp.sqrt(jnp.sum(s["v_full"] ** 2, -1))
+    step_disp = jnp.max(jnp.where(mask_b, v_norm, 0.0)) \
+        * jnp.abs(T.dt_drift)
+    accum = s["drift_accum"] + step_disp
+    margin = jnp.float32(0.5 * cfg.rebucket_safety) \
+        * (jnp.float32(min(grid.edge)) - reach)
+    need = accum >= margin
+    s = {**s, "drift_accum": accum}
+    return jax.lax.cond(need, _rebucket,
+                        lambda st: (st, jnp.int32(0)), s)
+
+
+def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
+             cosmo: CosmoFactors, s: Dict, T: StepTables,
+             active, mask_b, tb):
+    """kick2 -> timestep -> kick1 -> limiter for the gas (kick.h kick_part,
+    runner_do_timestep, runner_do_limiter).  Returns (s, too_small, woken).
+    """
+    # --- kick2: second half of the step that just ended ----------------------
     dt_k2 = T.dt_kick2[tb]
     dt_t2 = T.dt_therm2[tb]
     a_tot = s["a_hydro"] + s["a_grav"]
@@ -311,6 +410,10 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     too_small = active & (new_dt < cfg.dt_min)
     want_bin = bin_from_dt(new_dt, T.time_base_inv)
     want_bin = jnp.minimum(want_bin, T.max_bin)
+    if cfg.with_timestep_limiter:
+        # neighbour cap from the force-loop min reduction
+        # (make_integer_timestep, timestep.h:58)
+        want_bin = jnp.minimum(want_bin, s["min_ngb_time_bin"] + 2)
     want_bin = jnp.clip(want_bin, 1, NBINS)
     cur_bin = tb
     up_ok = T.aligned_up[jnp.clip(cur_bin, 0, NBINS)]
@@ -331,19 +434,32 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     for k in ("u_full", "u_dt"):
         s = {**s, k: jnp.where(active, ke1[k], s[k])}
 
-    # --- diagnostics ---------------------------------------------------------
-    bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
-                            NBINS + 5)
-    bin_counts = jnp.bincount(bins_masked.reshape(-1), length=NBINS + 6)
-    diag = {
-        "bin_counts": bin_counts[:NBINS + 1],
-        "n_overflow": n_overflow,
-        "n_dt_too_small": jnp.sum(too_small),
-        "n_ghost_iter": n_ghost_iter,
-        "n_active": jnp.sum(active),
-        "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
-    }
-    return s, diag
+    # --- timestep limiter: wake inactive particles near fast ones -----------
+    # (runner_do_limiter + timestep_limit_part; the woken particle's long
+    # half-kick is undone and replaced by the short-step kicks via the
+    # host-built wake tables)
+    n_woken = jnp.int32(0)
+    if cfg.with_timestep_limiter:
+        tb_now = jnp.clip(s["time_bin"], 0, NBINS)
+        sub = {"mask": s["mask"], "off": s["off"], "h": s["h"],
+               "time_bin": s["time_bin"], "active": active.astype(F32)}
+        mnb = stencil.timebin_loop(grid, sub, p, use_scan=cfg.stencil_scan)
+        wake = (mask_b & ~active & (s["time_bin"] > 0)
+                & (s["time_bin"] > mnb + 2))
+        new_bin_w = jnp.clip(mnb + 2, 1, tb_now)
+        iw = jnp.clip(new_bin_w, 0, NBINS)
+        dv = T.wake_dv[tb_now, iw]
+        du = T.wake_du[tb_now, iw]
+        a_tot = s["a_hydro"] + s["a_grav"]
+        v_w = s["v_full"] + a_tot * dv[..., None]
+        s = {**s, "v_full": jnp.where(wake[..., None], v_w, s["v_full"])}
+        ke_w = sphenix.kick_extra(p, s, cosmo, du)
+        for k in ("u_full", "u_dt"):
+            s = {**s, k: jnp.where(wake, ke_w[k], s[k])}
+        s = {**s, "time_bin": jnp.where(wake, new_bin_w, s["time_bin"])}
+        n_woken = jnp.sum(wake)
+
+    return s, too_small, n_woken
 
 
 # ---------------------------------------------------------------------------
@@ -361,7 +477,8 @@ class Engine:
                  cfg: EngineConfig, time_begin: float, time_end: float,
                  cosmo: Optional[CosmoFactors] = None,
                  gravity_fn: Optional[Callable] = None,
-                 cosmology=None):
+                 cosmology=None, cooling_fn: Optional[Callable] = None):
+        self.cooling_fn = cooling_fn
         self.grid = grid
         self.sph = sph
         self.cfg = cfg
@@ -427,6 +544,7 @@ class Engine:
             "a_grav": z3(), "a_grav_mesh": z3(), "pot": z(),
             "time_bin": jnp.zeros((C, K), I32),
             "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
+            "drift_accum": jnp.float32(0.0),
         }
         self.n_particles = n
 
@@ -454,6 +572,7 @@ class Engine:
         dt_t1 = np.zeros(NBINS + 1, np.float32)
         dt_t2 = np.zeros(NBINS + 1, np.float32)
         dt_full = np.zeros(NBINS + 1, np.float32)
+        dt_tf = np.zeros(NBINS + 1, np.float32)
         aligned_up = np.zeros(NBINS + 1, bool)
         ti = t.ti_current
         for b in range(1, NBINS + 1):
@@ -461,6 +580,7 @@ class Engine:
             if c is None:
                 dt_k1[b] = dt_k2[b] = dt_t1[b] = dt_t2[b] =                     0.5 * dti * t.time_base
                 dt_full[b] = dti * t.time_base
+                dt_tf[b] = dt_full[b]
             else:
                 # kick2 closes [ti - dti/2, ti]; kick1 opens [ti, ti + dti/2]
                 # using the cosmology integral tables (kick.h semantics)
@@ -471,6 +591,7 @@ class Engine:
                 dt_t2[b] = c.therm_kick_factor(lo2, ti)
                 dt_t1[b] = c.therm_kick_factor(ti, hi1)
                 dt_full[b] = c.delta_time(max(ti - dti, 0), ti)
+                dt_tf[b] = c.therm_kick_factor(max(ti - dti, 0), ti)
             up = tl.get_integer_timestep(min(b + 1, NBINS))
             aligned_up[b] = (ti % up) == 0
         if c is None:
@@ -499,6 +620,7 @@ class Engine:
                 dt_therm_drift = c.therm_kick_factor(ti_drift_start, ti)
             else:
                 dt_therm_drift = dt_drift
+        wake_dv, wake_du = self._wake_tables(ti)
         return StepTables(
             active=jnp.asarray(active),
             dt_kick1=jnp.asarray(dt_k1),
@@ -506,13 +628,54 @@ class Engine:
             dt_therm1=jnp.asarray(dt_t1),
             dt_therm2=jnp.asarray(dt_t2),
             dt_alpha=jnp.asarray(dt_full),
+            dt_therm_full=jnp.asarray(dt_tf),
             aligned_up=jnp.asarray(aligned_up),
             dt_drift=jnp.float32(dt_drift),
             dt_therm_drift=jnp.float32(dt_therm_drift),
             max_bin=jnp.int32(max_bin),
             min_bin=jnp.int32(1),
             time_base_inv=jnp.float32(tb_inv),
+            wake_dv=jnp.asarray(wake_dv),
+            wake_du=jnp.asarray(wake_du),
         )
+
+    def _wake_tables(self, ti: int):
+        """(old_bin, new_bin) -> net wake kick, timestep_limit_part
+        (timestep_limiter.h:64).
+
+        A woken particle had received kick1 over [beg_old, beg_old+dti_o/2];
+        the limiter (i) reverses it, (ii) kicks over [beg_old, beg_new]
+        (beg_new = last dti_n-aligned tick <= ti), (iii) applies the new
+        step's kick1 [beg_new, beg_new+dti_n/2].  The three merged into one
+        net dt per (old, new) bin pair, separately for the velocity (grav
+        factor) and thermal kicks.
+        """
+        wake_dv = np.zeros((NBINS + 1, NBINS + 1), np.float32)
+        wake_du = np.zeros((NBINS + 1, NBINS + 1), np.float32)
+        if not self.cfg.with_timestep_limiter or ti <= 0:
+            return wake_dv, wake_du
+        c = self.cosmology
+        tb = self.timeline.time_base
+        for bo in range(2, NBINS + 1):
+            dto = tl.get_integer_timestep(bo)
+            beg_o = dto * ((ti - 1) // dto)
+            half_o = beg_o + dto // 2
+            for bn in range(1, bo):
+                dtn = tl.get_integer_timestep(bn)
+                beg_n = dtn * (ti // dtn)
+                half_n = beg_n + dtn // 2
+                if c is None:
+                    dv = du = ((beg_n - half_o) + (half_n - beg_n)) * tb
+                else:
+                    dv = (-c.grav_kick_factor(beg_o, half_o)
+                          + c.grav_kick_factor(beg_o, beg_n)
+                          + c.grav_kick_factor(beg_n, half_n))
+                    du = (-c.therm_kick_factor(beg_o, half_o)
+                          + c.therm_kick_factor(beg_o, beg_n)
+                          + c.therm_kick_factor(beg_n, half_n))
+                wake_dv[bo, bn] = dv
+                wake_du[bo, bn] = du
+        return wake_dv, wake_du
 
     def step(self):
         """Advance to the next ti_end_min (engine_step, engine.c:2245)."""
@@ -524,7 +687,7 @@ class Engine:
         T = self._tables(dt_drift=dt_drift, ti_drift_start=ti_old)
         self.state, diag = _JIT_STEP(
             self.grid, self.sph, self.cfg, self.gravity_fn,
-            self.cosmo, self.state, T)
+            self.cosmo, self.state, T, self.cooling_fn)
         self._post_step(diag)
         self.step_count += 1
         return diag
@@ -562,7 +725,7 @@ class Engine:
             k = min(per_launch, n_steps - done)
             self.state, diag = _JIT_MULTI(
                 self.grid, self.sph, self.cfg, self.gravity_fn, k,
-                self.cosmo, self.state, T)
+                self.cosmo, self.state, T, self.cooling_fn)
             if bool(diag["bin_deviation"]):
                 raise RuntimeError(
                     "fixed-dt run invalid: a particle left the maximal bin "
@@ -653,7 +816,8 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     return s, diag
 
 
-def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T):
+def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T,
+               cooling_fn=None):
     """k engine steps in one launch via lax.scan (fixed global timestep).
 
     Valid only while every particle stays in the same (maximal) time bin,
@@ -664,7 +828,8 @@ def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T):
     """
     def body(carry, _):
         s, bad = carry
-        s2, diag = hydro_step(grid, p, cfg, gravity_fn, cosmo, s, T)
+        s2, diag = hydro_step(grid, p, cfg, gravity_fn, cosmo, s, T,
+                              cooling_fn)
         bins = jnp.where(s2["mask"] > 0, s2["time_bin"], T.max_bin)
         bad = bad | jnp.any(bins != T.max_bin) | (diag["n_overflow"] > 0)
         return (s2, bad), diag["n_active"]
@@ -674,41 +839,15 @@ def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T):
     return s, {"bin_deviation": bad, "n_active_last": n_active[-1]}
 
 
-def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
-            eps_soft: float, s: Dict, T: StepTables):
-    """Collisionless (dark-matter) step: drift -> rebucket -> gravity ->
-    KDK, the analog of SWIFT's gravity-only pipeline (runner_doiact_grav +
-    kick_gpart, kick.h:141)."""
-    mask_b = s["mask"] > 0
-    tb = jnp.clip(s["time_bin"], 0, NBINS)
-    active = mask_b & T.active[tb]
-
-    # drift
-    s = {**s, "off": s["off"] + s["v_full"] * T.dt_drift
-         * s["mask"][..., None]}
-
-    # rebucket
-    carried = {k: v for k, v in s.items() if k not in ("mask", "off")}
-    new_fields, new_mask, new_off, n_overflow = rebucket_offsets(
-        grid, s["mask"], s["off"], carried)
-    s = {"mask": new_mask, "off": new_off, **new_fields}
-    mask_b = s["mask"] > 0
-    tb = jnp.clip(s["time_bin"], 0, NBINS)
-    active = mask_b & T.active[tb]
-
-    # gravity (all particles — inactive ones keep their old a_grav)
-    acc, pot = _call_gravity(gravity_fn, s)
-    s = {**s, "a_grav": jnp.where(active[..., None], acc, s["a_grav"])}
-    if pot is not None and "pot" in s:
-        s = {**s, "pot": jnp.where(active, pot, s["pot"])}
-
-    # kick2 (second half of finished step)
+def _dm_kdk(cfg: EngineConfig, eps_soft: float, s: Dict, T: StepTables,
+            active, tb):
+    """kick2 -> timestep -> kick1 for collisionless particles
+    (kick_gpart kick.h:141, get_gpart_timestep timestep.h:95)."""
     dt_k2 = T.dt_kick2[tb]
     v_full = s["v_full"] + s["a_grav"] * dt_k2[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
 
-    # timestep: dt = sqrt(2 eta eps / |a|) (gravity.h
-    # gravity_compute_timestep_self)
+    # timestep: dt = sqrt(2 eta eps / |a|)
     a_norm = jnp.sqrt(jnp.sum(s["a_grav"] ** 2, -1))
     new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
                       / jnp.maximum(a_norm, 1e-30))
@@ -727,6 +866,38 @@ def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
     dt_k1 = T.dt_kick1[tb1]
     v_full = s["v_full"] + s["a_grav"] * dt_k1[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
+    return s, too_small
+
+
+def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
+            eps_soft: float, s: Dict, T: StepTables):
+    """Collisionless (dark-matter) step: drift -> rebucket -> gravity ->
+    KDK, the analog of SWIFT's gravity-only pipeline (runner_doiact_grav +
+    kick_gpart, kick.h:141)."""
+    if "drift_accum" not in s:
+        s = {**s, "drift_accum": jnp.float32(1e30)}
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # drift
+    s = {**s, "off": s["off"] + s["v_full"] * T.dt_drift
+         * s["mask"][..., None]}
+
+    # rebucket (trigger-based; reach = the P2P r_cut)
+    s, n_overflow = _rebucket_phase(grid, cfg, s, T,
+                                    jnp.float32(cfg.p2p_reach))
+    mask_b = s["mask"] > 0
+    tb = jnp.clip(s["time_bin"], 0, NBINS)
+    active = mask_b & T.active[tb]
+
+    # gravity (all particles — inactive ones keep their old a_grav)
+    acc, pot = _call_gravity(gravity_fn, s)
+    s = {**s, "a_grav": jnp.where(active[..., None], acc, s["a_grav"])}
+    if pot is not None and "pot" in s:
+        s = {**s, "pot": jnp.where(active, pot, s["pot"])}
+
+    s, too_small = _dm_kdk(cfg, eps_soft, s, T, active, tb)
 
     bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
                             NBINS + 5)
@@ -770,11 +941,11 @@ def _dm_init(grid, cfg, gravity_fn, eps_soft, s, T):
 
 
 # Module-level jitted entry points: static on (grid, scheme, config,
-# gravity_fn) so engines with equal setups share one compilation —
-# the analog of SWIFT compiling its runners once.
-_JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3))
+# gravity_fn, cooling_fn) so engines with equal setups share one
+# compilation — the analog of SWIFT compiling its runners once.
+_JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3, 7))
 _JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))
-_JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4))
+_JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4, 8))
 _JIT_DM_STEP = jax.jit(dm_step, static_argnums=(0, 1, 2, 3))
 _JIT_DM_INIT = jax.jit(_dm_init, static_argnums=(0, 1, 2, 3))
 
@@ -811,6 +982,7 @@ class DMEngine(Engine):
             "a_grav": jnp.zeros((C, K, 3), F32),
             "pot": jnp.zeros((C, K), F32),
             "time_bin": jnp.zeros((C, K), I32),
+            "drift_accum": jnp.float32(0.0),
         }
         self.n_particles = n
 

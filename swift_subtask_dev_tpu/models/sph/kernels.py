@@ -37,6 +37,10 @@ class SPHKernel:
     coeffs: tuple         # (ivals, degree+1) nested tuples
     ivals: int
     degree: int
+    # truncated-power form: w(x) = sum c_k (a_k - x)_+^degree, the classic
+    # B-spline representation — ~3x fewer VPU ops than branch-select when
+    # available (exactly equal to the piecewise table)
+    tp_terms: tuple = ()  # ((a_k, c_k), ...)
 
     @property
     def gamma_inv(self) -> float:
@@ -63,6 +67,34 @@ class SPHKernel:
         Vectorized over any array shape; f32 throughout.
         """
         x = u * jnp.float32(self.gamma_inv)
+        g3 = jnp.float32(self.constant * self.gamma_inv ** 3)
+        g4 = jnp.float32(self.constant * self.gamma_inv ** 4)
+        if self.tp_terms:
+            w = None
+            dw = None
+            deg = self.degree
+            for a, c in self.tp_terms:
+                t = jnp.maximum(jnp.float32(a) - x, 0.0)
+                pw = t
+                for _ in range(deg - 2):
+                    pw = pw * t          # t^(deg-1)
+                wt = jnp.float32(c) * (pw * t)
+                dwt = jnp.float32(-deg * c) * pw
+                w = wt if w is None else w + wt
+                dw = dwt if dw is None else dw + dwt
+            return w * g3, dw * g4
+        if self.ivals == 1:
+            # single polynomial on [0, 1) (Wendland family)
+            cs = self.coeffs[0]
+            wi = jnp.full_like(x, jnp.float32(cs[0]))
+            dwi = jnp.zeros_like(x)
+            for c in cs[1:]:
+                dwi = dwi * x + wi
+                wi = wi * x + jnp.float32(c)
+            inside = x < 1.0
+            w = jnp.where(inside, jnp.maximum(wi, 0.0), 0.0)
+            dw = jnp.where(inside, jnp.minimum(dwi, 0.0), 0.0)
+            return w * g3, dw * g4
         # Branch index: same clamped-int selection as reference kernel_deval.
         ind = jnp.clip((x * self.ivals).astype(jnp.int32), 0, self.ivals)
         # Evaluate every branch with Horner, select by branch index.
@@ -80,8 +112,6 @@ class SPHKernel:
             dw = jnp.where(sel, dwi, dw)
         w = jnp.maximum(w, 0.0)
         dw = jnp.minimum(dw, 0.0)
-        g3 = jnp.float32(self.constant * self.gamma_inv ** 3)
-        g4 = jnp.float32(self.constant * self.gamma_inv ** 4)
         return w * g3, dw * g4
 
     def eval(self, u):
@@ -100,6 +130,7 @@ CUBIC_SPLINE = SPHKernel(
         (3.0, -3.0, 0.0, 0.5),     # 0   < x < 0.5
         (-1.0, 3.0, -3.0, 1.0),    # 0.5 < x < 1
     ),
+    tp_terms=((1.0, 1.0), (0.5, -4.0)),
 )
 
 QUARTIC_SPLINE = SPHKernel(
@@ -115,6 +146,7 @@ QUARTIC_SPLINE = SPHKernel(
         (1.0, -4.0, 6.0, -4.0, 1.0),
         (1.0, -4.0, 6.0, -4.0, 1.0),
     ),
+    tp_terms=((1.0, 1.0), (0.6, -5.0), (0.2, 10.0)),
 )
 
 QUINTIC_SPLINE = SPHKernel(
@@ -128,6 +160,7 @@ QUINTIC_SPLINE = SPHKernel(
         (5.0, -15.0, 16.666667, -7.77777777, 0.925925, 0.209876543),
         (-1.0, 5.0, -10.0, 10.0, -5.0, 1.0),
     ),
+    tp_terms=((1.0, 1.0), (2.0 / 3.0, -6.0), (1.0 / 3.0, 15.0)),
 )
 
 WENDLAND_C2 = SPHKernel(

@@ -28,6 +28,7 @@ import math
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .eos import IdealGas
@@ -114,18 +115,18 @@ class CosmoFactors(NamedTuple):
 # the j axis, and reduces 'max' outputs with a masked maximum.
 # ---------------------------------------------------------------------------
 
-def density_terms(p: SPHENIXParams, dx, r2, h_i, m_j, dv):
+def density_terms(p: SPHENIXParams, dx, r2, hinv_i, m_j, dv):
     """Nonsym density contributions to i (hydro_iact.h:131-180).
 
     dx: tuple of 3 arrays (x_i - x_j); dv likewise (v_i - v_j);
-    r2 = |dx|^2.  Returns dict of contributions (un-normalised; the h
+    r2 = |dx|^2; hinv_i = 1/h_i (hoisted per particle — no per-pair
+    divisions).  Returns dict of contributions (un-normalised; the h
     factors are applied in end_density).
     """
-    r = jnp.sqrt(r2)
-    h_inv = 1.0 / h_i
-    ui = r * h_inv
+    r_inv = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
+    r = r2 * r_inv
+    ui = r * hinv_i
     wi, wi_dx = p.kernel.deval(ui)
-    r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
     faci = m_j * wi_dx * r_inv
     dvdr = dv[0] * dx[0] + dv[1] * dx[1] + dv[2] * dx[2]
     curl0 = dv[1] * dx[2] - dv[2] * dx[1]
@@ -144,23 +145,26 @@ def density_terms(p: SPHENIXParams, dx, r2, h_i, m_j, dv):
     }
 
 
-def gradient_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_j, dv,
-                   u_i, u_j, rho_j, cs_i, cs_j, alpha_visc_j,
+def gradient_terms(p: SPHENIXParams, dx, r2, hinv_i, m_j, dv,
+                   u_i, u_j, rhoinv_j, cs_i, cs_j, alpha_visc_j,
                    cosmo: CosmoFactors):
-    """Nonsym gradient-loop contributions to i (hydro_iact.h:196-343)."""
-    r = jnp.sqrt(r2)
-    r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+    """Nonsym gradient-loop contributions to i (hydro_iact.h:196-343).
+
+    hinv_i = 1/h_i, rhoinv_j = 1/rho_j (hoisted per particle).
+    """
+    r_inv = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
+    r = r2 * r_inv
     dvdr = dv[0] * dx[0] + dv[1] * dx[1] + dv[2] * dx[2]
     dvdr_Hubble = dvdr + cosmo.a * cosmo.a * cosmo.H * r2
     omega_ij = jnp.minimum(dvdr_Hubble, 0.0)
     mu_ij = cosmo.fac_mu * r_inv * omega_ij
     new_v_sig = cs_i + cs_j - CONST_VISCOSITY_BETA * mu_ij
-    ui = r / h_i
+    ui = r * hinv_i
     wi, wi_dx = p.kernel.deval(ui)
     delta_u_factor = (u_i - u_j) * r_inv
     return {
         "sum": {
-            "laplace_u": m_j * delta_u_factor * wi_dx / rho_j,
+            "laplace_u": m_j * delta_u_factor * wi_dx * rhoinv_j,
         },
         "max": {
             "v_sig": new_v_sig,
@@ -169,8 +173,10 @@ def gradient_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_j, dv,
     }
 
 
-def force_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_i, m_j, dv,
-                rho_i, rho_j, P_i, P_j, cs_i, cs_j, f_i, f_j,
+def force_terms(p: SPHENIXParams, dx, r2, hinv_i, hinv_j, m_i, m_j,
+                minv_i, minv_j, dv,
+                rho_i, rho_j, rhoinv_i, rhoinv_j, pr2_i, pr2_j,
+                P_i, P_j, cs_i, cs_j, f_i, f_j,
                 balsara_i, balsara_j, alpha_i, alpha_j,
                 alpha_diff_i, alpha_diff_j, u_i, u_j,
                 cosmo: CosmoFactors):
@@ -178,19 +184,20 @@ def force_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_i, m_j, dv,
 
     The pair range is symmetric (computed by the caller as
     r2 < gamma^2*max(h_i,h_j)^2), matching the reference's DOPAIR2/DOSELF2.
+    All per-particle reciprocals are hoisted: hinv = 1/h, minv = 1/m,
+    rhoinv = 1/rho, pr2 = P/rho^2 — only the r, rho_ij and P_ij
+    reciprocals remain per pair.
     """
-    r = jnp.sqrt(r2)
-    r_inv = jnp.where(r > 0, 1.0 / jnp.maximum(r, 1e-30), 0.0)
+    r_inv = jnp.where(r2 > 0, jax.lax.rsqrt(jnp.maximum(r2, 1e-38)), 0.0)
+    r = r2 * r_inv
 
-    h_i_inv = 1.0 / h_i
-    hid_inv = h_i_inv ** 4  # 1/h^(d+1)
-    xi = r * h_i_inv
+    hid_inv = (hinv_i * hinv_i) * (hinv_i * hinv_i)  # 1/h^(d+1)
+    xi = r * hinv_i
     wi, wi_dx = p.kernel.deval(xi)
     wi_dr = hid_inv * wi_dx
 
-    h_j_inv = 1.0 / h_j
-    hjd_inv = h_j_inv ** 4
-    xj = r * h_j_inv
+    hjd_inv = (hinv_j * hinv_j) * (hinv_j * hinv_j)
+    xj = r * hinv_j
     wj, wj_dx = p.kernel.deval(xj)
     wj_dr = hjd_inv * wj_dx
 
@@ -201,16 +208,17 @@ def force_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_i, m_j, dv,
 
     v_sig = cs_i + cs_j - CONST_VISCOSITY_BETA * mu_ij
 
-    f_ij = 1.0 - f_i / m_j
-    f_ji = 1.0 - f_j / m_i
+    f_ij = 1.0 - f_i * minv_j
+    f_ji = 1.0 - f_j * minv_i
 
-    rho_ij = rho_i + rho_j
+    rho_ij_inv = 1.0 / (rho_i + rho_j)
     alpha = alpha_i + alpha_j
-    visc = -0.25 * alpha * v_sig * mu_ij * (balsara_i + balsara_j) / rho_ij
+    visc = -0.25 * alpha * v_sig * mu_ij * (balsara_i + balsara_j) \
+        * rho_ij_inv
     visc_acc_term = 0.5 * visc * (wi_dr * f_ij + wj_dr * f_ji) * r_inv
 
-    P_over_rho2_i = P_i / (rho_i * rho_i) * f_ij
-    P_over_rho2_j = P_j / (rho_j * rho_j) * f_ji
+    P_over_rho2_i = pr2_i * f_ij
+    P_over_rho2_j = pr2_j * f_ji
     sph_acc_term = (P_over_rho2_i * wi_dr + P_over_rho2_j * wj_dr) * r_inv
     acc = sph_acc_term + visc_acc_term
 
@@ -220,10 +228,10 @@ def force_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_i, m_j, dv,
     alpha_diff = (P_i * alpha_diff_i + P_j * alpha_diff_j) \
         / (P_i + P_j + 1e-30)
     v_diff = alpha_diff * 0.5 * (
-        jnp.sqrt(2.0 * jnp.abs(P_i - P_j) / rho_ij)
+        jnp.sqrt(2.0 * jnp.abs(P_i - P_j) * rho_ij_inv)
         + jnp.abs(cosmo.fac_mu * r_inv * dvdr_Hubble))
     diff_du_term = v_diff * (u_i - u_j) * (
-        f_ij * wi_dr / rho_i + f_ji * wj_dr / rho_j)
+        f_ij * wi_dr * rhoinv_i + f_ji * wj_dr * rhoinv_j)
 
     du_dt_i = sph_du_term_i + visc_du_term + diff_du_term
 
@@ -233,7 +241,7 @@ def force_terms(p: SPHENIXParams, dx, r2, h_i, h_j, m_i, m_j, dv,
             "a_hydro1": -m_j * acc * dx[1],
             "a_hydro2": -m_j * acc * dx[2],
             "u_dt": du_dt_i * m_j,
-            "h_dt": -m_j * dvdr * r_inv / rho_j * wi_dr,
+            "h_dt": -m_j * dvdr * r_inv * rhoinv_j * wi_dr,
         },
         "max": {
             "v_sig": v_sig,

@@ -40,7 +40,7 @@ def density_bruteforce(p: SPHENIXParams, pos, h, m, v, box=None
     ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
-    t = sphenix.density_terms(p, dx, r2, hi, m[None, :], dv)
+    t = sphenix.density_terms(p, dx, r2, 1.0 / hi, m[None, :], dv)
     out = {k: jnp.sum(val * w, axis=-1) for k, val in t.items()}
     return {
         "rho": out["rho"], "rho_dh": out["rho_dh"], "wcount": out["wcount"],
@@ -59,8 +59,9 @@ def gradient_bruteforce(p: SPHENIXParams, pos, h, m, v, u, rho, cs,
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
     t = sphenix.gradient_terms(
-        p, dx, r2, hi, h[None, :], m[None, :], dv, u[:, None], u[None, :],
-        rho[None, :], cs[:, None], cs[None, :], alpha_visc[None, :], cosmo)
+        p, dx, r2, 1.0 / hi, m[None, :], dv, u[:, None], u[None, :],
+        1.0 / jnp.maximum(rho[None, :], 1e-30),
+        cs[:, None], cs[None, :], alpha_visc[None, :], cosmo)
     return {
         "laplace_u": jnp.sum(t["sum"]["laplace_u"] * w, axis=-1),
         "v_sig": jnp.maximum(v_sig0, jnp.max(
@@ -81,9 +82,15 @@ def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
     ok = (r2 > 0) & (r2 < range2)
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
+    rho_s = jnp.maximum(rho, 1e-30)
+    rhoinv = 1.0 / rho_s
+    minv = 1.0 / m
+    pr2 = P * rhoinv * rhoinv
     t = sphenix.force_terms(
-        p, dx, r2, hi, hj, m[:, None], m[None, :], dv,
-        rho[:, None], rho[None, :], P[:, None], P[None, :],
+        p, dx, r2, 1.0 / hi, 1.0 / hj, m[:, None], m[None, :],
+        minv[:, None], minv[None, :], dv,
+        rho_s[:, None], rho_s[None, :], rhoinv[:, None], rhoinv[None, :],
+        pr2[:, None], pr2[None, :], P[:, None], P[None, :],
         cs[:, None], cs[None, :], f_gradh[:, None], f_gradh[None, :],
         balsara[:, None], balsara[None, :], alpha_visc[:, None],
         alpha_visc[None, :], alpha_diff[:, None], alpha_diff[None, :],

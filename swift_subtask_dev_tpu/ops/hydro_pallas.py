@@ -16,6 +16,7 @@ from ..grid.cellgrid import CellGrid
 from ..models.sph import sphenix
 from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
 from . import pallas_pairs
+from . import stencil
 
 
 def _cosmo_scalars(cosmo: CosmoFactors):
@@ -48,6 +49,7 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
+    fields["hinv"] = 1.0 / fields["h"]
     fields["m"] = s["m"]
     order = list(fields)
     gamma2 = float(p.kernel.gamma2)
@@ -56,7 +58,7 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         h_i = sf("h")
         ok = r2 < gamma2 * h_i * h_i
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
-        t = sphenix.density_terms(p, dx, r2, h_i, nf("m"), dv)
+        t = sphenix.density_terms(p, dx, r2, sf("hinv"), nf("m"), dv)
         sums = [t["rho"], t["rho_dh"], t["wcount"], t["wcount_dh"],
                 t["div_v"], t["rot_v0"], t["rot_v1"], t["rot_v2"]]
         return ok, sums, []
@@ -79,9 +81,10 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
+    fields["hinv"] = 1.0 / fields["h"]
     fields["m"] = s["m"]
     fields["u"] = s["u"]
-    fields["rho"] = _san(s, "rho")
+    fields["rhoinv"] = 1.0 / jnp.maximum(_san(s, "rho"), 1e-30)
     fields["cs"] = _san(s, "soundspeed", 0.0)
     fields["av"] = _san(s, "alpha_visc", 0.0)
     order = list(fields)
@@ -92,8 +95,8 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         ok = r2 < gamma2 * h_i * h_i
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
         t = sphenix.gradient_terms(
-            p, dx, r2, h_i, nf("h"), nf("m"), dv, sf("u"), nf("u"),
-            nf("rho"), sf("cs"), nf("cs"), nf("av"), _cosmo_from(sc))
+            p, dx, r2, sf("hinv"), nf("m"), dv, sf("u"), nf("u"),
+            nf("rhoinv"), sf("cs"), nf("cs"), nf("av"), _cosmo_from(sc))
         return ok, [t["sum"]["laplace_u"]], \
             [t["max"]["v_sig"], t["max"]["alpha_visc_max_ngb"]]
 
@@ -118,39 +121,53 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     fields["h"] = _san(s, "h")
     fields["m"] = _san(s, "m")
     fields["u"] = _san(s, "u", 0.0)
-    fields["rho"] = _san(s, "rho")
+    fields["rho"] = jnp.maximum(_san(s, "rho"), 1e-30)
     fields["P"] = _san(s, "pressure")
     fields["cs"] = _san(s, "soundspeed", 0.0)
     fields["fgh"] = _san(s, "f_gradh", 0.0)
     fields["bal"] = _san(s, "balsara", 0.0)
     fields["al"] = _san(s, "alpha_visc", 0.0)
     fields["ad"] = _san(s, "alpha_diff", 0.0)
+    fields["tb"] = s["time_bin"].astype(F32)
+    fields["hinv"] = 1.0 / fields["h"]
+    fields["minv"] = 1.0 / fields["m"]
+    fields["rhoinv"] = 1.0 / fields["rho"]
+    fields["pr2"] = fields["P"] * fields["rhoinv"] * fields["rhoinv"]
     order = list(fields)
     gamma2 = float(p.kernel.gamma2)
+    big_bin = float(stencil.NBIN_SENTINEL)
 
     def pair_fn(sf, nf, dx, r2, sc):
         h_i, h_j = sf("h"), nf("h")
         ok = r2 < gamma2 * jnp.maximum(h_i, h_j) ** 2
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
         t = sphenix.force_terms(
-            p, dx, r2, h_i, h_j, sf("m"), nf("m"), dv,
-            sf("rho"), nf("rho"), sf("P"), nf("P"), sf("cs"), nf("cs"),
+            p, dx, r2, sf("hinv"), nf("hinv"), sf("m"), nf("m"),
+            sf("minv"), nf("minv"), dv,
+            sf("rho"), nf("rho"), sf("rhoinv"), nf("rhoinv"),
+            sf("pr2"), nf("pr2"),
+            sf("P"), nf("P"), sf("cs"), nf("cs"),
             sf("fgh"), nf("fgh"), sf("bal"), nf("bal"),
             sf("al"), nf("al"), sf("ad"), nf("ad"), sf("u"), nf("u"),
             _cosmo_from(sc))
         sums = [t["sum"]["a_hydro0"], t["sum"]["a_hydro1"],
                 t["sum"]["a_hydro2"], t["sum"]["u_dt"], t["sum"]["h_dt"]]
-        return ok, sums, [t["max"]["v_sig"]]
+        # min neighbour bin as a max of the negated bin (pair_apply only
+        # reduces maxes); empty bins excluded (timestep_limiter_iact.h:40)
+        neg_tb = jnp.where(nf("tb") > 0, -nf("tb"), -jnp.float32(big_bin))
+        return ok, sums, [t["max"]["v_sig"], neg_tb]
 
     sums, maxes = pallas_pairs.pair_apply(
-        grid, fields, order, pair_fn, n_sum=5, n_max=1,
+        grid, fields, order, pair_fn, n_sum=5, n_max=2,
         shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
         pad_fills={"h": 1.0, "m": 1.0, "rho": 1.0, "P": 1.0},
         interpret=interpret)
     m = s["mask"]
+    min_tb = jnp.minimum(-maxes[1], jnp.float32(big_bin))
     return {
         "a_hydro": jnp.stack([sums[0] * m, sums[1] * m, sums[2] * m], -1),
         "u_dt": sums[3] * m,
         "h_dt": sums[4] * m,
         "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
+        "min_ngb_time_bin": min_tb.astype(jnp.int32),
     }

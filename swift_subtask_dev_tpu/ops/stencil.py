@@ -27,6 +27,10 @@ from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
 
 F32 = jnp.float32
 
+# "no neighbour" sentinel for time-bin min reductions (> any real bin,
+# small enough that sentinel+2 can't overflow i32)
+NBIN_SENTINEL = 64
+
 # The 27 stencil offsets, self first (d=0 reuses the un-rolled arrays).
 STENCIL_27 = [(0, 0, 0)] + [
     (dx, dy, dz)
@@ -78,9 +82,18 @@ def _pair_geometry_shift(off_i, off_j_rolled, shift):
     return dx, r2
 
 # ---------------------------------------------------------------------------
-# Offset application: unrolled (single-chip; best fusion) or lax.scan over
-# pre-rolled stacks (27x smaller graph — used for GSPMD-sharded compiles,
-# where sharding propagation over an unrolled program is very slow).
+# Offset application.  Two modes:
+#
+# * packed (default, single-chip): all 27 rolled j-views are concatenated
+#   along the slot axis into ONE (…, K_i, 27*K) masked pair tile.  With
+#   K a multiple of 8 this keeps the TPU's 128-lane axis ~99% occupied,
+#   where per-offset (…, K, K) tiles pad K→128 lanes (2.3x waste at K=56).
+#   The stencil shift is folded into the packed j offsets, so the pair
+#   math sees shift = 0.
+#
+# * lax.scan over pre-rolled stacks (27x smaller graph — used for GSPMD-
+#   sharded compiles, where sharding propagation over an unrolled program
+#   is very slow, and the per-offset rolls become ICI collective-permutes).
 # ---------------------------------------------------------------------------
 
 def _apply_offsets(grid: CellGrid, j_fields: Dict[str, jnp.ndarray],
@@ -88,16 +101,17 @@ def _apply_offsets(grid: CellGrid, j_fields: Dict[str, jnp.ndarray],
     """accumulate(acc, j_rolled: dict, shift: (3,) f32 or tuple) -> acc."""
     edge = grid.edge
     if not use_scan:
-        for d in STENCIL_27:
-            shift = (jnp.float32(d[0] * edge[0]),
-                     jnp.float32(d[1] * edge[1]),
-                     jnp.float32(d[2] * edge[2]))
-            acc = accumulate(acc0 if d is STENCIL_27[0] else acc,
-                             {k: _roll(v, d) for k, v in j_fields.items()},
-                             shift)
-            if d is STENCIL_27[0]:
-                acc0 = None  # consumed
-        return acc
+        packed = {}
+        for k, v in j_fields.items():
+            rolls = [_roll(v, d) for d in STENCIL_27]
+            if k == "off":
+                # fold the periodic stencil shift into the j offsets
+                rolls = [r + jnp.asarray(
+                    [d[0] * edge[0], d[1] * edge[1], d[2] * edge[2]], F32)
+                    for r, d in zip(rolls, STENCIL_27)]
+            packed[k] = jnp.concatenate(rolls, axis=3)
+        zero = (jnp.float32(0.0),) * 3
+        return accumulate(acc0, packed, zero)
     stacked = {k: jnp.stack([_roll(v, d) for d in STENCIL_27])
                for k, v in j_fields.items()}
     shifts = jnp.asarray(
@@ -128,9 +142,11 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
     h = _sanitize(mask, g("h"))
+    hinv = 1.0 / h
 
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)
+    hinv_i = _bi(hinv)
     range2 = gamma2 * hi * hi
 
     keys = ("rho", "rho_dh", "wcount", "wcount_dh", "div_v",
@@ -143,7 +159,7 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
-        terms = sphenix.density_terms(p, dx, r2, hi, _bj(jf["m"]), dv)
+        terms = sphenix.density_terms(p, dx, r2, hinv_i, _bj(jf["m"]), dv)
         return {k: acc[k] + jnp.sum(terms[k] * w, axis=-1) for k in keys}
 
     acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
@@ -164,17 +180,19 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
     h = _sanitize(mask, g("h"))
+    hinv = 1.0 / h
     u, cs, av = g("u"), g("soundspeed"), g("alpha_visc")
-    rho = _sanitize(mask, g("rho"))
+    rhoinv = 1.0 / jnp.maximum(_sanitize(mask, g("rho")), 1e-30)
 
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)
+    hinv_i = _bi(hinv)
     range2 = gamma2 * hi * hi
 
     acc0 = (jnp.zeros_like(h), _grid_view(grid, s["v_sig"]),
             _grid_view(grid, s["alpha_visc_max_ngb"]))
-    j_fields = {"off": off, "v": v, "m": m, "mask": mask, "h": h,
-                "u": u, "rho": rho, "cs": cs, "av": av}
+    j_fields = {"off": off, "v": v, "m": m, "mask": mask,
+                "u": u, "rhoinv": rhoinv, "cs": cs, "av": av}
 
     def accumulate(acc, jf, shift):
         laplace_u, v_sig, a_max = acc
@@ -183,8 +201,8 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         w = pair_ok.astype(F32)
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
         t = sphenix.gradient_terms(
-            p, dx, r2, hi, _bj(jf["h"]), _bj(jf["m"]), dv,
-            _bi(u), _bj(jf["u"]), jnp.maximum(_bj(jf["rho"]), 1e-30),
+            p, dx, r2, hinv_i, _bj(jf["m"]), dv,
+            _bi(u), _bj(jf["u"]), _bj(jf["rhoinv"]),
             _bi(cs), _bj(jf["cs"]), _bj(jf["av"]), cosmo)
         laplace_u = laplace_u + jnp.sum(t["sum"]["laplace_u"] * w, axis=-1)
         v_sig = jnp.maximum(v_sig, jnp.max(
@@ -209,12 +227,14 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     """SPHENIX force loop: a_hydro, u_dt, h_dt sums + v_sig max.
 
     Pair range is symmetric: r < gamma*max(h_i, h_j) (DOPAIR2 semantics).
+    Also reduces min_ngb_time_bin over neighbours (the reference folds
+    runner_iact_timebin into the force loop — timestep_limiter_iact.h:40).
     """
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v = g("mask"), g("off"), g("v")
     h = _sanitize(mask, g("h"))
     m = _sanitize(mask, g("m"))
-    rho = _sanitize(mask, g("rho"))
+    rho = jnp.maximum(_sanitize(mask, g("rho")), 1e-30)
     P = _sanitize(mask, g("pressure"))
     cs = _sanitize(mask, g("soundspeed"), fill=0.0)
     f_gh = _sanitize(mask, g("f_gradh"), fill=0.0)
@@ -222,27 +242,44 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     al = _sanitize(mask, g("alpha_visc"), fill=0.0)
     ad = _sanitize(mask, g("alpha_diff"), fill=0.0)
     u = _sanitize(mask, g("u"), fill=0.0)
+    # hoisted per-particle reciprocals (force_terms takes no per-pair divs)
+    hinv = 1.0 / h
+    minv = 1.0 / m
+    rhoinv = 1.0 / rho
+    pr2 = P * rhoinv * rhoinv
 
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)
+    hinv_i = _bi(hinv)
+
+    tb = (_grid_view(grid, s["time_bin"].astype(F32))
+          if "time_bin" in s else jnp.zeros_like(mask))
+    big_bin = jnp.float32(1e9)
 
     keys = ("a_hydro0", "a_hydro1", "a_hydro2", "u_dt", "h_dt")
-    acc0 = ({k: jnp.zeros_like(h) for k in keys}, g("v_sig"))
+    acc0 = ({k: jnp.zeros_like(h) for k in keys}, g("v_sig"),
+            jnp.full_like(h, big_bin))
     j_fields = {"off": off, "v": v, "m": m, "mask": mask, "h": h, "u": u,
                 "rho": rho, "P": P, "cs": cs, "f_gh": f_gh, "bal": bal,
-                "al": al, "ad": ad}
+                "al": al, "ad": ad, "tb": tb, "hinv": hinv, "minv": minv,
+                "rhoinv": rhoinv, "pr2": pr2}
 
     def accumulate(acc, jf, shift):
-        sums, v_sig = acc
+        sums, v_sig, min_tb = acc
         h_j = _bj(jf["h"])
         dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
         range2 = gamma2 * jnp.maximum(hi, h_j) ** 2
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
+        tb_j = _bj(jf["tb"])
+        min_tb = jnp.minimum(min_tb, jnp.min(
+            jnp.where(pair_ok & (tb_j > 0), tb_j, big_bin), axis=-1))
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
         t = sphenix.force_terms(
-            p, dx, r2, hi, h_j, _bi(m), _bj(jf["m"]), dv,
-            jnp.maximum(_bi(rho), 1e-30), jnp.maximum(_bj(jf["rho"]), 1e-30),
+            p, dx, r2, hinv_i, _bj(jf["hinv"]), _bi(m), _bj(jf["m"]),
+            _bi(minv), _bj(jf["minv"]), dv,
+            _bi(rho), _bj(jf["rho"]), _bi(rhoinv), _bj(jf["rhoinv"]),
+            _bi(pr2), _bj(jf["pr2"]),
             _bi(P), _bj(jf["P"]), _bi(cs), _bj(jf["cs"]),
             _bi(f_gh), _bj(jf["f_gh"]), _bi(bal), _bj(jf["bal"]),
             _bi(al), _bj(jf["al"]), _bi(ad), _bj(jf["ad"]),
@@ -251,9 +288,10 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
                 for k in keys}
         v_sig = jnp.maximum(v_sig, jnp.max(
             jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
-        return (sums, v_sig)
+        return (sums, v_sig, min_tb)
 
-    sums, v_sig = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    sums, v_sig, min_tb = _apply_offsets(grid, j_fields, acc0, accumulate,
+                                         use_scan)
     out = {k: _flat_view(grid, a) * s["mask"] for k, a in sums.items()}
     return {
         "a_hydro": jnp.stack([out["a_hydro0"], out["a_hydro1"],
@@ -261,4 +299,46 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         "u_dt": out["u_dt"],
         "h_dt": out["h_dt"],
         "v_sig": _flat_view(grid, v_sig),
+        "min_ngb_time_bin": jnp.minimum(
+            _flat_view(grid, min_tb), jnp.float32(NBIN_SENTINEL)
+        ).astype(jnp.int32),
     }
+
+
+def timebin_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
+                 p: SPHENIXParams, use_scan: bool = False) -> jnp.ndarray:
+    """Min time bin over *active* neighbours (the wake-up scan).
+
+    The reference's limiter loop (runner_iact_nonsym_limiter,
+    timestep_limiter_iact.h:106): an active particle i flags any inactive
+    neighbour j within gamma*h_i whose bin exceeds bin_i + 2.  Inverted
+    j-centric here: every particle reduces the min new bin over the active
+    neighbours whose kernel covers it.
+
+    Needs in ``s``: mask, off, h, time_bin (post-timestep), active (f32).
+    Returns (C, K) i32 (NUM_TIME_BINS+9 where no active neighbour).
+    """
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off = g("mask"), g("off")
+    h = _sanitize(mask, g("h"))
+    tb = g("time_bin").astype(F32)
+    act = g("active")
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    big_bin = jnp.float32(1e9)
+
+    acc0 = jnp.full(mask.shape, big_bin, F32)
+    j_fields = {"off": off, "h": h, "tb": tb, "act": act, "mask": mask}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
+        h_j = _bj(jf["h"])
+        tb_j = _bj(jf["tb"])
+        ok = ((_bj(jf["mask"]) > 0) & (_bj(jf["act"]) > 0) & (r2 > 0)
+              & (r2 < gamma2 * h_j * h_j) & (tb_j > 0))
+        return jnp.minimum(acc, jnp.min(
+            jnp.where(ok, tb_j, big_bin), axis=-1))
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    return jnp.minimum(_flat_view(grid, acc),
+                       jnp.float32(NBIN_SENTINEL)).astype(jnp.int32)

@@ -17,7 +17,8 @@ def make_dm_engine(pos, m, v, mesh_N=32, eps=2e-3, dt_max=1e-3, K=32):
     def gfn(s):
         [(acc, _)] = solver.accelerations([s])
         return acc
-    eng = DMEngine(grid, EngineConfig(dt_max=dt_max, eta_grav=gp.eta),
+    eng = DMEngine(grid, EngineConfig(dt_max=dt_max, eta_grav=gp.eta,
+                                      p2p_reach=solver.pm.r_cut),
                    0.0, 1.0, gravity_fn=gfn, eps_soft=eps)
     eng.load_dm(pos, m, v)
     return eng

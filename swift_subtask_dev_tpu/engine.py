@@ -61,6 +61,12 @@ class StepTables(NamedTuple):
     # [old_bin, new_bin] -> net dt of (undo old kick1) + (advance to the new
     # step start) + (new kick1), timestep_limit_part (timestep_limiter.h:64)
     wake_du: jnp.ndarray       # (57,57) f32 — same for the thermal kick
+    max_active_bin: jnp.ndarray  # () i32 — largest bin active at ti_current
+    # (sync target for feedback-heated particles, runner_do_sync)
+    ti_lo: jnp.ndarray         # () i32 — ti_current & 0x7FFFFFFF (RNG fold)
+    ti_hi: jnp.ndarray         # () i32 — ti_current >> 31 (RNG fold)
+    birth_time: jnp.ndarray    # () f32 — scale factor a (cosmological) or
+    # time at ti_current, stamped on newly formed stars
 
 
 @dataclass(frozen=True)
@@ -447,19 +453,29 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         wake = (mask_b & ~active & (s["time_bin"] > 0)
                 & (s["time_bin"] > mnb + 2))
         new_bin_w = jnp.clip(mnb + 2, 1, tb_now)
-        iw = jnp.clip(new_bin_w, 0, NBINS)
-        dv = T.wake_dv[tb_now, iw]
-        du = T.wake_du[tb_now, iw]
-        a_tot = s["a_hydro"] + s["a_grav"]
-        v_w = s["v_full"] + a_tot * dv[..., None]
-        s = {**s, "v_full": jnp.where(wake[..., None], v_w, s["v_full"])}
-        ke_w = sphenix.kick_extra(p, s, cosmo, du)
-        for k in ("u_full", "u_dt"):
-            s = {**s, k: jnp.where(wake, ke_w[k], s[k])}
-        s = {**s, "time_bin": jnp.where(wake, new_bin_w, s["time_bin"])}
+        s = apply_wake(p, cosmo, s, T, wake, new_bin_w)
         n_woken = jnp.sum(wake)
 
     return s, too_small, n_woken
+
+
+def apply_wake(p: SPHENIXParams, cosmo: CosmoFactors, s: Dict,
+               T: StepTables, wake, new_bin_w):
+    """Re-bin an inactive particle mid-flight: undo its long half-kick and
+    replace it by the short-step kicks via the host wake tables
+    (timestep_limit_part, timestep_limiter.h:64; also the sync machinery
+    of runner_do_sync which shares the same surgery)."""
+    tb_now = jnp.clip(s["time_bin"], 0, NBINS)
+    iw = jnp.clip(new_bin_w, 0, NBINS)
+    dv = T.wake_dv[tb_now, iw]
+    du = T.wake_du[tb_now, iw]
+    a_tot = s["a_hydro"] + s["a_grav"]
+    v_w = s["v_full"] + a_tot * dv[..., None]
+    s = {**s, "v_full": jnp.where(wake[..., None], v_w, s["v_full"])}
+    ke_w = sphenix.kick_extra(p, s, cosmo, du)
+    for k in ("u_full", "u_dt"):
+        s = {**s, k: jnp.where(wake, ke_w[k], s[k])}
+    return {**s, "time_bin": jnp.where(wake, new_bin_w, s["time_bin"])}
 
 
 # ---------------------------------------------------------------------------
@@ -637,6 +653,11 @@ class Engine:
             time_base_inv=jnp.float32(tb_inv),
             wake_dv=jnp.asarray(wake_dv),
             wake_du=jnp.asarray(wake_du),
+            max_active_bin=jnp.int32(t.max_active_bin()),
+            ti_lo=jnp.int32(ti & 0x7FFFFFFF),
+            ti_hi=jnp.int32((ti >> 31) & 0x7FFFFFFF),
+            birth_time=jnp.float32(
+                c.a_of_ti(ti) if c is not None else t.time_of(ti)),
         )
 
     def _wake_tables(self, ti: int):

@@ -24,7 +24,7 @@ import numpy as np
 
 from .engine import (Engine, EngineConfig, StepTables, NBINS, F32, I32,
                      _gas_loops, _gas_kdk, _dm_kdk, _rebucket_phase,
-                     _call_gravity, bin_from_dt)
+                     _call_gravity, apply_wake, bin_from_dt)
 from .grid.cellgrid import CellGrid, bucket_fields
 from .models.sph import sphenix
 from .models.sph.sphenix import CosmoFactors, SPHENIXParams
@@ -37,19 +37,79 @@ def _species_active(sp: Dict, T: StepTables):
     return mask_b, tb, mask_b & T.active[tb]
 
 
+def _convert_gas_to_stars(grid: CellGrid, gas: Dict, stars: Dict,
+                          conv, T: StepTables):
+    """Move converted gas particles into free star slots of their cell.
+
+    The reference pre-allocates `space_extra_sparts` free spart slots per
+    cell and converts in-place under the cell lock
+    (cell_convert_part.c:cell_convert_part_to_spart, space.h:53); here the
+    conversion is a masked scatter into the star tiles' free slots.  The
+    particle ID is preserved, the full gas mass moves to the star.
+    Returns (gas, stars, n_converted, n_lost_capacity).
+    """
+    C = grid.C
+    K_s = stars["mask"].shape[1]
+    n_star = jnp.sum((stars["mask"] > 0).astype(I32), axis=1)   # (C,)
+    rank = jnp.cumsum(conv.astype(I32), axis=1) - 1             # (C,K_gas)
+    dest_slot = n_star[:, None] + rank
+    ok = conv & (dest_slot < K_s)
+    n_lost = jnp.sum(conv & ~ok)
+    cid = jnp.arange(C, dtype=I32)[:, None]
+    flat_dest = jnp.where(ok, cid * K_s + dest_slot, C * K_s)  # sentinel
+
+    def scat(star_arr, gas_val):
+        flat = star_arr.reshape((C * K_s,) + star_arr.shape[2:])
+        pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
+        out = jnp.concatenate([flat, pad], 0)
+        out = out.at[flat_dest.reshape(-1)].set(
+            gas_val.reshape((C * gas_val.shape[1],) + gas_val.shape[2:]))
+        return out[:-1].reshape(star_arr.shape)
+
+    okf = ok.astype(F32)
+    stars = {**stars,
+             "mask": scat(stars["mask"], okf),
+             "off": scat(stars["off"], gas["off"]),
+             "v_full": scat(stars["v_full"], gas["v_full"]),
+             "m": scat(stars["m"], gas["m"]),
+             "pid": scat(stars["pid"], gas["pid"]),
+             "h": scat(stars["h"], gas["h"]),
+             "time_bin": scat(stars["time_bin"], gas["time_bin"]),
+             "birth_time": scat(stars["birth_time"],
+                                jnp.full_like(gas["m"], T.birth_time)),
+             "birth_density": scat(stars["birth_density"], gas["rho"]),
+             "fb_done": scat(stars["fb_done"], jnp.zeros_like(gas["m"])),
+             }
+    # newborn stars carry the gas's drift since its last rebucket
+    stars = {**stars, "drift_accum": jnp.maximum(stars["drift_accum"],
+                                                 gas["drift_accum"])}
+    gas = {**gas, "mask": jnp.where(ok, 0.0, gas["mask"])}
+    return gas, stars, jnp.sum(ok), n_lost
+
+
 def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                gravity_fn: Optional[Callable], eps_soft: float,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
-               cooling_fn: Optional[Callable] = None):
-    """One engine step over {'gas': ..., 'dm': ...} species states."""
+               cooling_fn: Optional[Callable] = None,
+               sf=None, feedback=None):
+    """One engine step over {'gas', 'dm', 'stars'} species states.
+
+    ``sf`` is an optional (EagleStarFormation, EagleEntropyFloor|None)
+    pair enabling stochastic gas->star conversion (requires a 'stars'
+    species for the free slots).  ``feedback`` is an optional
+    EagleThermalFeedback injecting SNII energy from flagged stars.
+    """
     gas = state.get("gas")
     dm = state.get("dm")
+    stars = state.get("stars")
     n_overflow = jnp.int32(0)
     n_ghost_iter = jnp.int32(0)
     too_small_n = jnp.int32(0)
     n_woken = jnp.int32(0)
     n_active = jnp.int32(0)
     h_max_active = jnp.float32(0.0)
+    n_converted = jnp.int32(0)
+    sfr_total = jnp.float32(0.0)
 
     # --- drift + rebucket + SPH loops (gas) ---------------------------------
     if gas is not None:
@@ -75,7 +135,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         n_active = n_active + jnp.sum(active)
         h_max_active = jnp.max(jnp.where(active, s["h"], 0.0))
 
-    # --- drift + rebucket (dm) -----------------------------------------------
+    # --- drift + rebucket (collisionless species) ----------------------------
     if dm is not None:
         d = dm
         d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
@@ -86,10 +146,20 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         dm = d
         dm_act = _species_active(d, T)
         n_active = n_active + jnp.sum(dm_act[2])
+    if stars is not None:
+        d = stars
+        d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
+             * d["mask"][..., None]}
+        d, nov = _rebucket_phase(grid, cfg, d, T,
+                                 jnp.float32(cfg.p2p_reach))
+        n_overflow = n_overflow + nov
+        stars = d
+        stars_act = _species_active(d, T)
+        n_active = n_active + jnp.sum(stars_act[2])
 
     # --- joint gravity (all species source; all receive) ---------------------
     if gravity_fn is not None:
-        species = [sp for sp in (gas, dm) if sp is not None]
+        species = [sp for sp in (gas, dm, stars) if sp is not None]
         outs = gravity_fn(species)
         idx = 0
         if gas is not None:
@@ -102,11 +172,42 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                 gas = {**gas, "pot": jnp.where(act, pot, gas["pot"])}
         if dm is not None:
             acc, pot = outs[idx]
+            idx += 1
             act = dm_act[2]
             dm = {**dm, "a_grav": jnp.where(act[..., None], acc,
                                             dm["a_grav"])}
             if pot is not None:
                 dm = {**dm, "pot": jnp.where(act, pot, dm["pot"])}
+        if stars is not None:
+            acc, pot = outs[idx]
+            act = stars_act[2]
+            stars = {**stars, "a_grav": jnp.where(act[..., None], acc,
+                                                  stars["a_grav"])}
+            if pot is not None:
+                stars = {**stars, "pot": jnp.where(act, pot,
+                                                   stars["pot"])}
+
+    # --- stellar feedback (stars -> gas, EAGLE thermal) -----------------------
+    n_heated = jnp.int32(0)
+    heated = None
+    if feedback is not None and stars is not None and gas is not None:
+        from .ops import stencil as _st
+        energy, fire = feedback.firing_energy(stars, T.birth_time,
+                                              stars_act[2])
+        ngb_mass = _st.star_ngb_mass_loop(grid, stars, gas, p,
+                                          use_scan=cfg.stencil_scan)
+        stars_fb = {**stars, "fb_energy": energy, "fb_ngb_mass": ngb_mass}
+        du_add, nev = _st.feedback_apply_loop(
+            grid, gas, stars_fb, p, T.ti_lo, T.ti_hi, feedback.delta_u,
+            use_scan=cfg.stencil_scan)
+        heated = nev > 0
+        n_heated = jnp.sum(heated)
+        # direct injection into both the drifted and the full energy
+        # (hydro_set_physical_internal_energy + _drifted, feedback_iact.h)
+        gas = {**gas, "u_full": gas["u_full"] + du_add,
+               "u": gas["u"] + du_add}
+        stars = {**stars, "fb_done": jnp.where(
+            fire, 1.0, stars["fb_done"])}
 
     # --- per-species KDK ------------------------------------------------------
     bin_counts = jnp.zeros(NBINS + 1, jnp.int32)
@@ -120,6 +221,29 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                          active, mask_b, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
         n_woken = n_woken + woken
+
+        # --- feedback sync: heated inactive particles join the current
+        # step (runner_do_sync, runner_time_integration.c:1478) ------------
+        if heated is not None:
+            sync = heated & mask_b & ~active & (gas["time_bin"] > 0)
+            tb_now = jnp.clip(gas["time_bin"], 0, NBINS)
+            new_bin_w = jnp.minimum(tb_now, T.max_active_bin)
+            gas = apply_wake(p, cosmo, gas, T, sync, new_bin_w)
+            n_woken = n_woken + jnp.sum(sync)
+
+        # --- star formation (runner_do_star_formation, runner_others.c) ---
+        if sf is not None and stars is not None:
+            sf_model, sf_floor = sf
+            dt_star = T.dt_alpha[tb]
+            conv, sfr = sf_model.conversion_mask(
+                gas, cosmo, dt_star, T.ti_lo, T.ti_hi, sf_floor, active)
+            gas, stars, n_c, n_lost = _convert_gas_to_stars(
+                grid, gas, stars, conv, T)
+            n_converted = n_converted + n_c
+            n_overflow = n_overflow + n_lost
+            sfr_total = sfr_total + jnp.sum(sfr)
+            mask_b = gas["mask"] > 0
+
         bins_masked = jnp.where(mask_b, jnp.clip(gas["time_bin"], 0, NBINS),
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
@@ -132,12 +256,24 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
+    if stars is not None:
+        mask_b, tb, active = stars_act
+        stars, too_small = _dm_kdk(cfg, eps_soft, stars, T, active, tb)
+        too_small_n = too_small_n + jnp.sum(too_small)
+        mask_b = stars["mask"] > 0  # includes this step's newborns
+        bins_masked = jnp.where(mask_b,
+                                jnp.clip(stars["time_bin"], 0, NBINS),
+                                NBINS + 5)
+        bin_counts = bin_counts + jnp.bincount(
+            bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
     out_state = {}
     if gas is not None:
         out_state["gas"] = gas
     if dm is not None:
         out_state["dm"] = dm
+    if stars is not None:
+        out_state["stars"] = stars
     diag = {
         "bin_counts": bin_counts,
         "n_overflow": n_overflow,
@@ -146,6 +282,9 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_active": n_active,
         "n_woken": n_woken,
         "h_max_active": h_max_active,
+        "n_converted": n_converted,
+        "sfr_total": sfr_total,
+        "n_heated": n_heated,
     }
     return out_state, diag
 
@@ -157,6 +296,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     initial bins + first half-kick (engine.c:1893)."""
     gas = state.get("gas")
     dm = state.get("dm")
+    stars = state.get("stars")
     n_ghost_iter = jnp.int32(0)
 
     if gas is not None:
@@ -165,7 +305,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                        T.dt_alpha * 0.0)
 
     if gravity_fn is not None:
-        species = [sp for sp in (gas, dm) if sp is not None]
+        species = [sp for sp in (gas, dm, stars) if sp is not None]
         outs = gravity_fn(species)
         idx = 0
         if gas is not None:
@@ -176,9 +316,15 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                 gas = {**gas, "pot": pot}
         if dm is not None:
             acc, pot = outs[idx]
+            idx += 1
             dm = {**dm, "a_grav": acc}
             if pot is not None:
                 dm = {**dm, "pot": pot}
+        if stars is not None:
+            acc, pot = outs[idx]
+            stars = {**stars, "a_grav": acc}
+            if pot is not None:
+                stars = {**stars, "pot": pot}
 
     bin_counts = jnp.zeros(NBINS + 1, jnp.int32)
     too_small_n = jnp.int32(0)
@@ -211,29 +357,37 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
-    if dm is not None:
-        mask_b = dm["mask"] > 0
-        a_norm = jnp.sqrt(jnp.sum(dm["a_grav"] ** 2, -1))
+    for name, sp in (("dm", dm), ("stars", stars)):
+        if sp is None:
+            continue
+        mask_b = sp["mask"] > 0
+        a_norm = jnp.sqrt(jnp.sum(sp["a_grav"] ** 2, -1))
         new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
                           / jnp.maximum(a_norm, 1e-30))
         new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
         too_small_n = too_small_n + jnp.sum(mask_b & (new_dt < cfg.dt_min))
         new_bin = jnp.clip(bin_from_dt(new_dt, T.time_base_inv), 1, NBINS)
         new_bin = jnp.minimum(new_bin, T.max_bin)
-        dm = {**dm, "time_bin": jnp.where(mask_b, new_bin, 0)}
-        dt_k1 = T.dt_kick1[jnp.clip(dm["time_bin"], 0, NBINS)]
-        dm = {**dm, "v_full": dm["v_full"] + dm["a_grav"] * dt_k1[..., None]
-              * dm["mask"][..., None]}
-        bins_masked = jnp.where(mask_b, jnp.clip(dm["time_bin"], 0, NBINS),
+        sp = {**sp, "time_bin": jnp.where(mask_b, new_bin, 0)}
+        dt_k1 = T.dt_kick1[jnp.clip(sp["time_bin"], 0, NBINS)]
+        sp = {**sp, "v_full": sp["v_full"] + sp["a_grav"] * dt_k1[..., None]
+              * sp["mask"][..., None]}
+        bins_masked = jnp.where(mask_b, jnp.clip(sp["time_bin"], 0, NBINS),
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
+        if name == "dm":
+            dm = sp
+        else:
+            stars = sp
 
     out_state = {}
     if gas is not None:
         out_state["gas"] = gas
     if dm is not None:
         out_state["dm"] = dm
+    if stars is not None:
+        out_state["stars"] = stars
     diag = {
         "bin_counts": bin_counts,
         "n_overflow": jnp.int32(0),
@@ -244,11 +398,14 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_woken": jnp.int32(0),
         "h_max_active": (jnp.max(jnp.where(gas["mask"] > 0, gas["h"], 0.0))
                          if gas is not None else jnp.float32(0.0)),
+        "n_converted": jnp.int32(0),
+        "sfr_total": jnp.float32(0.0),
     }
     return out_state, diag
 
 
-_JIT_MULTI_STEP = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4, 8))
+_JIT_MULTI_STEP = jax.jit(multi_step,
+                          static_argnums=(0, 1, 2, 3, 4, 8, 9, 10))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
 
@@ -260,11 +417,17 @@ class MultiEngine(Engine):
                  gravity_fn: Optional[Callable] = None,
                  eps_soft: float = 1e-3,
                  cosmo: Optional[CosmoFactors] = None, cosmology=None,
-                 cooling_fn: Optional[Callable] = None):
+                 cooling_fn: Optional[Callable] = None,
+                 star_formation=None, entropy_floor=None,
+                 feedback=None):
         super().__init__(grid, sph, cfg, time_begin, time_end,
                          cosmo=cosmo, gravity_fn=gravity_fn,
                          cosmology=cosmology, cooling_fn=cooling_fn)
         self.eps_soft = float(eps_soft)
+        # static (hashable) SF pair for the jitted step
+        self.sf = (star_formation, entropy_floor) \
+            if star_formation is not None else None
+        self.feedback = feedback
         self.state = {}
 
     # --- loading --------------------------------------------------------------
@@ -273,6 +436,65 @@ class MultiEngine(Engine):
         gas_engine.load_particles(pos, m, v, u, h, pid=pid)
         self.state["gas"] = gas_engine.state
         self.n_particles = getattr(self, "n_particles", 0) + len(pos)
+
+    def alloc_stars(self, extra_per_cell: int = 8):
+        """Pre-allocate empty star slots for star formation — the analog of
+        space_extra_sparts (space.h:53, default 100/cell in the reference;
+        padded tiles make the cost K_s slots per cell here)."""
+        C = self.grid.C
+        K_s = int(extra_per_cell)
+        z = lambda: jnp.zeros((C, K_s), F32)
+        self.state["stars"] = {
+            "mask": z(), "off": jnp.zeros((C, K_s, 3), F32),
+            "pid": jnp.full((C, K_s), -1, I32),
+            "m": z(), "v_full": jnp.zeros((C, K_s, 3), F32),
+            "h": z(),
+            "a_grav": jnp.zeros((C, K_s, 3), F32), "pot": z(),
+            "time_bin": jnp.zeros((C, K_s), I32),
+            "birth_time": z(), "birth_density": z(), "fb_done": z(),
+            "drift_accum": jnp.float32(0.0),
+        }
+
+    def load_stars(self, pos, m, v, h=None, pid=None,
+                   extra_per_cell: int = 8):
+        """Bucket existing star particles + extra free slots for SF."""
+        n = len(pos)
+        if pid is None:
+            pid = np.arange(n, dtype=np.int32)
+        if h is None:
+            h = np.full(n, min(self.grid.edge) / 4, np.float32)
+        fields = {
+            "pid": jnp.asarray(pid, I32),
+            "m": jnp.asarray(m, F32),
+            "v_full": jnp.asarray(v, F32),
+            "h": jnp.asarray(h, F32),
+        }
+        # headroom: K_s covers the loaded stars plus SF free slots
+        out, mask, off, n_over = bucket_fields(self.grid, jnp.asarray(pos),
+                                               fields)
+        if int(n_over) != 0:
+            raise RuntimeError(f"{int(n_over)} star particles overflow K")
+        K0 = mask.shape[1]
+        K_s = K0 + int(extra_per_cell)
+        C = self.grid.C
+
+        def pad(a, fill=0.0):
+            extra_shape = (C, K_s - K0) + a.shape[2:]
+            return jnp.concatenate(
+                [a, jnp.full(extra_shape, fill, a.dtype)], axis=1)
+
+        z = jnp.zeros((C, K_s), F32)
+        self.state["stars"] = {
+            "mask": pad(mask), "off": pad(off),
+            "pid": pad(out["pid"], -1), "m": pad(out["m"]),
+            "v_full": pad(out["v_full"]), "h": pad(out["h"]),
+            "a_grav": jnp.zeros((C, K_s, 3), F32), "pot": z,
+            "time_bin": jnp.zeros((C, K_s), I32),
+            "birth_time": z * 1.0, "birth_density": z * 1.0,
+            "fb_done": z * 1.0,
+            "drift_accum": jnp.float32(0.0),
+        }
+        self.n_particles = getattr(self, "n_particles", 0) + n
 
     def load_dm(self, pos, m, v, pid=None):
         n = len(pos)
@@ -315,7 +537,8 @@ class MultiEngine(Engine):
         T = self._tables(dt_drift=dt_drift, ti_drift_start=ti_old)
         self.state, diag = _JIT_MULTI_STEP(
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
-            self.cosmo, self.state, T, self.cooling_fn)
+            self.cosmo, self.state, T, self.cooling_fn, self.sf,
+            self.feedback)
         self._post_step(diag)
         self.step_count += 1
         return diag

@@ -203,8 +203,11 @@ def rebucket_offsets(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
     redistributes all fields.  This is the per-rebuild analog of
     space_rebuild's "cell index + sort" (space_rebuild.c:150) — exact in f32
     because it never forms absolute positions.
+
+    K is taken from the tiles themselves (species may carry different
+    per-cell capacities than the grid's gas K).
     """
-    C, K = grid.C, grid.K
+    C, K = grid.C, mask.shape[1]
     edge = jnp.asarray(grid.edge_arr, F32)
     cdim = jnp.asarray(grid.cdim, I32)
 

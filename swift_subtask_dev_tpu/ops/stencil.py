@@ -342,3 +342,104 @@ def timebin_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
     return jnp.minimum(_flat_view(grid, acc),
                        jnp.float32(NBIN_SENTINEL)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Cross-species loops (stars <-> gas) for the feedback pipeline.
+# The i and j species live on the same top grid but carry different slot
+# capacities; the pair tile is (..., K_i, 27*K_j).
+# ---------------------------------------------------------------------------
+
+def star_ngb_mass_loop(grid: CellGrid, star_s: Dict, gas_s: Dict,
+                       p: SPHENIXParams, use_scan: bool = False):
+    """For every star: sum of gas neighbour masses within gamma*h_star.
+
+    The feedback normalisation sum of stars_density
+    (reference src/stars/EAGLE + feedback EAGLE: ngb_mass accumulated in
+    the stars density loop, feedback.h feedback_props).
+    Needs star_s: mask/off/h; gas_s: mask/off/m.  Returns (C, K_s) f32.
+    """
+    gm = lambda n: _grid_view(grid, star_s[n])
+    smask, soff = gm("mask"), gm("off")
+    h = _sanitize(smask, gm("h"))
+    hinv_i = _bi(1.0 / h)
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    acc0 = jnp.zeros(smask.shape, F32)
+    j_fields = {"off": _grid_view(grid, gas_s["off"]),
+                "m": _grid_view(grid, gas_s["m"]),
+                "mask": _grid_view(grid, gas_s["mask"])}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(soff, jf["off"], shift)
+        ok = (_bj(jf["mask"]) > 0) & (r2 * hinv_i ** 2 < gamma2)
+        return acc + jnp.sum(jnp.where(ok, _bj(jf["m"]), 0.0), axis=-1)
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    return _flat_view(grid, acc) * star_s["mask"]
+
+
+def _pair_hash_uniform(id_i, id_j, ti_lo, ti_hi, salt: int):
+    """Deterministic per-(gas, star, step) uniform draw — the analog of
+    random_unit_interval_two_IDs (random.h:211): a cheap integer mix of
+    both particle IDs, the step tick, and a purpose salt."""
+    x = (id_i.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         ^ id_j.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B))
+    x = x ^ (ti_lo.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    x = x ^ (ti_hi.astype(jnp.uint32) + jnp.uint32(salt))
+    # xorshift-multiply finalizer (murmur3 fmix32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.astype(F32) * jnp.float32(1.0 / 4294967296.0)
+
+
+def feedback_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
+                        p: SPHENIXParams, ti_lo, ti_hi,
+                        du_heat: float, use_scan: bool = False):
+    """EAGLE stochastic thermal feedback: every gas particle inside a
+    flagged star's kernel is heated by du_heat with probability
+    E_star / (du_heat * ngb_mass_star) (feedback/EAGLE/feedback_iact.h
+    runner_iact_nonsym_feedback_apply; eq. 7 of Dalla Vecchia & Schaye
+    2012).  Returns (du_add (C,K_gas), n_heating_events (C,K_gas) i32).
+
+    star_s needs: mask/off/h/pid/fb_energy (energy to inject this step,
+    0 for unflagged stars) and fb_ngb_mass (from star_ngb_mass_loop).
+    """
+    gm = lambda n: _grid_view(grid, gas_s[n])
+    gmask, goff = gm("mask"), gm("off")
+    gpid = _grid_view(grid, gas_s["pid"])
+
+    sv = lambda n: _grid_view(grid, star_s[n])
+    prob_full = star_s["fb_energy"] / jnp.maximum(
+        star_s["fb_ngb_mass"] * jnp.float32(du_heat), 1e-30)
+    j_fields = {"off": sv("off"),
+                "h": _sanitize(sv("mask"), sv("h")),
+                "mask": sv("mask"),
+                "pid": sv("pid"),
+                "prob": _grid_view(grid, prob_full)}
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    acc0 = (jnp.zeros(gmask.shape, F32), jnp.zeros(gmask.shape, F32))
+
+    def accumulate(acc, jf, shift):
+        du, nev = acc
+        dx, r2 = _pair_geometry_shift(goff, jf["off"], shift)
+        h_j = _bj(jf["h"])
+        ok = ((_bi(gmask) > 0) & (_bj(jf["mask"]) > 0)
+              & (r2 < gamma2 * h_j * h_j)
+              & (_bj(jf["prob"]) > 0))
+        draw = _pair_hash_uniform(
+            _bi(gpid).astype(jnp.uint32),
+            _bj(jf["pid"]).astype(jnp.uint32),
+            ti_lo, ti_hi, 0x5bd1e995)
+        heat = ok & (draw < _bj(jf["prob"]))
+        hf = heat.astype(F32)
+        return (du + jnp.sum(hf, axis=-1) * jnp.float32(du_heat),
+                nev + jnp.sum(hf, axis=-1))
+
+    du, nev = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    return (_flat_view(grid, du) * gas_s["mask"],
+            _flat_view(grid, nev).astype(jnp.int32))

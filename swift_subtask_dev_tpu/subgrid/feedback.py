@@ -1,0 +1,64 @@
+"""EAGLE thermal (SNII) stellar feedback.
+
+Reference: src/feedback/EAGLE_thermal/feedback_iact.h
+(runner_iact_nonsym_feedback_apply) + src/feedback/EAGLE/feedback.h
+(feedback_will_do_feedback, SNII energy reservoir): a star past the SNII
+delay time injects E = f_E * E_SNII_per_Msun * m_star by heating each gas
+neighbour by a fixed temperature jump Delta_T with probability
+E / (Delta_u * sum m_ngb) (Dalla Vecchia & Schaye 2012 eq. 7).
+
+Heated inactive particles are synchronized onto the current step
+(runner_do_sync, runner_time_integration.c:1478) via the same wake-kick
+tables as the timestep limiter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class EagleThermalFeedback:
+    """SNII thermal feedback parameters (internal units)."""
+
+    delta_u: float = 0.0        # heating jump per unit mass: kB dT/((g-1) mu m_p)
+    e_per_mass: float = 0.0     # f_E * E_SNII per unit stellar mass
+    snii_delay: float = 0.0     # age at which the star fires (time units;
+    # for cosmological runs this is a delta in scale factor — proper-time
+    # stellar ages land with the enrichment module)
+
+    @staticmethod
+    def from_physical(units, phys_const, delta_T_K: float = 10 ** 7.5,
+                      f_E: float = 1.0,
+                      num_SNII_per_Msun: float = 1.73621e-2,
+                      E_SNII_cgs: float = 1.0e51,
+                      snii_delay: float = 0.0,
+                      mu_ionised: float = 0.5954,
+                      hydro_gamma: float = 5.0 / 3.0
+                      ) -> "EagleThermalFeedback":
+        """Defaults follow the reference's EAGLE YAML (feedback_props.c:
+        SNII_delta_T_K=10^7.5, num_SNII 1.736e-2/Msun, E 10^51 erg)."""
+        kB = phys_const.const_boltzmann_k
+        m_p = phys_const.const_proton_mass
+        du = kB * delta_T_K / ((hydro_gamma - 1.0) * mu_ionised * m_p)
+        M_sun = 1.98841e33 * units.from_cgs("mass")
+        E_int = E_SNII_cgs * units.from_cgs("energy")
+        return EagleThermalFeedback(
+            delta_u=du,
+            e_per_mass=f_E * num_SNII_per_Msun * E_int / M_sun,
+            snii_delay=snii_delay)
+
+    def firing_energy(self, stars, t_now, active):
+        """Per-star energy to inject this step: stars whose age crossed the
+        SNII delay and have not fired yet (fb_done flag)."""
+        age = t_now - stars["birth_time"]
+        fire = (active & (stars["fb_done"] <= 0)
+                & (age >= jnp.float32(self.snii_delay))
+                & (stars["mask"] > 0) & (stars["birth_time"] > 0))
+        energy = jnp.where(fire, jnp.float32(self.e_per_mass) * stars["m"],
+                           0.0)
+        return energy, fire

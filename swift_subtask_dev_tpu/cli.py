@@ -175,7 +175,8 @@ def main(argv=None) -> int:
             print("--hydro needs PartType0 in the ICs", file=sys.stderr)
             return 1
         kernel_name = params.opt_string("SPH", "kernel", "cubic-spline")
-        sph = SPHENIXParams(
+        scheme_name = params.opt_string("SPH", "scheme", "sphenix")
+        common = dict(
             kernel=kernels.KERNELS[kernel_name],
             eta_neighbours=params.get_float("SPH", "resolution_eta"),
             CFL=params.get_float("SPH", "CFL_condition"),
@@ -186,6 +187,15 @@ def main(argv=None) -> int:
             minimal_internal_energy=params.opt_float(
                 "SPH", "minimal_internal_energy", 0.0),
         )
+        if scheme_name == "minimal":
+            from .models.sph.minimal import MinimalParams
+            sph = MinimalParams(**common)
+        elif scheme_name == "sphenix":
+            sph = SPHENIXParams(**common)
+        else:
+            print(f"unknown SPH:scheme '{scheme_name}' "
+                  f"(have: sphenix, minimal)", file=sys.stderr)
+            return 1
 
         pos = np.asarray(gas["Coordinates"], np.float64)
         h0 = np.asarray(gas["SmoothingLengths"], np.float32)

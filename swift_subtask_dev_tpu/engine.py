@@ -160,13 +160,13 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
 
     def density_pass(h):
         dens = loops.density_loop(grid, {**s, "h": h}, p)
-        full = sphenix.end_density(p, {**s, "h": h, **dens}, cosmo)
+        full = p.mod.end_density(p, {**s, "h": h, **dens}, cosmo)
         return {k: full[k] for k in
                 ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")}
 
     def h_update(h, d, left, right):
         has_ngb = d["wcount"] * h ** 3 > kroot * (1.0 + 1e-5)
-        return sphenix.ghost_h_update(
+        return p.mod.ghost_h_update(
             p, h, d["wcount"], d["wcount_dh"], left, right, has_ngb)
 
     h0 = s["h"]
@@ -233,32 +233,33 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     for k, v in dens.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
-    s_fb = sphenix.no_neighbours_fallback(p, s)
+    s_fb = p.mod.no_neighbours_fallback(p, s)
     s = {**s, **{k: jnp.where(active if s[k].ndim == 2 else active[..., None],
                               s_fb[k], s[k])
                  for k in ("rho", "v_sig", "wcount", "rho_dh", "wcount_dh",
                            "div_v", "laplace_u", "rot_v")}}
 
     # --- prepare gradient + gradient loop ----------------------------------
-    prep = sphenix.prepare_gradient(p, s, cosmo)
-    rg = sphenix.reset_gradient(prep)
+    prep = p.mod.prepare_gradient(p, s, cosmo)
+    rg = p.mod.reset_gradient(prep)
     for k in ("f_gradh", "pressure", "soundspeed", "balsara",
               "v_sig", "alpha_visc_max_ngb"):
         s = {**s, k: jnp.where(active, rg[k], s[k])}
 
-    grad = loops.gradient_loop(grid, s, p, cosmo)
-    for k, v in grad.items():
-        s = {**s, k: jnp.where(active, v, s[k])}
-    eg = sphenix.end_gradient(s)
-    s = {**s, "laplace_u": jnp.where(active, eg["laplace_u"],
-                                     s["laplace_u"])}
+    if getattr(p.mod, "HAS_GRADIENT_LOOP", True):
+        grad = loops.gradient_loop(grid, s, p, cosmo)
+        for k, v in grad.items():
+            s = {**s, k: jnp.where(active, v, s[k])}
+        eg = p.mod.end_gradient(s)
+        s = {**s, "laplace_u": jnp.where(active, eg["laplace_u"],
+                                         s["laplace_u"])}
 
     # --- prepare force (alpha evolution) + force loop -----------------------
     dt_alpha = dt_alpha_table[tb]
-    pf = sphenix.prepare_force(p, s, cosmo, dt_alpha)
+    pf = p.mod.prepare_force(p, s, cosmo, dt_alpha)
     for k in ("alpha_visc", "div_v_prev", "alpha_diff"):
         s = {**s, k: jnp.where(active, pf[k], s[k])}
-    ra = sphenix.reset_acceleration(s)
+    ra = p.mod.reset_acceleration(s)
     for k in ("a_hydro", "u_dt", "h_dt"):
         v = ra[k]
         act = active[..., None] if v.ndim == 3 else active
@@ -268,7 +269,7 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     for k, v in force.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
-    ef = sphenix.end_force(s)
+    ef = p.mod.end_force(s)
     s = {**s, "h_dt": jnp.where(active, ef["h_dt"], s["h_dt"])}
     return s, n_ghost_iter
 
@@ -293,7 +294,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     s = {**s,
          "off": s["off"] + s["v_full"] * T.dt_drift * s["mask"][..., None],
          "v": s["v"] + a_tot * T.dt_drift}
-    s = sphenix.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
+    s = p.mod.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
 
     # --- rebucket (space_rebuild analog) ------------------------------------
     reach = jnp.maximum(
@@ -390,20 +391,20 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     a_tot = s["a_hydro"] + s["a_grav"]
     v_full = s["v_full"] + a_tot * dt_k2[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
-    ke = sphenix.kick_extra(p, s, cosmo, dt_t2)
+    ke = p.mod.kick_extra(p, s, cosmo, dt_t2)
     for k in ("u_full", "u_dt"):
         s = {**s, k: jnp.where(active, ke[k], s[k])}
 
     # reset predicted values at the kick point (runner_time_integration:463)
-    rp = sphenix.reset_predicted_values(p, s)
+    rp = p.mod.reset_predicted_values(p, s)
     for k in ("v", "u", "pressure", "soundspeed", "v_sig"):
         v = rp[k]
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
 
     # --- timestep: pick the new bin (runner_do_timestep, timestep.h) --------
-    dt_cfl = sphenix.compute_timestep(p, s, cosmo)
-    dt_h = sphenix.timestep_h_change_limit(p, s)
+    dt_cfl = p.mod.compute_timestep(p, s, cosmo)
+    dt_h = p.mod.timestep_h_change_limit(p, s)
     new_dt = jnp.minimum(dt_cfl, dt_h)
     if cfg.with_self_gravity or cfg.with_external_gravity:
         a_norm = jnp.sqrt(jnp.sum((s["a_hydro"] + s["a_grav"]) ** 2, -1))
@@ -436,7 +437,7 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     a_tot = s["a_hydro"] + s["a_grav"]
     v_full = s["v_full"] + a_tot * dt_k1[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
-    ke1 = sphenix.kick_extra(p, s, cosmo, dt_t1)
+    ke1 = p.mod.kick_extra(p, s, cosmo, dt_t1)
     for k in ("u_full", "u_dt"):
         s = {**s, k: jnp.where(active, ke1[k], s[k])}
 
@@ -472,7 +473,7 @@ def apply_wake(p: SPHENIXParams, cosmo: CosmoFactors, s: Dict,
     a_tot = s["a_hydro"] + s["a_grav"]
     v_w = s["v_full"] + a_tot * dv[..., None]
     s = {**s, "v_full": jnp.where(wake[..., None], v_w, s["v_full"])}
-    ke_w = sphenix.kick_extra(p, s, cosmo, du)
+    ke_w = p.mod.kick_extra(p, s, cosmo, du)
     for k in ("u_full", "u_dt"):
         s = {**s, k: jnp.where(wake, ke_w[k], s[k])}
     return {**s, "time_bin": jnp.where(wake, new_bin_w, s["time_bin"])}
@@ -788,17 +789,18 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     for k, v in dens.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
-    s = sphenix.no_neighbours_fallback(p, s)
-    s = sphenix.prepare_gradient(p, s, cosmo)
-    s = sphenix.reset_gradient(s)
-    grad = loops.gradient_loop(grid, s, p, cosmo)
-    s = {**s, **grad}
-    s = sphenix.end_gradient(s)
-    s = sphenix.prepare_force(p, s, cosmo, jnp.float32(0.0))
-    s = sphenix.reset_acceleration(s)
+    s = p.mod.no_neighbours_fallback(p, s)
+    s = p.mod.prepare_gradient(p, s, cosmo)
+    s = p.mod.reset_gradient(s)
+    if getattr(p.mod, "HAS_GRADIENT_LOOP", True):
+        grad = loops.gradient_loop(grid, s, p, cosmo)
+        s = {**s, **grad}
+        s = p.mod.end_gradient(s)
+    s = p.mod.prepare_force(p, s, cosmo, jnp.float32(0.0))
+    s = p.mod.reset_acceleration(s)
     force = loops.force_loop(grid, s, p, cosmo)
     s = {**s, **force}
-    s = sphenix.end_force(s)
+    s = p.mod.end_force(s)
 
     if gravity_fn is not None:
         a_grav, pot = _call_gravity(gravity_fn, s)
@@ -807,8 +809,8 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
             s = {**s, "pot": pot}
 
     # initial timestep + bins
-    dt_cfl = sphenix.compute_timestep(p, s, cosmo)
-    dt_h = sphenix.timestep_h_change_limit(p, s)
+    dt_cfl = p.mod.compute_timestep(p, s, cosmo)
+    dt_h = p.mod.timestep_h_change_limit(p, s)
     new_dt = jnp.minimum(jnp.minimum(dt_cfl, dt_h), jnp.float32(cfg.dt_max))
     too_small = active & (new_dt < cfg.dt_min)
     new_bin = jnp.clip(bin_from_dt(new_dt, T.time_base_inv), 1, NBINS)
@@ -820,7 +822,7 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     a_tot = s["a_hydro"] + s["a_grav"]
     s = {**s, "v_full": s["v_full"] + a_tot * dt_k1[..., None]
          * s["mask"][..., None]}
-    ke = sphenix.kick_extra(p, s, cosmo, dt_k1 * s["mask"])
+    ke = p.mod.kick_extra(p, s, cosmo, dt_k1 * s["mask"])
     s = {**s, "u_full": ke["u_full"], "u_dt": ke["u_dt"]}
 
     bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),

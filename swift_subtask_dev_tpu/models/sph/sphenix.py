@@ -85,6 +85,13 @@ class SPHENIXParams:
     def target_neighbours(self) -> float:
         return self.eta_dim * self.kernel.norm
 
+    @property
+    def mod(self):
+        """The scheme module implementing this params object — the
+        dispatch point that replaces the reference's compile-time scheme
+        selection (hydro.h:32-80)."""
+        return _THIS_MODULE
+
 
 class CosmoFactors(NamedTuple):
     """Scale-factor-dependent factors entering the SPH equations.
@@ -501,3 +508,10 @@ def no_neighbours_fallback(p: SPHENIXParams, s):
             "div_v": w("div_v", 0.0),
             "laplace_u": w("laplace_u", 0.0),
             "rot_v": jnp.where(none[..., None], 0.0, s["rot_v"])}
+
+
+# scheme-dispatch plumbing (see SPHENIXParams.mod)
+import sys as _sys  # noqa: E402
+
+HAS_GRADIENT_LOOP = True
+_THIS_MODULE = _sys.modules[__name__]

@@ -13,7 +13,6 @@ from typing import Dict
 
 import jax.numpy as jnp
 
-from ..models.sph import sphenix
 from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
 
 F32 = jnp.float32
@@ -40,7 +39,7 @@ def density_bruteforce(p: SPHENIXParams, pos, h, m, v, box=None
     ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
-    t = sphenix.density_terms(p, dx, r2, 1.0 / hi, m[None, :], dv)
+    t = p.mod.density_terms(p, dx, r2, 1.0 / hi, m[None, :], dv)
     out = {k: jnp.sum(val * w, axis=-1) for k, val in t.items()}
     return {
         "rho": out["rho"], "rho_dh": out["rho_dh"], "wcount": out["wcount"],
@@ -58,7 +57,7 @@ def gradient_bruteforce(p: SPHENIXParams, pos, h, m, v, u, rho, cs,
     ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
-    t = sphenix.gradient_terms(
+    t = p.mod.gradient_terms(
         p, dx, r2, 1.0 / hi, m[None, :], dv, u[:, None], u[None, :],
         1.0 / jnp.maximum(rho[None, :], 1e-30),
         cs[:, None], cs[None, :], alpha_visc[None, :], cosmo)
@@ -86,7 +85,7 @@ def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
     rhoinv = 1.0 / rho_s
     minv = 1.0 / m
     pr2 = P * rhoinv * rhoinv
-    t = sphenix.force_terms(
+    t = p.mod.force_terms(
         p, dx, r2, 1.0 / hi, 1.0 / hj, m[:, None], m[None, :],
         minv[:, None], minv[None, :], dv,
         rho_s[:, None], rho_s[None, :], rhoinv[:, None], rhoinv[None, :],

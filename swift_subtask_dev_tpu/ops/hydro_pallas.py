@@ -58,7 +58,7 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         h_i = sf("h")
         ok = r2 < gamma2 * h_i * h_i
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
-        t = sphenix.density_terms(p, dx, r2, sf("hinv"), nf("m"), dv)
+        t = p.mod.density_terms(p, dx, r2, sf("hinv"), nf("m"), dv)
         sums = [t["rho"], t["rho_dh"], t["wcount"], t["wcount_dh"],
                 t["div_v"], t["rot_v0"], t["rot_v1"], t["rot_v2"]]
         return ok, sums, []
@@ -94,7 +94,7 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         h_i = sf("h")
         ok = r2 < gamma2 * h_i * h_i
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
-        t = sphenix.gradient_terms(
+        t = p.mod.gradient_terms(
             p, dx, r2, sf("hinv"), nf("m"), dv, sf("u"), nf("u"),
             nf("rhoinv"), sf("cs"), nf("cs"), nf("av"), _cosmo_from(sc))
         return ok, [t["sum"]["laplace_u"]], \
@@ -141,7 +141,7 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         h_i, h_j = sf("h"), nf("h")
         ok = r2 < gamma2 * jnp.maximum(h_i, h_j) ** 2
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
-        t = sphenix.force_terms(
+        t = p.mod.force_terms(
             p, dx, r2, sf("hinv"), nf("hinv"), sf("m"), nf("m"),
             sf("minv"), nf("minv"), dv,
             sf("rho"), nf("rho"), sf("rhoinv"), nf("rhoinv"),

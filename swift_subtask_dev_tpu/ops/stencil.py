@@ -159,7 +159,7 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
-        terms = sphenix.density_terms(p, dx, r2, hinv_i, _bj(jf["m"]), dv)
+        terms = p.mod.density_terms(p, dx, r2, hinv_i, _bj(jf["m"]), dv)
         return {k: acc[k] + jnp.sum(terms[k] * w, axis=-1) for k in keys}
 
     acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
@@ -200,7 +200,7 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
-        t = sphenix.gradient_terms(
+        t = p.mod.gradient_terms(
             p, dx, r2, hinv_i, _bj(jf["m"]), dv,
             _bi(u), _bj(jf["u"]), _bj(jf["rhoinv"]),
             _bi(cs), _bj(jf["cs"]), _bj(jf["av"]), cosmo)
@@ -275,7 +275,7 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         min_tb = jnp.minimum(min_tb, jnp.min(
             jnp.where(pair_ok & (tb_j > 0), tb_j, big_bin), axis=-1))
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
-        t = sphenix.force_terms(
+        t = p.mod.force_terms(
             p, dx, r2, hinv_i, _bj(jf["hinv"]), _bi(m), _bj(jf["m"]),
             _bi(minv), _bj(jf["minv"]), dv,
             _bi(rho), _bj(jf["rho"]), _bi(rhoinv), _bj(jf["rhoinv"]),

@@ -43,7 +43,8 @@ def main():
                                            * 1.25),
         pos=ic["pos"], headroom=1.6)
 
-    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="xla"), 0.0, 1.0)
+    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="xla"),
+                 0.0, 1.0)
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 

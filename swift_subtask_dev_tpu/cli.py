@@ -43,7 +43,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging)")
     ap.add_argument("--backend", default="xla",
-                    choices=["pallas", "xla"],
+                    choices=["gather", "pallas", "xla"],
                     help="neighbour-loop backend (default: the fastest)")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap

@@ -31,6 +31,7 @@ from .grid.cellgrid import CellGrid, bucket_fields, rebucket_offsets
 from .models.sph import sphenix
 from .models.sph.sphenix import CosmoFactors, SPHENIXParams
 from .ops import stencil
+from .ops import gather_pairs
 from .ops import hydro_pallas
 from .utils import timeline as tl
 
@@ -73,7 +74,10 @@ class StepTables(NamedTuple):
 class EngineConfig:
     dt_min: float = 1e-17
     dt_max: float = 1e-2
-    backend: str = "xla"  # 'xla' (roll-stencil; GSPMD-shardable) | 'pallas'
+    backend: str = "xla"  # 'xla' (roll-stencil; GSPMD-shardable) |
+    # 'pallas' | 'gather' (Verlet candidate lists; fast where gathers are
+    # cheap — CPU/GPU-style backends — but TPU gathers run at ~5% of HBM
+    # peak, so the dense paths win on TPU)
     stencil_scan: bool = False  # lax.scan over offsets (small sharded graphs)
     with_hydro: bool = True
     with_self_gravity: bool = False
@@ -96,6 +100,13 @@ class EngineConfig:
     with_timestep_limiter: bool = False  # SWIFT --limiter: cap active bins
     # at min_ngb+2 and wake inactive particles whose neighbours got fast
     # (runner_do_limiter, runner_time_integration.c:1324)
+    # --- gather backend (ops/gather_pairs.py) -------------------------------
+    ngb_cap: int = 128        # candidate-list capacity per particle; the
+    # engine refuses a step whose build found more (no silent loss)
+    nbr_h_slack: float = 0.1  # h budget the list stays valid for (the
+    # ghost may grow h by this factor between rebuilds)
+    nbr_skin_frac: float = 0.18  # Verlet skin as a fraction of the
+    # slack-inflated reach (caps the candidate volume at ~2.2 kernel balls)
 
 
 def _call_gravity(gravity_fn, s):
@@ -138,12 +149,47 @@ class _ScanStencil:
 
 
 def _loops(cfg: EngineConfig):
-    """Select the neighbour-loop backend (ops/stencil vs ops/hydro_pallas)."""
+    """Select the neighbour-loop backend (ops/gather_pairs, ops/stencil or
+    ops/hydro_pallas)."""
+    if cfg.backend == "gather":
+        return gather_pairs
     if cfg.backend == "pallas":
         return hydro_pallas
     if cfg.stencil_scan:
         return _ScanStencil
     return stencil
+
+
+def _nbr_rebuild(grid: CellGrid, cfg: EngineConfig, p: SPHENIXParams,
+                 s: Dict) -> Dict:
+    """(Re)build the gather backend's candidate lists + validity budgets.
+
+    Called right after every rebucket (slot indices are only stable between
+    rebuckets).  Sets:
+      h_cap        per-particle h budget the lists stay complete for
+      nbr_dbudget  per-particle displacement budget before a rebuild
+      nbr_maxcount worst-case candidate count (host refuses > ngb_cap)
+    """
+    mask_b = s["mask"] > 0
+    gamma = float(p.kernel.gamma)
+    min_edge = float(min(grid.edge))
+    cap_limit = jnp.float32(min(float(p.h_max), min_edge / gamma))
+    h_cap = jnp.maximum(
+        jnp.minimum(s["h"] * (1.0 + cfg.nbr_h_slack), cap_limit), s["h"])
+    h_cap = jnp.where(mask_b, h_cap, 0.0)
+    reach = jnp.max(h_cap) * jnp.float32(gamma)
+    skin = jnp.minimum(jnp.float32(cfg.rebucket_safety)
+                       * (jnp.float32(min_edge) - reach),
+                       jnp.float32(cfg.nbr_skin_frac) * reach)
+    skin = jnp.maximum(skin, 0.0)
+    idx, code, maxc, maxt = gather_pairs.build_nbr_list(
+        grid, s["off"], s["mask"], h_cap, p, cfg.ngb_cap, skin)
+    # skin-candidate overflow is harmless (true pairs outrank skin ones in
+    # the build) but voids the drift budget: rebuild every step instead
+    dbudget = jnp.where(maxc > cfg.ngb_cap, 0.0,
+                        jnp.float32(0.5) * skin)
+    return {**s, "nbr_idx": idx, "nbr_code": code, "h_cap": h_cap,
+            "nbr_dbudget": dbudget, "nbr_maxcount": maxt}
 
 
 def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
@@ -164,14 +210,25 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
         return {k: full[k] for k in
                 ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")}
 
+    # gather backend: the candidate lists are only complete up to h_cap, so
+    # the iteration is clamped there; a pinned particle triggers a rebuild
+    # next step, which raises the cap (see _nbr_rebuild)
+    h_cap = s.get("h_cap")
+
     def h_update(h, d, left, right):
         has_ngb = d["wcount"] * h ** 3 > kroot * (1.0 + 1e-5)
-        return p.mod.ghost_h_update(
+        h_new, left, right, conv = p.mod.ghost_h_update(
             p, h, d["wcount"], d["wcount_dh"], left, right, has_ngb)
+        if h_cap is not None:
+            hit = h_new >= h_cap
+            h_new = jnp.minimum(h_new, h_cap)
+            conv = conv | hit
+        return h_new, left, right, conv
 
     h0 = s["h"]
     left0 = jnp.zeros_like(h0)
-    right0 = jnp.full_like(h0, p.h_max)
+    right0 = (jnp.full_like(h0, p.h_max) if h_cap is None
+              else jnp.minimum(h_cap, p.h_max))
     d0 = density_pass(h0)
     _, _, _, conv0 = h_update(h0, d0, left0, right0)
     conv0 = conv0 | ~active
@@ -301,7 +358,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         jnp.max(jnp.where(mask_b, s["h"], 0.0))
         * jnp.float32(p.kernel.gamma),
         jnp.float32(cfg.p2p_reach))
-    s, n_overflow = _rebucket_phase(grid, cfg, s, T, reach)
+    s, n_overflow = _rebucket_phase(grid, cfg, s, T, reach, p)
     mask_b = s["mask"] > 0
     tb = jnp.clip(s["time_bin"], 0, NBINS)
     active = mask_b & T.active[tb]
@@ -339,12 +396,16 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_active": jnp.sum(active),
         "n_woken": n_woken,
         "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
+        "nbr_maxcount": s.get("nbr_maxcount", jnp.int32(0)),
     }
     return s, diag
 
 
+_NBR_KEYS = ("nbr_idx", "nbr_code", "h_cap", "nbr_dbudget", "nbr_maxcount")
+
+
 def _rebucket_phase(grid: CellGrid, cfg: EngineConfig, s: Dict,
-                    T: StepTables, reach):
+                    T: StepTables, reach, p: Optional[SPHENIXParams] = None):
     """Counting-sort rebuild, either unconditional or trigger-based.
 
     Trigger: after cumulative per-particle drift D, a true pair can only
@@ -352,15 +413,25 @@ def _rebucket_phase(grid: CellGrid, cfg: EngineConfig, s: Dict,
     like SWIFT's rebuild triggers (engine.c:2392-2448) tied to cell width
     >= h_max (space_regrid, space.c).  ``reach`` is the largest pair
     interaction range of this species (gamma*h_max and/or the P2P r_cut).
+
+    In gather mode (``p`` given, cfg.backend == 'gather') the same trigger
+    also protects the Verlet lists: the drift budget is the skin stored at
+    build, a particle whose h pinned at its list cap forces a rebuild, and
+    every rebucket is followed by a list rebuild (slot indices shift).
     """
+    gather = cfg.backend == "gather" and p is not None
+
     def _rebucket(st):
-        carried = {k: v for k, v in st.items()
-                   if k not in ("mask", "off", "drift_accum")}
+        skip = ("mask", "off", "drift_accum") + (_NBR_KEYS if gather else ())
+        carried = {k: v for k, v in st.items() if k not in skip}
         new_fields, new_mask, new_off, nov = rebucket_offsets(
             grid, st["mask"], st["off"], carried)
-        return {"mask": new_mask, "off": new_off,
-                "drift_accum": jnp.zeros_like(st["drift_accum"]),
-                **new_fields}, nov
+        ns = {"mask": new_mask, "off": new_off,
+              "drift_accum": jnp.zeros_like(st["drift_accum"]),
+              **new_fields}
+        if gather:
+            ns = _nbr_rebuild(grid, cfg, p, ns)
+        return ns, nov
 
     if cfg.rebucket_every_step:
         return _rebucket(s)
@@ -371,9 +442,21 @@ def _rebucket_phase(grid: CellGrid, cfg: EngineConfig, s: Dict,
     step_disp = jnp.max(jnp.where(mask_b, v_norm, 0.0)) \
         * jnp.abs(T.dt_drift)
     accum = s["drift_accum"] + step_disp
-    margin = jnp.float32(0.5 * cfg.rebucket_safety) \
-        * (jnp.float32(min(grid.edge)) - reach)
-    need = accum >= margin
+    if gather:
+        gamma = float(p.kernel.gamma)
+        min_edge = float(min(grid.edge))
+        cap_limit = jnp.float32(min(float(p.h_max), min_edge / gamma))
+        pinned = jnp.any(mask_b & (s["h"] >= 0.999 * s["h_cap"])
+                         & (s["h_cap"] < 0.999 * cap_limit))
+        need = (accum >= s["nbr_dbudget"]) | pinned
+        if cfg.p2p_reach > 0.0:
+            margin_p2p = jnp.float32(0.5 * cfg.rebucket_safety) \
+                * (jnp.float32(min_edge) - jnp.float32(cfg.p2p_reach))
+            need = need | (accum >= margin_p2p)
+    else:
+        margin = jnp.float32(0.5 * cfg.rebucket_safety) \
+            * (jnp.float32(min(grid.edge)) - reach)
+        need = accum >= margin
     s = {**s, "drift_accum": accum}
     return jax.lax.cond(need, _rebucket,
                         lambda st: (st, jnp.int32(0)), s)
@@ -450,7 +533,12 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         tb_now = jnp.clip(s["time_bin"], 0, NBINS)
         sub = {"mask": s["mask"], "off": s["off"], "h": s["h"],
                "time_bin": s["time_bin"], "active": active.astype(F32)}
-        mnb = stencil.timebin_loop(grid, sub, p, use_scan=cfg.stencil_scan)
+        if cfg.backend == "gather":
+            sub.update(nbr_idx=s["nbr_idx"], nbr_code=s["nbr_code"])
+            mnb = gather_pairs.timebin_loop(grid, sub, p)
+        else:
+            mnb = stencil.timebin_loop(grid, sub, p,
+                                       use_scan=cfg.stencil_scan)
         wake = (mask_b & ~active & (s["time_bin"] > 0)
                 & (s["time_bin"] > mnb + 2))
         new_bin_w = jnp.clip(mnb + 2, 1, tb_now)
@@ -563,6 +651,14 @@ class Engine:
             "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
             "drift_accum": jnp.float32(0.0),
         }
+        if self.cfg.backend == "gather":
+            # placeholders: _init_pass builds the real lists first thing
+            self.state.update(
+                nbr_idx=jnp.zeros((C, K, self.cfg.ngb_cap), I32),
+                nbr_code=jnp.zeros((C, K, self.cfg.ngb_cap), jnp.int8),
+                h_cap=jnp.zeros((C, K), F32),
+                nbr_dbudget=jnp.float32(0.0),
+                nbr_maxcount=jnp.int32(0))
         self.n_particles = n
 
     def init_particles(self):
@@ -575,6 +671,15 @@ class Engine:
         self.state, diag = _JIT_INIT(
             self.grid, self.sph, self.cfg, self.gravity_fn,
             self.cosmo, self.state, T)
+        # gather backend: the first ghost pass may pin h at the list cap
+        # (IC h too small); rebuilding ratchets the cap up by the slack
+        # factor, so retry until no particle is pinned.
+        for _ in range(16):
+            if int(diag.get("nbr_pinned", 0)) == 0:
+                break
+            self.state, diag = _JIT_INIT(
+                self.grid, self.sph, self.cfg, self.gravity_fn,
+                self.cosmo, self.state, T)
         self._post_step(diag)
         return diag
 
@@ -731,6 +836,12 @@ class Engine:
                 f"smoothing length reach {h_reach:.4g} exceeds cell edge "
                 f"{min(self.grid.edge):.4g}: re-grid needed "
                 f"(reference space_regrid analog)")
+        nbr_max = int(diag.get("nbr_maxcount", 0))
+        if nbr_max > self.cfg.ngb_cap:
+            raise RuntimeError(
+                f"candidate list overflow: a particle has {nbr_max} "
+                f"candidates > ngb_cap={self.cfg.ngb_cap}; raise "
+                f"EngineConfig.ngb_cap (silent neighbour loss refused)")
 
     def run_fixed_dt(self, n_steps: int, per_launch: int = 8):
         """Advance n_steps with the global fixed timestep (= dt_max),
@@ -780,6 +891,9 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     """engine_init_particles: density/ghost + force + first bins + kick1."""
     mask_b = s["mask"] > 0
     active = mask_b  # everyone is active at t=0
+
+    if cfg.backend == "gather":
+        s = _nbr_rebuild(grid, cfg, p, s)
 
     loops = _loops(cfg)
     h_new, dens, n_iter = _ghost_density(grid, p, cosmo, s, active,
@@ -835,8 +949,21 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
         "n_ghost_iter": n_iter,
         "n_active": jnp.sum(active),
         "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
+        "nbr_maxcount": s.get("nbr_maxcount", jnp.int32(0)),
+        "nbr_pinned": _nbr_pinned_count(grid, p, cfg, s, mask_b),
     }
     return s, diag
+
+
+def _nbr_pinned_count(grid, p, cfg, s, mask_b):
+    """Particles whose h sits at the list cap (init must rebuild + retry)."""
+    if cfg.backend != "gather":
+        return jnp.int32(0)
+    gamma = float(p.kernel.gamma)
+    cap_limit = jnp.float32(min(float(p.h_max),
+                                min(grid.edge) / gamma))
+    return jnp.sum(mask_b & (s["h"] >= 0.999 * s["h_cap"])
+                   & (s["h_cap"] < 0.999 * cap_limit)).astype(I32)
 
 
 def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T,
@@ -854,7 +981,8 @@ def multi_step(grid, p, cfg, gravity_fn, k, cosmo, s, T,
         s2, diag = hydro_step(grid, p, cfg, gravity_fn, cosmo, s, T,
                               cooling_fn)
         bins = jnp.where(s2["mask"] > 0, s2["time_bin"], T.max_bin)
-        bad = bad | jnp.any(bins != T.max_bin) | (diag["n_overflow"] > 0)
+        bad = (bad | jnp.any(bins != T.max_bin) | (diag["n_overflow"] > 0)
+               | (diag["nbr_maxcount"] > cfg.ngb_cap))
         return (s2, bad), diag["n_active"]
 
     (s, bad), n_active = jax.lax.scan(

@@ -420,6 +420,11 @@ class MultiEngine(Engine):
                  cooling_fn: Optional[Callable] = None,
                  star_formation=None, entropy_floor=None,
                  feedback=None):
+        if cfg.backend == "gather":
+            # the multi-species step doesn't carry candidate lists yet;
+            # fall back to the roll-stencil until the gather path lands here
+            import dataclasses
+            cfg = dataclasses.replace(cfg, backend="xla")
         super().__init__(grid, sph, cfg, time_begin, time_end,
                          cosmo=cosmo, gravity_fn=gravity_fn,
                          cosmology=cosmology, cooling_fn=cooling_fn)

@@ -22,10 +22,8 @@ BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
 
 
 def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax  # noqa: F401  (the persistent compile cache does not hit
+    # through axon's remote compiler and can stall it — do not enable)
 
     from swift_subtask_dev_tpu.engine import Engine, EngineConfig
     from swift_subtask_dev_tpu.grid import CellGrid
@@ -38,12 +36,13 @@ def main():
     n_parts = len(ic["pos"])
 
     P = SPHENIXParams(h_max=float(ic["h"].max() * 3))
-    grid = CellGrid.build_for_positions(
+    # column/z-sorted layout for the flat Pallas engine (the fast path)
+    grid = CellGrid.build_columns(
         ic["box"], interaction_range=float(ic["h"].max() * P.kernel.gamma
                                            * 1.25),
-        pos=ic["pos"], headroom=1.6)
+        pos=ic["pos"])
 
-    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="xla"),
+    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="flat"),
                  0.0, 1.0)
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()

@@ -43,8 +43,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging)")
     ap.add_argument("--backend", default="xla",
-                    choices=["gather", "pallas", "xla"],
-                    help="neighbour-loop backend (default: the fastest)")
+                    choices=["flat", "gather", "pallas", "pallas_ring",
+                             "xla"],
+                    help="neighbour-loop backend ('flat' = the fast "
+                         "column/z-sorted Pallas engine, hydro-only runs)")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
 
@@ -208,8 +210,17 @@ def main(argv=None) -> int:
         else:
             h_sizing = float(h0.max())
             reach = h_sizing * sph.kernel.gamma * 1.3
-        grid = CellGrid.build_for_positions(tuple(box), reach, pos,
-                                            headroom=1.6)
+        if args.backend == "flat" and not args.self_gravity:
+            # column/z-sorted layout for the flat Pallas engine
+            grid = CellGrid.build_columns(tuple(box), reach, pos)
+        else:
+            if args.backend == "flat":
+                # P2P gravity still runs on the 27-stencil: fall back
+                print("note: --backend flat needs hydro-only runs; "
+                      "using xla for self-gravity", file=sys.stderr)
+                args.backend = "xla"
+            grid = CellGrid.build_for_positions(tuple(box), reach, pos,
+                                                headroom=1.6)
         if args.verbose:
             print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
 

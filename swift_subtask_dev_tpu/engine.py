@@ -153,11 +153,47 @@ def _loops(cfg: EngineConfig):
     ops/hydro_pallas)."""
     if cfg.backend == "gather":
         return gather_pairs
+    if cfg.backend == "flat":
+        return _FlatPallas           # column/z-sorted engine (pallas_flat)
     if cfg.backend == "pallas":
-        return hydro_pallas
+        return hydro_pallas          # packed-j engine (pallas_packed.py)
+    if cfg.backend == "pallas_ring":
+        return _RingPallas           # ring-buffer DMA engine (round 1)
     if cfg.stencil_scan:
         return _ScanStencil
     return stencil
+
+
+class _FlatPallas:
+    """hydro_pallas loops on the column/z-sorted flat kernel."""
+
+    @staticmethod
+    def density_loop(grid, s, p):
+        return hydro_pallas.density_loop(grid, s, p, engine="flat")
+
+    @staticmethod
+    def gradient_loop(grid, s, p, cosmo):
+        return hydro_pallas.gradient_loop(grid, s, p, cosmo, engine="flat")
+
+    @staticmethod
+    def force_loop(grid, s, p, cosmo):
+        return hydro_pallas.force_loop(grid, s, p, cosmo, engine="flat")
+
+
+class _RingPallas:
+    """hydro_pallas loops on the original ring-buffer DMA kernel."""
+
+    @staticmethod
+    def density_loop(grid, s, p):
+        return hydro_pallas.density_loop(grid, s, p, engine="ring")
+
+    @staticmethod
+    def gradient_loop(grid, s, p, cosmo):
+        return hydro_pallas.gradient_loop(grid, s, p, cosmo, engine="ring")
+
+    @staticmethod
+    def force_loop(grid, s, p, cosmo):
+        return hydro_pallas.force_loop(grid, s, p, cosmo, engine="ring")
 
 
 def _nbr_rebuild(grid: CellGrid, cfg: EngineConfig, p: SPHENIXParams,
@@ -425,7 +461,8 @@ def _rebucket_phase(grid: CellGrid, cfg: EngineConfig, s: Dict,
         skip = ("mask", "off", "drift_accum") + (_NBR_KEYS if gather else ())
         carried = {k: v for k, v in st.items() if k not in skip}
         new_fields, new_mask, new_off, nov = rebucket_offsets(
-            grid, st["mask"], st["off"], carried)
+            grid, st["mask"], st["off"], carried,
+            zsort=cfg.backend == "flat")
         ns = {"mask": new_mask, "off": new_off,
               "drift_accum": jnp.zeros_like(st["drift_accum"]),
               **new_fields}
@@ -536,6 +573,8 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         if cfg.backend == "gather":
             sub.update(nbr_idx=s["nbr_idx"], nbr_code=s["nbr_code"])
             mnb = gather_pairs.timebin_loop(grid, sub, p)
+        elif cfg.backend == "flat":
+            mnb = hydro_pallas.timebin_loop(grid, sub, p, engine="flat")
         else:
             mnb = stencil.timebin_loop(grid, sub, p,
                                        use_scan=cfg.stencil_scan)
@@ -596,6 +635,8 @@ class Engine:
         else:
             self.timeline = tl.Timeline(time_begin, time_end)
             self.cosmo = cosmo or CosmoFactors.no_cosmo()
+        # identity-cosmology runs use the literal-folding jit wrappers
+        self._nc = cosmology is None and cosmo is None
         self.gravity_fn = gravity_fn
         self.state: Dict = {}
         self.step_count = 0
@@ -620,7 +661,12 @@ class Engine:
             "u_full": np.asarray(u, np.float32),
         }
         from . import native
-        if native.available():
+        if self.cfg.backend == "flat":
+            # column layout needs the z-subsorted jitted bucketing
+            fields = {k: jnp.asarray(v) for k, v in np_fields.items()}
+            out, mask, off, n_over = bucket_fields(
+                self.grid, jnp.asarray(pos), fields, zsort=True)
+        elif native.available():
             out_np, mask_np, off_np, n_over = native.bucket_fields_native(
                 self.grid, np.asarray(pos, np.float64), np_fields)
             out = {k: jnp.asarray(v) for k, v in out_np.items()}
@@ -668,18 +714,22 @@ class Engine:
         launch, then a fake 0th step computing forces and timesteps.
         """
         T = self._tables()
-        self.state, diag = _JIT_INIT(
-            self.grid, self.sph, self.cfg, self.gravity_fn,
-            self.cosmo, self.state, T)
+
+        def init_once():
+            if getattr(self, "_nc", False):
+                return _JIT_INIT_NC(self.grid, self.sph, self.cfg,
+                                    self.gravity_fn, self.state, T)
+            return _JIT_INIT(self.grid, self.sph, self.cfg,
+                             self.gravity_fn, self.cosmo, self.state, T)
+
+        self.state, diag = init_once()
         # gather backend: the first ghost pass may pin h at the list cap
         # (IC h too small); rebuilding ratchets the cap up by the slack
         # factor, so retry until no particle is pinned.
         for _ in range(16):
             if int(diag.get("nbr_pinned", 0)) == 0:
                 break
-            self.state, diag = _JIT_INIT(
-                self.grid, self.sph, self.cfg, self.gravity_fn,
-                self.cosmo, self.state, T)
+            self.state, diag = init_once()
         self._post_step(diag)
         return diag
 
@@ -812,9 +862,14 @@ class Engine:
         dt_drift = (ti_next - ti_old) * t.time_base
         t.ti_current = ti_next
         T = self._tables(dt_drift=dt_drift, ti_drift_start=ti_old)
-        self.state, diag = _JIT_STEP(
-            self.grid, self.sph, self.cfg, self.gravity_fn,
-            self.cosmo, self.state, T, self.cooling_fn)
+        if getattr(self, "_nc", False):
+            self.state, diag = _JIT_STEP_NC(
+                self.grid, self.sph, self.cfg, self.gravity_fn,
+                self.state, T, self.cooling_fn)
+        else:
+            self.state, diag = _JIT_STEP(
+                self.grid, self.sph, self.cfg, self.gravity_fn,
+                self.cosmo, self.state, T, self.cooling_fn)
         self._post_step(diag)
         self.step_count += 1
         return diag
@@ -856,9 +911,14 @@ class Engine:
         done = 0
         while done < n_steps:
             k = min(per_launch, n_steps - done)
-            self.state, diag = _JIT_MULTI(
-                self.grid, self.sph, self.cfg, self.gravity_fn, k,
-                self.cosmo, self.state, T, self.cooling_fn)
+            if getattr(self, "_nc", False):
+                self.state, diag = _JIT_MULTI_NC(
+                    self.grid, self.sph, self.cfg, self.gravity_fn, k,
+                    self.state, T, self.cooling_fn)
+            else:
+                self.state, diag = _JIT_MULTI(
+                    self.grid, self.sph, self.cfg, self.gravity_fn, k,
+                    self.cosmo, self.state, T, self.cooling_fn)
             if bool(diag["bin_deviation"]):
                 raise RuntimeError(
                     "fixed-dt run invalid: a particle left the maximal bin "
@@ -1097,6 +1157,34 @@ def _dm_init(grid, cfg, gravity_fn, eps_soft, s, T):
 _JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3, 7))
 _JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))
 _JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4, 8))
+
+# Non-cosmological fast path: the identity cosmology factors ride as
+# python-float literals so XLA/Mosaic fold every a/H multiplication at
+# trace time (passing CosmoFactors.no_cosmo() as a runtime arg keeps them
+# as traced scalars and defeats constant folding in the hot pair loops).
+_NO_COSMO_LIT = CosmoFactors(a=1.0, H=0.0, a_inv2=1.0, fac_mu=1.0,
+                             a_factor_sound_speed=1.0,
+                             a_factor_Balsara_eps=1.0,
+                             a_factor_internal_energy=1.0)
+
+
+def _step_nc(grid, p, cfg, gravity_fn, s, T, cooling_fn=None):
+    return hydro_step(grid, p, cfg, gravity_fn, _NO_COSMO_LIT, s, T,
+                      cooling_fn)
+
+
+def _init_nc(grid, p, cfg, gravity_fn, s, T):
+    return _init_pass(grid, p, cfg, gravity_fn, _NO_COSMO_LIT, s, T)
+
+
+def _multi_nc(grid, p, cfg, gravity_fn, k, s, T, cooling_fn=None):
+    return multi_step(grid, p, cfg, gravity_fn, k, _NO_COSMO_LIT, s, T,
+                      cooling_fn)
+
+
+_JIT_STEP_NC = jax.jit(_step_nc, static_argnums=(0, 1, 2, 3, 6))
+_JIT_INIT_NC = jax.jit(_init_nc, static_argnums=(0, 1, 2, 3))
+_JIT_MULTI_NC = jax.jit(_multi_nc, static_argnums=(0, 1, 2, 3, 4, 7))
 _JIT_DM_STEP = jax.jit(dm_step, static_argnums=(0, 1, 2, 3))
 _JIT_DM_INIT = jax.jit(_dm_init, static_argnums=(0, 1, 2, 3))
 

@@ -40,10 +40,12 @@ class CellGrid:
     K: int
 
     def __post_init__(self):
-        if any(c < 3 for c in self.cdim):
+        if any(c < 3 and c != 1 for c in self.cdim):
             raise ValueError(
                 f"cdim {self.cdim} < 3: the 27-stencil needs >= 3 cells per "
-                "axis (otherwise offsets alias and pairs double-count)")
+                "axis (otherwise offsets alias and pairs double-count); "
+                "an axis of exactly 1 is the column layout of the 'flat' "
+                "backend (ops/pallas_flat.py), which never runs the stencil")
 
     def validate_range(self, interaction_range: float) -> None:
         """Check every cell edge covers the interaction range.
@@ -127,6 +129,30 @@ class CellGrid:
         g.validate_range(interaction_range)
         return g
 
+    @staticmethod
+    def build_columns(box, interaction_range: float, pos,
+                      headroom: float = 1.4, w_align: int = 128,
+                      max_cdim: int = 512) -> "CellGrid":
+        """Column grid for the flat (z-sorted) backend: cdim=(ncx, ncy, 1).
+
+        Column cross-section >= interaction_range (so 9 neighbour columns
+        cover all pairs); W sized from the actual fullest column, aligned
+        to the kernel's 128-lane i-tiles.
+        """
+        box = tuple(float(b) for b in box)
+        pos = np.asarray(pos, np.float64)
+        cd = []
+        for b in box[:2]:
+            n = int(math.floor(b / max(interaction_range, 1e-30)))
+            cd.append(int(np.clip(n, 3, max_cdim)))
+        edge = np.asarray([box[0] / cd[0], box[1] / cd[1]])
+        ij = np.floor(np.mod(pos[:, :2], box[:2]) / edge).astype(np.int64)
+        ij = np.clip(ij, 0, np.asarray(cd) - 1)
+        lin = ij[:, 0] * cd[1] + ij[:, 1]
+        max_count = int(np.bincount(lin).max()) if len(lin) else 1
+        W = int(math.ceil(max_count * headroom / w_align)) * w_align
+        return CellGrid(box=box, cdim=(cd[0], cd[1], 1), K=max(W, w_align))
+
     # --- coordinate helpers ---------------------------------------------------
     def cell_corners(self) -> np.ndarray:
         """(C, 3) f64 cell corner positions (host-side, exact)."""
@@ -150,7 +176,8 @@ class CellGrid:
 # ---------------------------------------------------------------------------
 
 def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
-                  fields: Dict[str, jnp.ndarray]):
+                  fields: Dict[str, jnp.ndarray],
+                  zsort: bool = False):
     """Counting-sort N particles into (C, K, ...) padded tiles.
 
     pos: (N, 3) absolute positions (any float dtype; wrapped periodically).
@@ -174,7 +201,12 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
     cell = grid.linear_cell_of(ixyz)
     off = (p - ixyz.astype(pos.dtype) * edge).astype(F32)
 
-    order = jnp.argsort(cell, stable=True)
+    if zsort:
+        # flat backend: z-sorted slot order within each column tile
+        # (the analog of SWIFT's per-axis particle sorts, sort_part.h)
+        order = jnp.lexsort((p[:, 2], cell))
+    else:
+        order = jnp.argsort(cell, stable=True)
     cell_s = cell[order]
     first = jnp.searchsorted(cell_s, cell_s, side="left")
     rank = jnp.arange(N, dtype=I32) - first.astype(I32)
@@ -196,7 +228,7 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
 
 
 def rebucket_offsets(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
-                     fields: Dict[str, jnp.ndarray]):
+                     fields: Dict[str, jnp.ndarray], zsort: bool = False):
     """Re-bucket from existing (C,K) tiles after drift.
 
     Computes each slot's new cell from its (possibly out-of-cell) offset and
@@ -227,7 +259,10 @@ def rebucket_offsets(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
     valid = mask.reshape(-1) > 0
     new_cell = jnp.where(valid, new_cell, C)  # invalid slots sort last
 
-    order = jnp.argsort(new_cell, stable=True)
+    if zsort:
+        order = jnp.lexsort((new_off[..., 2].reshape(-1), new_cell))
+    else:
+        order = jnp.argsort(new_cell, stable=True)
     cell_s = new_cell[order]
     first = jnp.searchsorted(cell_s, cell_s, side="left")
     rank = jnp.arange(C * K, dtype=I32) - first.astype(I32)

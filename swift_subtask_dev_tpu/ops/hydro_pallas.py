@@ -15,8 +15,17 @@ import jax.numpy as jnp
 from ..grid.cellgrid import CellGrid
 from ..models.sph import sphenix
 from ..models.sph.sphenix import CosmoFactors, SPHENIXParams
+from . import pallas_flat
+from . import pallas_packed
 from . import pallas_pairs
 from . import stencil
+
+# selectable pair engines sharing one callback protocol; 'packed' is the
+# fast single-chip path (see pallas_packed.py), 'ring' the original
+# ring-buffer DMA kernel kept for comparison/fallback
+ENGINES = {"packed": pallas_packed.pair_apply,
+           "ring": pallas_pairs.pair_apply,
+           "flat": pallas_flat.pair_apply}
 
 
 def _cosmo_scalars(cosmo: CosmoFactors):
@@ -25,6 +34,15 @@ def _cosmo_scalars(cosmo: CosmoFactors):
 
 def _cosmo_from(sc):
     return CosmoFactors(*sc[:7])
+
+
+def _cosmo_binding(cosmo: CosmoFactors):
+    """(scalars, resolver): python-float factors (the engine's
+    non-cosmological literal) are closed over so the kernels fold them at
+    trace time; traced factors ship through SMEM as before."""
+    if all(isinstance(x, (int, float)) for x in tuple(cosmo)):
+        return (), (lambda sc: cosmo)
+    return _cosmo_scalars(cosmo), _cosmo_from
 
 F32 = jnp.float32
 
@@ -45,7 +63,8 @@ def _san(s, key, fill=1.0):
 
 
 def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
-                 interpret: bool = False) -> Dict[str, jnp.ndarray]:
+                 interpret: bool = False, engine: str = "packed"
+                 ) -> Dict[str, jnp.ndarray]:
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
@@ -63,10 +82,10 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
                 t["div_v"], t["rot_v0"], t["rot_v1"], t["rot_v2"]]
         return ok, sums, []
 
-    sums, _ = pallas_pairs.pair_apply(
+    sums, _ = ENGINES[engine](
         grid, fields, order, pair_fn, n_sum=8, n_max=0,
         shifts_scale=grid.edge, pad_fills={"h": 1.0},
-        interpret=interpret)
+        interpret=interpret, range_scale=float(p.kernel.gamma))
     m = s["mask"]
     return {
         "rho": sums[0] * m, "rho_dh": sums[1] * m, "wcount": sums[2] * m,
@@ -76,8 +95,8 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 
 
 def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
-                  cosmo: CosmoFactors, interpret: bool = False
-                  ) -> Dict[str, jnp.ndarray]:
+                  cosmo: CosmoFactors, interpret: bool = False,
+                  engine: str = "packed") -> Dict[str, jnp.ndarray]:
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
@@ -89,6 +108,7 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     fields["av"] = _san(s, "alpha_visc", 0.0)
     order = list(fields)
     gamma2 = float(p.kernel.gamma2)
+    scal, getcf = _cosmo_binding(cosmo)
 
     def pair_fn(sf, nf, dx, r2, sc):
         h_i = sf("h")
@@ -96,14 +116,15 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
         t = p.mod.gradient_terms(
             p, dx, r2, sf("hinv"), nf("m"), dv, sf("u"), nf("u"),
-            nf("rhoinv"), sf("cs"), nf("cs"), nf("av"), _cosmo_from(sc))
+            nf("rhoinv"), sf("cs"), nf("cs"), nf("av"), getcf(sc))
         return ok, [t["sum"]["laplace_u"]], \
             [t["max"]["v_sig"], t["max"]["alpha_visc_max_ngb"]]
 
-    sums, maxes = pallas_pairs.pair_apply(
+    sums, maxes = ENGINES[engine](
         grid, fields, order, pair_fn, n_sum=1, n_max=2,
-        shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
-        pad_fills={"h": 1.0, "rho": 1.0}, interpret=interpret)
+        shifts_scale=grid.edge, scalars=scal,
+        pad_fills={"h": 1.0, "rho": 1.0}, interpret=interpret,
+        range_scale=float(p.kernel.gamma))
     m = s["mask"]
     return {
         "laplace_u": sums[0] * m,
@@ -114,8 +135,8 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 
 
 def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
-               cosmo: CosmoFactors, interpret: bool = False
-               ) -> Dict[str, jnp.ndarray]:
+               cosmo: CosmoFactors, interpret: bool = False,
+               engine: str = "packed") -> Dict[str, jnp.ndarray]:
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
@@ -136,6 +157,7 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     order = list(fields)
     gamma2 = float(p.kernel.gamma2)
     big_bin = float(stencil.NBIN_SENTINEL)
+    scal, getcf = _cosmo_binding(cosmo)
 
     def pair_fn(sf, nf, dx, r2, sc):
         h_i, h_j = sf("h"), nf("h")
@@ -149,7 +171,7 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
             sf("P"), nf("P"), sf("cs"), nf("cs"),
             sf("fgh"), nf("fgh"), sf("bal"), nf("bal"),
             sf("al"), nf("al"), sf("ad"), nf("ad"), sf("u"), nf("u"),
-            _cosmo_from(sc))
+            getcf(sc))
         sums = [t["sum"]["a_hydro0"], t["sum"]["a_hydro1"],
                 t["sum"]["a_hydro2"], t["sum"]["u_dt"], t["sum"]["h_dt"]]
         # min neighbour bin as a max of the negated bin (pair_apply only
@@ -157,11 +179,12 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         neg_tb = jnp.where(nf("tb") > 0, -nf("tb"), -jnp.float32(big_bin))
         return ok, sums, [t["max"]["v_sig"], neg_tb]
 
-    sums, maxes = pallas_pairs.pair_apply(
+    sums, maxes = ENGINES[engine](
         grid, fields, order, pair_fn, n_sum=5, n_max=2,
-        shifts_scale=grid.edge, scalars=_cosmo_scalars(cosmo),
+        shifts_scale=grid.edge, scalars=scal,
         pad_fills={"h": 1.0, "m": 1.0, "rho": 1.0, "P": 1.0},
-        interpret=interpret)
+        interpret=interpret, range_scale=float(p.kernel.gamma),
+        sym_range=True)
     m = s["mask"]
     min_tb = jnp.minimum(-maxes[1], jnp.float32(big_bin))
     return {
@@ -171,3 +194,32 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
         "min_ngb_time_bin": min_tb.astype(jnp.int32),
     }
+
+
+def timebin_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                 interpret: bool = False, engine: str = "flat"
+                 ) -> jnp.ndarray:
+    """Min time bin over active neighbours (stencil.timebin_loop) on a
+    Pallas pair engine — used by the limiter wake scan for backends whose
+    grid has no 27-stencil (the flat column layout)."""
+    fields = _common_fields(s)
+    fields["h"] = _san(s, "h")
+    fields["tb"] = s["time_bin"].astype(F32)
+    fields["act"] = s["active"]
+    order = list(fields)
+    gamma2 = float(p.kernel.gamma2)
+    big_bin = float(stencil.NBIN_SENTINEL)
+
+    def pair_fn(sf, nf, dx, r2, sc):
+        h_j = nf("h")
+        ok = (nf("act") > 0) & (r2 < gamma2 * h_j * h_j) & (nf("tb") > 0)
+        neg_tb = jnp.where(nf("tb") > 0, -nf("tb"), -jnp.float32(big_bin))
+        return ok, [], [neg_tb]
+
+    _, maxes = ENGINES[engine](
+        grid, fields, order, pair_fn, n_sum=0, n_max=1,
+        shifts_scale=grid.edge, pad_fills={"h": 1.0},
+        interpret=interpret, range_scale=float(p.kernel.gamma),
+        sym_range=True)
+    min_tb = jnp.minimum(-maxes[0], jnp.float32(big_bin))
+    return min_tb.astype(jnp.int32)

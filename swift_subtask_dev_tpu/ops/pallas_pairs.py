@@ -99,7 +99,9 @@ def pair_apply(grid: CellGrid,
                CB: int = 0,
                scalars: Sequence[jnp.ndarray] = (),
                pad_fills=None,
-               interpret: bool = False):
+               interpret: bool = False,
+               range_scale: float = 0.0,   # used by the flat engine only
+               sym_range: bool = False):
     """Run `pair_fn` over all cell pairs of the 27-stencil.
 
     pair_fn(self_f: name->(CB,KI,1), nbr_f: name->(CB,1,K), dx, r2, sc)

@@ -1,10 +1,16 @@
-"""Self-gravity solver: P3M = PM mesh (long range) + 27-stencil P2P.
+"""Self-gravity solver: PM mesh (long range) + P2P/FMM near field.
 
 The reference's gravity is FMM multipoles + PM mesh (runner_doiact_grav.c,
-mesh_gravity.c).  Here the near field below the mesh scale is direct P2P
-over the cell stencil (the multipole hierarchy's role is subsumed by
-choosing the gravity cell edge >= r_cut; batched M2L lands in a later
-round for very clustered cases).
+mesh_gravity.c).  Two regimes here, picked automatically from the grid:
+
+* **P3M** (cell edge >= r_cut): everything inside the 27-stencil is
+  direct P2P, everything beyond is mesh — valid when cells are coarse
+  enough that the stencil covers the short-range force.
+* **FMM + PM** (cell edge < r_cut — clustered volumes where r_cut-sized
+  cells would hold thousands of particles and the O(K^2) stencil blows
+  up): direct P2P only for separations |d|_inf <= 2, Cartesian
+  multipole M2L (ops/fmm.py) for 3 <= |d| out to r_cut, mesh beyond —
+  the uniform-grid flattening of the reference's FMM tree walk.
 
 All species bucketed on the same grid interact: gas-gas, gas-dm, dm-dm
 pairs all go through the same kernels.
@@ -19,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid.cellgrid import CellGrid
-from ..ops import p2p_gravity, pm_gravity
+from ..ops import fmm, p2p_gravity, pm_gravity
 
 F32 = jnp.float32
 
@@ -34,8 +40,10 @@ class GravityParams:
     a_smooth: float = 1.25
     r_cut_ratio: float = 4.5
     eta: float = 0.025           # Gravity:eta (timestep)
-    theta_cr: float = 0.7        # MAC opening angle (FMM; future use)
+    theta_cr: float = 0.7        # MAC opening angle (the uniform-grid FMM
+    # uses a fixed >=3-cell separation instead — see ops/fmm.py)
     periodic: bool = True
+    multipole_order: int = 5     # FMM expansion order (SWIFT_MULTIPOLE_ORDER)
 
     @property
     def H_soft(self) -> float:
@@ -52,10 +60,19 @@ class GravitySolver:
         self.pm = pm_gravity.PMMeshParams(
             N=gp.mesh_N, box=grid.box, a_smooth=gp.a_smooth,
             r_cut_max_ratio=gp.r_cut_ratio)
-        if gp.periodic and min(grid.edge) < self.pm.r_cut * (1 - 1e-6):
-            raise ValueError(
-                f"gravity cell edge {min(grid.edge):.4g} < r_cut "
-                f"{self.pm.r_cut:.4g}: increase mesh_N or coarsen the grid")
+        # regime selection: coarse cells -> pure P3M over the 27-stencil;
+        # fine cells -> FMM M2L bridges the 3-cell..r_cut band
+        self.use_fmm = (gp.periodic
+                        and min(grid.edge) < self.pm.r_cut * (1 - 1e-6))
+        if self.use_fmm:
+            if any(c < 5 for c in grid.cdim):
+                raise ValueError(
+                    f"FMM near field needs cdim >= 5 (have {grid.cdim}); "
+                    "coarsen the mesh or the grid")
+            self.fmm_offsets = fmm.far_offsets(grid, self.pm.r_cut)
+            self.fmm_T = fmm.build_t_matrices(
+                grid, self.fmm_offsets, gp.multipole_order,
+                gp.H_soft, self.pm.r_s)
         # cell corner positions (C, 3) — static constant for global pos
         self.corners = jnp.asarray(grid.cell_corners(), jnp.float32)
 
@@ -80,16 +97,32 @@ class GravitySolver:
         pp = p2p_gravity.p2p_accelerations(
             self.grid, species, gp.G, H_soft=gp.H_soft,
             r_s=self.pm.r_s if gp.periodic else 0.0,
-            periodic_truncation=gp.periodic)
+            periodic_truncation=gp.periodic,
+            radius=2 if self.use_fmm else 1)
+
+        # --- FMM far field (3-cell .. r_cut band) ----------------------------
+        fmm_each = None
+        if self.use_fmm:
+            p_ord = gp.multipole_order
+            M = fmm.p2m(self.grid, species, p_ord)
+            L = fmm.m2l(self.grid, M, self.fmm_offsets, self.fmm_T)
+            fmm_each = [fmm.l2p(self.grid, L, s, p_ord, gp.G)
+                        for s in species]
 
         outs = []
-        for s, pos, (acc_pp, pot_pp) in zip(species, pos_all, pp):
+        for i, (s, pos, (acc_pp, pot_pp)) in enumerate(
+                zip(species, pos_all, pp)):
             ax = pm_gravity.cic_gather(self.pm, acc_mesh[0], pos)
             ay = pm_gravity.cic_gather(self.pm, acc_mesh[1], pos)
             az = pm_gravity.cic_gather(self.pm, acc_mesh[2], pos)
             pot = pm_gravity.cic_gather(self.pm, phi, pos)
             a_pm = jnp.stack([ax, ay, az], -1) * s["mask"][..., None]
-            outs.append((acc_pp + a_pm, pot_pp + pot * s["mask"]))
+            acc = acc_pp + a_pm
+            ptot = pot_pp + pot * s["mask"]
+            if fmm_each is not None:
+                acc = acc + fmm_each[i][0]
+                ptot = ptot + fmm_each[i][1]
+            outs.append((acc, ptot))
         return outs
 
     def gas_gravity_fn(self):

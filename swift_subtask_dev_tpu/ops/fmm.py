@@ -80,6 +80,12 @@ def far_offsets(grid: CellGrid, r_cut: float, near_radius: int = 2
     e = np.asarray(grid.edge)
     diag = float(np.linalg.norm(e))
     dmax = [int(math.ceil(r_cut / ei)) + 1 for ei in e]
+    for ax, dm in enumerate(dmax):
+        if 2 * dm + 1 > grid.cdim[ax]:
+            raise ValueError(
+                f"M2L span {dm} cells exceeds half the grid on axis {ax} "
+                f"(cdim {grid.cdim[ax]}): rolled offsets would alias — "
+                f"use a finer mesh (smaller r_cut) or a coarser grid")
     out = []
     for dx in range(-dmax[0], dmax[0] + 1):
         for dy in range(-dmax[1], dmax[1] + 1):
@@ -112,7 +118,8 @@ def build_t_matrices(grid: CellGrid, offsets: np.ndarray, p: int,
     fns = [pot]
     for _ in range(p):
         fns.append(jax.jacfwd(fns[-1]))
-    R = jnp.asarray(offsets, F32) * jnp.asarray(grid.edge_arr, F32)
+    # m2l rolls give j = i + d, so the i-to-j separation is R = -d * edge
+    R = -jnp.asarray(offsets, F32) * jnp.asarray(grid.edge_arr, F32)
     with jax.default_device(jax.devices("cpu")[0]):
         Ds = [np.asarray(jax.vmap(f)(R)) for f in fns]   # rank-n tensors
 

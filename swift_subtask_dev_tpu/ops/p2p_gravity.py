@@ -86,10 +86,17 @@ def pot_truncation_factor(r2, r_s_inv):
     return jax.lax.erfc(0.5 * jnp.sqrt(r2) * r_s_inv)
 
 
+def stencil_offsets(radius: int):
+    """All integer separations with |d|_inf <= radius (27 at radius 1)."""
+    r = range(-radius, radius + 1)
+    return [(dx, dy, dz) for dx in r for dy in r for dz in r]
+
+
 def p2p_accelerations(grid: CellGrid,
                       species: Sequence[Dict[str, jnp.ndarray]],
                       G: float, H_soft: float,
-                      r_s: float = 0.0, periodic_truncation: bool = True):
+                      r_s: float = 0.0, periodic_truncation: bool = True,
+                      radius: int = 1):
     """Short-range gravity between all species bucketed on the same grid.
 
     species: list of dicts with keys mask, off, m — each (C, K_s) tiles on
@@ -104,6 +111,11 @@ def p2p_accelerations(grid: CellGrid,
     edge = grid.edge
     r_s_inv = 1.0 / r_s if r_s > 0 else 0.0
     H = jnp.float32(H_soft)
+    offsets = STENCIL_27 if radius == 1 else stencil_offsets(radius)
+    if any(c < 2 * radius + 1 for c in grid.cdim):
+        raise ValueError(
+            f"P2P stencil radius {radius} needs cdim >= {2 * radius + 1} "
+            f"per axis (have {grid.cdim}): offsets would alias")
 
     outs = []
     for si in species:
@@ -117,7 +129,7 @@ def p2p_accelerations(grid: CellGrid,
             off_j0 = _grid_view(grid, sj["off"])
             m_j0 = _grid_view(grid, sj["m"])
 
-            for d in STENCIL_27:
+            for d in offsets:
                 off_j = _roll(off_j0, d)
                 m_j = _bj(_roll(m_j0, d))
                 ok = (_bj(_roll(mask_j0, d)) > 0)

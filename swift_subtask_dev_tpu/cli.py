@@ -254,6 +254,20 @@ def main(argv=None) -> int:
         if args.verbose:
             print(f"init done in {wallclock.time()-t0:.1f}s")
 
+    # field selection (output_options.c) + output list (output_list.c)
+    from .io.output_options import (OutputList, apply_selection,
+                                    read_output_list, read_select_output)
+    select = None
+    if params.opt_int("Snapshots", "select_output_on", 0):
+        select = read_select_output(
+            params.get_string("Snapshots", "select_output"))
+    out_list = None
+    if params.opt_int("Snapshots", "output_list_on", 0):
+        _, listed = read_output_list(
+            params.get_string("Snapshots", "output_list"))
+        out_list = OutputList(listed)
+        out_list.advance_past(t_begin)
+
     def write_snap(i):
         fields = gas_state_to_fields(eng.grid, eng.state)
         pt = PTYPE_DM if dmo else PTYPE_GAS
@@ -261,11 +275,15 @@ def main(argv=None) -> int:
             fields.pop("InternalEnergies", None)
             fields.pop("SmoothingLengths", None)
             fields.pop("Densities", None)
+        parts_out = apply_selection({pt: fields}, select)
         write_snapshot(f"{snap_base}_{i:04d}.hdf5", tuple(box), eng.time,
-                       {pt: fields}, units=units,
+                       parts_out, units=units,
                        cosmo=cosmology, cells_cdim=eng.grid.cdim)
 
-    next_snap = t_begin + snap_dt if snap_dt > 0 else np.inf
+    if out_list is not None:
+        next_snap = out_list.next_time()
+    else:
+        next_snap = t_begin + snap_dt if snap_dt > 0 else np.inf
     next_stat = t_begin
     snap_i = 0
     max_steps = args.steps if args.steps > 0 else 10 ** 9
@@ -290,7 +308,11 @@ def main(argv=None) -> int:
         if eng.time >= next_snap:
             write_snap(snap_i)
             snap_i += 1
-            next_snap += snap_dt
+            if out_list is not None:
+                out_list.advance_past(eng.time)
+                next_snap = out_list.next_time()
+            else:
+                next_snap += snap_dt
         if policy.should_checkpoint() or policy.should_stop():
             rst.save_checkpoint(restart_base, eng.state,
                                 rst.engine_meta(eng))
@@ -338,13 +360,21 @@ def fof_main(argv=None) -> int:
     if box.size == 1:
         box = np.repeat(box, 3)
     # FOF runs on all gravitating particles (reference: gparts)
-    pos_all, pid_all = [], []
+    pos_all, pid_all, m_all, v_all = [], [], [], []
     for pt, fields in parts.items():
         if "Coordinates" in fields:
+            npt = len(fields["Coordinates"])
             pos_all.append(np.asarray(fields["Coordinates"], np.float64))
             pid_all.append(np.asarray(fields["ParticleIDs"]))
+            m_all.append(np.asarray(fields.get("Masses", np.ones(npt)),
+                                    np.float64))
+            v_all.append(np.asarray(fields.get("Velocities",
+                                               np.zeros((npt, 3))),
+                                    np.float64))
     pos = np.concatenate(pos_all)
     pids = np.concatenate(pid_all)
+    masses = np.concatenate(m_all)
+    vels = np.concatenate(v_all)
     n = len(pos)
 
     ell = args.linking_length
@@ -356,19 +386,28 @@ def fof_main(argv=None) -> int:
     f, mask, off, nov = bucket_fields(
         grid, jnp.asarray(pos),
         {"pid": jnp.asarray(pids.astype(np.int64) & 0x7FFFFFFF,
-                            jnp.int32)})
+                            jnp.int32),
+         "m": jnp.asarray(masses, jnp.float32),
+         "v": jnp.asarray(vels, jnp.float32)})
     if int(nov):
         print(f"warning: {int(nov)} particles overflowed cells",
               file=sys.stderr)
     labels, nsweeps = fof_labels(grid, mask, off, ell)
+    corners = grid.cell_corners()
+    pos_tiled = np.mod(corners[:, None, :] + np.asarray(off), box)
     cat = group_catalogue(np.asarray(labels), np.asarray(mask),
-                          min_size=args.min_size)
+                          min_size=args.min_size,
+                          m=np.asarray(f["m"]), pos=pos_tiled,
+                          v=np.asarray(f["v"]), box=box)
     valid = np.asarray(mask).reshape(-1) > 0
     gid = cat["group_id"].reshape(-1)[valid]
     pid_out = np.asarray(f["pid"]).reshape(-1)[valid]
     with h5py.File(args.output, "w") as fo:
         g = fo.create_group("Groups")
         g.create_dataset("GroupSizes", data=cat["group_sizes"])
+        g.create_dataset("Masses", data=cat["group_mass"])
+        g.create_dataset("Centres", data=cat["group_com"])
+        g.create_dataset("Velocities", data=cat["group_vel"])
         g.attrs["NumGroups"] = cat["n_groups"]
         g.attrs["LinkingLength"] = ell
         p = fo.create_group("Particles")

@@ -420,9 +420,9 @@ class MultiEngine(Engine):
                  cooling_fn: Optional[Callable] = None,
                  star_formation=None, entropy_floor=None,
                  feedback=None):
-        if cfg.backend == "gather":
-            # the multi-species step doesn't carry candidate lists yet;
-            # fall back to the roll-stencil until the gather path lands here
+        if cfg.backend in ("gather", "flat"):
+            # the multi-species step doesn't carry candidate lists / the
+            # column layout yet; fall back to the roll-stencil here
             import dataclasses
             cfg = dataclasses.replace(cfg, backend="xla")
         super().__init__(grid, sph, cfg, time_begin, time_end,

@@ -81,30 +81,77 @@ def fof_labels(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
 
 
 def group_catalogue(labels: np.ndarray, mask: np.ndarray,
-                    min_size: int = 20) -> Dict[str, np.ndarray]:
+                    min_size: int = 20,
+                    m: np.ndarray = None, pos: np.ndarray = None,
+                    v: np.ndarray = None, box=None,
+                    seed_halo_mass: float = 0.0) -> Dict[str, np.ndarray]:
     """Host-side: renumber labels by group size, build the catalogue.
 
     Returns dict with group_id per slot (-1 below min_size / empty),
-    group_sizes (descending).  The analog of fof.c's group props +
-    fof_catalogue_io.c.
+    group_sizes (descending) and — when m/pos[/v] are given — per-group
+    masses, periodic-aware centres of mass and mean velocities, the
+    analog of fof.c's group props + fof_catalogue_io.c.  With
+    ``seed_halo_mass`` > 0 also returns the groups eligible for black
+    hole seeding (fof.c: groups above FOF:black_hole_seed_halo_mass that
+    the BH model turns into new particles at the densest gas location).
     """
     flat = labels.reshape(-1)
     valid = mask.reshape(-1) > 0
     ids, inverse, counts = np.unique(flat[valid], return_inverse=True,
                                      return_counts=True)
-    order = np.argsort(-counts)
+    order = np.argsort(-counts, kind="stable")
     rank_of = np.full(len(ids), -1, np.int64)
-    kept = 0
-    for r, gi in enumerate(order):
-        if counts[gi] >= min_size:
-            rank_of[gi] = r
-            kept += 1
-        else:
-            rank_of[gi] = -1
+    keep = counts >= min_size
+    n_groups = int(keep.sum())
+    rank = 0
+    for gi in order:
+        if keep[gi]:
+            rank_of[gi] = rank
+            rank += 1
     group_id = np.full(flat.shape, -1, np.int64)
     group_id[valid] = rank_of[inverse]
-    return {
+    out = {
         "group_id": group_id.reshape(labels.shape),
-        "group_sizes": np.sort(counts[counts >= min_size])[::-1],
-        "n_groups": int((counts >= min_size).sum()),
+        "group_sizes": np.sort(counts[keep])[::-1],
+        "n_groups": n_groups,
     }
+    if m is None or n_groups == 0:
+        if m is not None:
+            out.update(group_mass=np.zeros(0),
+                       group_com=np.zeros((0, 3)),
+                       group_vel=np.zeros((0, 3)))
+        return out
+
+    gid_v = rank_of[inverse]                     # (n_valid,) group rank
+    sel = gid_v >= 0
+    g = gid_v[sel]
+    mm = np.asarray(m).reshape(-1)[valid][sel].astype(np.float64)
+    mass = np.bincount(g, weights=mm, minlength=n_groups)
+    out["group_mass"] = mass
+
+    if pos is not None:
+        pp = np.asarray(pos).reshape(-1, 3)[valid][sel].astype(np.float64)
+        bx = np.asarray(box, np.float64) if box is not None else None
+        # periodic CoM: wrap every member to the minimum image around the
+        # group's first particle (fof.c accumulates with box wrapping)
+        first = np.zeros((n_groups, 3))
+        ug, first_idx = np.unique(g, return_index=True)
+        first[ug] = pp[first_idx]
+        rel = pp - first[g]
+        if bx is not None:
+            rel -= bx * np.round(rel / bx)
+        com = np.stack([np.bincount(g, weights=mm * rel[:, k],
+                                    minlength=n_groups)
+                        for k in range(3)], axis=1) / mass[:, None]
+        com = com + first
+        if bx is not None:
+            com = np.mod(com, bx)
+        out["group_com"] = com
+    if v is not None:
+        vv = np.asarray(v).reshape(-1, 3)[valid][sel].astype(np.float64)
+        out["group_vel"] = np.stack(
+            [np.bincount(g, weights=mm * vv[:, k], minlength=n_groups)
+             for k in range(3)], axis=1) / mass[:, None]
+    if seed_halo_mass > 0:
+        out["seed_groups"] = np.where(mass >= seed_halo_mass)[0]
+    return out

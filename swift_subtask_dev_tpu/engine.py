@@ -1236,9 +1236,12 @@ class DMEngine(Engine):
     def step(self):
         t = self.timeline
         ti_next = self._ti_end_min
-        dt_drift = (ti_next - t.ti_current) * t.time_base
+        ti_old = t.ti_current
+        dt_drift = (ti_next - ti_old) * t.time_base
         t.ti_current = ti_next
-        T = self._tables(dt_drift=dt_drift)
+        # ti_drift_start makes cosmological runs use the proper
+        # int dt/a^2 drift factor instead of the raw Delta(log a)
+        T = self._tables(dt_drift=dt_drift, ti_drift_start=ti_old)
         self.state, diag = _JIT_DM_STEP(
             self.grid, self.cfg, self.gravity_fn, self.eps_soft,
             self.state, T)

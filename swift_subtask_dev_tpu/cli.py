@@ -229,13 +229,23 @@ def main(argv=None) -> int:
                            with_self_gravity=args.self_gravity,
                            with_timestep_limiter=args.limiter,
                            backend=args.backend)
+        mesh_fn = None
+        mesh_dt_scale = 0.0
         if args.self_gravity:
             solver = GravitySolver(gp, grid)
-            gravity_fn = solver.gas_gravity_fn()
             cfg = dataclasses.replace(cfg, p2p_reach=solver.pm.r_cut)
+            if params.opt_int("Gravity", "split_mesh_kicks", 1):
+                # reference default: the PM field lives on its own
+                # timestep (kick.h:255, engine.c:2406)
+                gravity_fn = solver.gas_short_range_fn()
+                mesh_fn = solver.gas_mesh_fn()
+                mesh_dt_scale = solver.pm.r_s
+            else:
+                gravity_fn = solver.gas_gravity_fn()
 
         eng = Engine(grid, sph, cfg, t_begin, t_end,
-                     gravity_fn=gravity_fn, cosmology=cosmology)
+                     gravity_fn=gravity_fn, cosmology=cosmology,
+                     mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
         eng.load_particles(
             pos, np.asarray(gas["Masses"], np.float32),
             np.asarray(gas["Velocities"], np.float32),

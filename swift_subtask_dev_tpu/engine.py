@@ -383,7 +383,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     active = mask_b & T.active[tb]
 
     # --- drift all (drift.h:144 drift_part) --------------------------------
-    a_tot = s["a_hydro"] + s["a_grav"]
+    a_tot = s["a_hydro"] + s["a_grav"] + s["a_grav_mesh"]
     s = {**s,
          "off": s["off"] + s["v_full"] * T.dt_drift * s["mask"][..., None],
          "v": s["v"] + a_tot * T.dt_drift}
@@ -527,7 +527,8 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     dt_h = p.mod.timestep_h_change_limit(p, s)
     new_dt = jnp.minimum(dt_cfl, dt_h)
     if cfg.with_self_gravity or cfg.with_external_gravity:
-        a_norm = jnp.sqrt(jnp.sum((s["a_hydro"] + s["a_grav"]) ** 2, -1))
+        a_norm = jnp.sqrt(jnp.sum(
+            (s["a_hydro"] + s["a_grav"] + s["a_grav_mesh"]) ** 2, -1))
         eps = s.get("softening", jnp.full_like(new_dt, 1e-3))
         dt_grav = jnp.sqrt(2.0 * cfg.eta_grav * eps
                            / jnp.maximum(a_norm, 1e-30))
@@ -621,8 +622,18 @@ class Engine:
                  cfg: EngineConfig, time_begin: float, time_end: float,
                  cosmo: Optional[CosmoFactors] = None,
                  gravity_fn: Optional[Callable] = None,
-                 cosmology=None, cooling_fn: Optional[Callable] = None):
+                 cosmology=None, cooling_fn: Optional[Callable] = None,
+                 mesh_fn: Optional[Callable] = None,
+                 mesh_dt_scale: float = 0.0):
         self.cooling_fn = cooling_fn
+        # split PM mesh: when mesh_fn is given, gravity_fn must be the
+        # short-range part only; the mesh field lives on its own longer
+        # timestep with separate kicks (kick.h:255, engine.c:2406 ti_mesh)
+        self.mesh_fn = mesh_fn
+        self.mesh_dt_scale = float(mesh_dt_scale)
+        self.ti_mesh_end = None
+        self.ti_mesh_mid = None
+        self.n_mesh_updates = 0
         self.grid = grid
         self.sph = sph
         self.cfg = cfg
@@ -693,6 +704,7 @@ class Engine:
             "soundspeed": z(), "balsara": z(),
             "alpha_visc_max_ngb": z(), "a_hydro": z3(), "h_dt": z(),
             "a_grav": z3(), "a_grav_mesh": z3(), "pot": z(),
+            "pot_mesh": z(),
             "time_bin": jnp.zeros((C, K), I32),
             "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
             "drift_accum": jnp.float32(0.0),
@@ -707,12 +719,63 @@ class Engine:
                 nbr_maxcount=jnp.int32(0))
         self.n_particles = n
 
+    # --- split PM-mesh timestep (kick.h:255, engine.c:2406) ----------------
+    def _kick_fac(self, lo: int, hi: int) -> float:
+        c = self.cosmology
+        if c is None:
+            return (hi - lo) * self.timeline.time_base
+        return float(c.grav_kick_factor(lo, hi))
+
+    def _pick_mesh_dti(self, amax: float) -> int:
+        """Largest aligned power-of-2 interval under the mesh timestep
+        dt = sqrt(2 eta r_s / |a_mesh|max) (get_mesh_timestep analog)."""
+        t = self.timeline
+        c = self.cosmology
+        ti = t.ti_current
+        L = self.mesh_dt_scale if self.mesh_dt_scale > 0 else 1e-3
+        dt = float(np.sqrt(2.0 * self.cfg.eta_grav * L
+                           / max(amax, 1e-30)))
+        dt = min(dt, self.cfg.dt_max)   # global ceiling, like any bin
+        b = 1
+        while b < NBINS:
+            dti_n = tl.get_integer_timestep(b + 1)
+            if ti % dti_n:
+                break
+            if c is None:
+                if dti_n * t.time_base > dt:
+                    break
+            else:
+                if c.delta_time(ti, min(ti + dti_n,
+                                        tl.MAX_NR_TIMESTEPS)) > dt:
+                    break
+            b += 1
+        return tl.get_integer_timestep(b)
+
+    def _mesh_boundary(self):
+        """Close the old mesh half-kick, recompute the PM field, size the
+        next mesh step and open its first half-kick."""
+        t = self.timeline
+        ti = t.ti_current
+        dt_close = (0.0 if self.ti_mesh_mid is None
+                    else self._kick_fac(self.ti_mesh_mid, ti))
+        self.state, amax = _JIT_MESH(self.mesh_fn, self.state,
+                                     jnp.float32(dt_close),
+                                     jnp.float32(0.0))
+        dti = self._pick_mesh_dti(float(amax))
+        self.ti_mesh_end = min(ti + dti, tl.MAX_NR_TIMESTEPS)
+        self.ti_mesh_mid = min(ti + dti // 2, tl.MAX_NR_TIMESTEPS)
+        dt_open = self._kick_fac(ti, self.ti_mesh_mid)
+        self.state = _JIT_MESH_OPEN(self.state, jnp.float32(dt_open))
+        self.n_mesh_updates += 1
+
     def init_particles(self):
         """First density/ghost/force pass + initial bins + first kick1.
 
         Mirrors engine_init_particles (engine.c:1893): a density-only
         launch, then a fake 0th step computing forces and timesteps.
         """
+        if self.mesh_fn is not None:
+            self._mesh_boundary()
         T = self._tables()
 
         def init_once():
@@ -858,6 +921,10 @@ class Engine:
         """Advance to the next ti_end_min (engine_step, engine.c:2245)."""
         t = self.timeline
         ti_next = self._ti_end_min
+        if self.mesh_fn is not None:
+            if self.ti_mesh_end is None:    # e.g. resumed run
+                self._mesh_boundary()
+            ti_next = min(ti_next, self.ti_mesh_end)
         ti_old = t.ti_current
         dt_drift = (ti_next - ti_old) * t.time_base
         t.ti_current = ti_next
@@ -872,6 +939,8 @@ class Engine:
                 self.cosmo, self.state, T, self.cooling_fn)
         self._post_step(diag)
         self.step_count += 1
+        if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:
+            self._mesh_boundary()
         return diag
 
     def _post_step(self, diag):
@@ -902,6 +971,9 @@ class Engine:
         """Advance n_steps with the global fixed timestep (= dt_max),
         batching per_launch steps per device launch.  Requires dt_max below
         every particle's CFL limit; raises if any particle disagrees."""
+        if self.mesh_fn is not None:
+            raise RuntimeError("run_fixed_dt does not drive the split "
+                               "mesh timestep; use step()/run()")
         t = self.timeline
         # everyone must already be in max_bin
         T = self._tables()
@@ -1157,6 +1229,32 @@ def _dm_init(grid, cfg, gravity_fn, eps_soft, s, T):
 _JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3, 7))
 _JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))
 _JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4, 8))
+
+def _mesh_update(mesh_fn, s, dt_close, dt_open):
+    """Separate PM-mesh kick at a mesh-step boundary (kick.h:255).
+
+    Closes the previous mesh half-kick with the OLD field, recomputes the
+    mesh field, opens the next half-kick with the NEW one.  Returns the
+    updated state and max |a_mesh| (the host sizes the next mesh step
+    from it, engine.c:2406 ti_mesh logic).
+    """
+    mb = s["mask"][..., None]
+    v = s["v_full"] + s["a_grav_mesh"] * (dt_close * mb)
+    acc_new, pot_new = mesh_fn({**s, "v_full": v})
+    v = v + acc_new * (dt_open * mb)
+    amax = jnp.max(jnp.sqrt(jnp.sum(acc_new * acc_new, -1)))
+    return {**s, "v_full": v, "a_grav_mesh": acc_new * mb,
+            "pot_mesh": pot_new * s["mask"]}, amax
+
+
+def _mesh_open(s, dt):
+    mb = s["mask"][..., None]
+    return {**s, "v_full": s["v_full"] + s["a_grav_mesh"] * (dt * mb)}
+
+
+_JIT_MESH = jax.jit(_mesh_update, static_argnums=(0,))
+_JIT_MESH_OPEN = jax.jit(_mesh_open)
+
 
 # Non-cosmological fast path: the identity cosmology factors ride as
 # python-float literals so XLA/Mosaic fold every a/H multiplication at

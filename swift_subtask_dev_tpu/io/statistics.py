@@ -54,8 +54,11 @@ def species_statistics(grid, s: Dict) -> Dict[str, jnp.ndarray]:
     e_kin = 0.5 * jnp.sum(m * jnp.sum(v * v, axis=-1))
     e_int = (jnp.sum(m * jnp.where(mask > 0, s["u_full"], 0.0))
              if "u_full" in s else jnp.float32(0.0))
-    e_pot = (0.5 * jnp.sum(m * jnp.where(mask > 0, s["pot"], 0.0))
-             if "pot" in s else jnp.float32(0.0))
+    pot = s.get("pot", None)
+    if pot is not None and "pot_mesh" in s:
+        pot = pot + s["pot_mesh"]     # split-mesh runs carry the PM part
+    e_pot = (0.5 * jnp.sum(m * jnp.where(mask > 0, pot, 0.0))
+             if pot is not None else jnp.float32(0.0))
     mom = jnp.sum(m[..., None] * v, axis=(0, 1))
     ang = jnp.sum(m[..., None] * jnp.cross(x, v), axis=(0, 1))
     total_m = jnp.sum(m)

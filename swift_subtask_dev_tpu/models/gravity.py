@@ -80,6 +80,63 @@ class GravitySolver:
         """(C, K, 3) absolute positions from tiled offsets (f32)."""
         return self.corners[:, None, :] + s["off"]
 
+    def mesh_accelerations(self, species: Sequence[Dict]) -> List:
+        """PM long-range only: [(acc_mesh (C,K,3), pot_mesh (C,K)), ...].
+
+        Split out so the engine can update the mesh field on its own
+        (longer) timestep, like the reference's separate mesh kicks
+        (kick.h:255 kick_gpart mesh terms, engine.c:2406 ti_mesh)."""
+        gp = self.gp
+        pos_all = [self.positions_of(s) for s in species]
+        m_all = [s["m"] * s["mask"] for s in species]
+        grid_mass = 0.0
+        for pos, m in zip(pos_all, m_all):
+            grid_mass = grid_mass + pm_gravity.cic_deposit(self.pm, pos, m)
+        phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
+        acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
+        outs = []
+        for s, pos in zip(species, pos_all):
+            ax = pm_gravity.cic_gather(self.pm, acc_mesh[0], pos)
+            ay = pm_gravity.cic_gather(self.pm, acc_mesh[1], pos)
+            az = pm_gravity.cic_gather(self.pm, acc_mesh[2], pos)
+            pot = pm_gravity.cic_gather(self.pm, phi, pos)
+            outs.append((jnp.stack([ax, ay, az], -1)
+                         * s["mask"][..., None], pot * s["mask"]))
+        return outs
+
+    def short_range_accelerations(self, species: Sequence[Dict]) -> List:
+        """Near-field only (P2P + FMM band): [(acc, pot), ...]."""
+        gp = self.gp
+        pp = p2p_gravity.p2p_accelerations(
+            self.grid, species, gp.G, H_soft=gp.H_soft,
+            r_s=self.pm.r_s if gp.periodic else 0.0,
+            periodic_truncation=gp.periodic,
+            radius=2 if self.use_fmm else 1)
+        if not self.use_fmm:
+            return [(a, p) for (a, p) in pp]
+        p_ord = gp.multipole_order
+        M = fmm.p2m(self.grid, species, p_ord)
+        L = fmm.m2l(self.grid, M, self.fmm_offsets, self.fmm_T)
+        outs = []
+        for s, (acc_pp, pot_pp) in zip(species, pp):
+            af, pf = fmm.l2p(self.grid, L, s, p_ord, gp.G)
+            outs.append((acc_pp + af, pot_pp + pf))
+        return outs
+
+    def gas_short_range_fn(self):
+        """Near-field gravity_fn for an engine running split mesh kicks."""
+        def fn(s: Dict):
+            [(acc, pot)] = self.short_range_accelerations([s])
+            return acc, pot
+        return fn
+
+    def gas_mesh_fn(self):
+        """mesh_fn hook: (acc_mesh, pot_mesh) for the gas state."""
+        def fn(s: Dict):
+            [(acc, pot)] = self.mesh_accelerations([s])
+            return acc, pot
+        return fn
+
     def accelerations(self, species: Sequence[Dict]) -> List:
         """P3M accelerations + potentials for each species dict
         (mask/off/m).  Returns [(acc (C,K,3), pot (C,K)), ...]."""

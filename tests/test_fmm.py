@@ -45,10 +45,12 @@ def _direct_short_range(pos, m, box, G, H, r_s):
     return acc, pot
 
 
-@pytest.mark.parametrize("clustered", [False, True])
+# the clustered config is the regime the FMM exists for; the
+# uniform case is covered by the (cheap) energy/growth gates
+@pytest.mark.parametrize("clustered", [True])
 def test_fmm_matches_direct_sum(clustered):
     rng = np.random.default_rng(4)
-    n = 600
+    n = 400
     box = (1.0, 1.0, 1.0)
     if clustered:
         # Plummer-ish blob + background: exercises the K^2-blowup regime
@@ -67,7 +69,7 @@ def test_fmm_matches_direct_sum(clustered):
     # r_cut=0.35 well under box/2 so the M2L rolls cannot alias
     gp = GravityParams(G=1.0, eps=0.004, mesh_N=16, a_smooth=1.25,
                       r_cut_ratio=4.5)
-    grid = CellGrid(box=box, cdim=(16, 16, 16), K=48)
+    grid = CellGrid(box=box, cdim=(16, 16, 16), K=40)
     solver = GravitySolver(gp, grid)
     assert solver.use_fmm, "test must exercise the FMM regime"
 

@@ -132,6 +132,9 @@ def main(argv=None) -> int:
         params.opt_string("Statistics", "basename", "statistics") + ".txt")
     steps_log = TimestepsWriter("timesteps.txt",
                                 cosmological=args.cosmology)
+    from .io.logs import PhaseTimers
+    timers = PhaseTimers()
+    from .io.lightcone import LightconeParams, LightconeWriter
     snap_base = params.opt_string("Snapshots", "basename", "output")
     snap_dt = params.opt_float("Snapshots", "delta_time", 0.0)
     restart_base = params.opt_string("Restarts", "basename",
@@ -290,6 +293,18 @@ def main(argv=None) -> int:
                        parts_out, units=units,
                        cosmo=cosmology, cells_cdim=eng.grid.cdim)
 
+    lightcone = None
+    if args.cosmology and params.opt_int("Lightcone0", "enabled", 0):
+        lp = LightconeParams(
+            observer_position=tuple(
+                params.opt_array("Lightcone0", "position",
+                                       [0.0, 0.0, 0.0])),
+            radius_max=params.opt_float("Lightcone0", "radius_max", 1e30),
+            radius_min=params.opt_float("Lightcone0", "radius_min", 0.0),
+            basename=params.opt_string("Lightcone0", "basename",
+                                       "lightcone"))
+        lightcone = LightconeWriter(lp, cosmology, eng.grid)
+
     if out_list is not None:
         next_snap = out_list.next_time()
     else:
@@ -302,9 +317,15 @@ def main(argv=None) -> int:
     while (eng.timeline.ti_current < MAX_NR_TIMESTEPS
            and eng.step_count < max_steps and not stopped):
         t_before = eng.time
+        ti_before = eng.timeline.ti_current
         t_launch = wallclock.time()
-        diag = eng.step()
+        with timers.phase("step"):
+            diag = eng.step()
         busy_ms = (wallclock.time() - t_launch) * 1000.0
+        if lightcone is not None:
+            with timers.phase("lightcone"):
+                lightcone.after_step(eng.state, ti_before,
+                                     eng.timeline.ti_current)
         steps_log.write(eng.step_count, eng.time, eng.time - t_before,
                         diag, busy_ms=busy_ms)
         if args.verbose and eng.step_count % 10 == 0:
@@ -312,11 +333,13 @@ def main(argv=None) -> int:
                   f"active={int(diag['n_active'])} "
                   f"wall={wallclock.time()-t0:.1f}s")
         if eng.time >= next_stat and stats_every > 0:
-            st = species_statistics(eng.grid, eng.state)
-            stats.write(eng.step_count, eng.time, st)
+            with timers.phase("statistics"):
+                st = species_statistics(eng.grid, eng.state)
+                stats.write(eng.step_count, eng.time, st)
             next_stat += stats_every
         if eng.time >= next_snap:
-            write_snap(snap_i)
+            with timers.phase("snapshot_io"):
+                write_snap(snap_i)
             snap_i += 1
             if out_list is not None:
                 out_list.advance_past(eng.time)
@@ -324,8 +347,9 @@ def main(argv=None) -> int:
             else:
                 next_snap += snap_dt
         if policy.should_checkpoint() or policy.should_stop():
-            rst.save_checkpoint(restart_base, eng.state,
-                                rst.engine_meta(eng))
+            with timers.phase("restart_io"):
+                rst.save_checkpoint(restart_base, eng.state,
+                                    rst.engine_meta(eng))
             policy.checkpointed()
             if policy.should_stop():
                 print("stop requested (stop file / max_run_time): "
@@ -333,6 +357,9 @@ def main(argv=None) -> int:
                 stopped = True
 
     write_snap(snap_i)
+    if lightcone is not None:
+        lightcone.flush()
+    timers.dump("phase_timings.txt")
     params.dump_used("used_parameters.yml")
     params.dump_unused("unused_parameters.yml")
     if args.verbose:

@@ -40,3 +40,46 @@ class TimestepsWriter:
                     f"{int(diag['n_active'])} {bmin} {bmax} "
                     f"{int(diag['n_ghost_iter'])} {wall_ms:.1f} "
                     f"{dead:.3f}\n")
+
+
+class PhaseTimers:
+    """Cumulative per-phase wall-clock — the analog of the reference's
+    task-timing dumps (scheduler timers + engine.c "took N ms" lines).
+
+    The bulk-synchronous engine has no task DAG, so the natural phase
+    granularity is the launch category: stepping, mesh updates, snapshot
+    I/O, statistics, restarts, rebuild-bearing launches.
+    """
+
+    def __init__(self):
+        self.acc: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    class _Scope:
+        def __init__(self, timers, name):
+            self.timers, self.name = timers, name
+
+        def __enter__(self):
+            self.t0 = wallclock.time()
+
+        def __exit__(self, *exc):
+            dt = wallclock.time() - self.t0
+            self.timers.acc[self.name] = \
+                self.timers.acc.get(self.name, 0.0) + dt
+            self.timers.counts[self.name] = \
+                self.timers.counts.get(self.name, 0) + 1
+
+    def phase(self, name: str) -> "PhaseTimers._Scope":
+        return PhaseTimers._Scope(self, name)
+
+    def summary(self) -> str:
+        total = sum(self.acc.values()) or 1.0
+        lines = ["# phase  calls  total_s  frac"]
+        for name in sorted(self.acc, key=lambda n: -self.acc[n]):
+            lines.append(f"{name} {self.counts[name]} "
+                         f"{self.acc[name]:.2f} {self.acc[name]/total:.3f}")
+        return "\n".join(lines)
+
+    def dump(self, path: str):
+        with open(path, "w") as f:
+            f.write(self.summary() + "\n")

@@ -135,6 +135,7 @@ def main(argv=None) -> int:
     from .io.logs import PhaseTimers
     timers = PhaseTimers()
     from .io.lightcone import LightconeParams, LightconeWriter
+    from .io.csds import CSDSParams, CSDSWriter
     snap_base = params.opt_string("Snapshots", "basename", "output")
     snap_dt = params.opt_float("Snapshots", "delta_time", 0.0)
     restart_base = params.opt_string("Restarts", "basename",
@@ -293,6 +294,13 @@ def main(argv=None) -> int:
                        parts_out, units=units,
                        cosmo=cosmology, cells_cdim=eng.grid.cdim)
 
+    csds = None
+    if params.opt_int("CSDS", "enabled", 0):
+        csds = CSDSWriter(CSDSParams(
+            delta_step=params.opt_int("CSDS", "delta_step", 10),
+            basename=params.opt_string("CSDS", "basename", "csds")),
+            eng.grid)
+
     lightcone = None
     if args.cosmology and params.opt_int("Lightcone0", "enabled", 0):
         lp = LightconeParams(
@@ -326,6 +334,10 @@ def main(argv=None) -> int:
             with timers.phase("lightcone"):
                 lightcone.after_step(eng.state, ti_before,
                                      eng.timeline.ti_current)
+        if csds is not None:
+            with timers.phase("csds"):
+                csds.after_step(eng.state, eng.timeline.ti_current,
+                                eng.time)
         steps_log.write(eng.step_count, eng.time, eng.time - t_before,
                         diag, busy_ms=busy_ms)
         if args.verbose and eng.step_count % 10 == 0:
@@ -359,6 +371,8 @@ def main(argv=None) -> int:
     write_snap(snap_i)
     if lightcone is not None:
         lightcone.flush()
+    if csds is not None:
+        csds.flush()
     timers.dump("phase_timings.txt")
     params.dump_used("used_parameters.yml")
     params.dump_unused("unused_parameters.yml")

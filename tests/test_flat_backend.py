@@ -82,3 +82,30 @@ def test_engine_trajectory_matches(setup):
         a = _perpid(sx, sx[k])
         b = _perpid(sf, sf[k])
         assert np.max(np.abs(a - b) / (np.abs(a) + 1e-10)) < 1e-3, k
+
+
+def test_timebin_loop_matches_stencil(setup):
+    """The limiter wake scan on the flat engine (hydro_pallas.timebin_loop)
+    agrees with the stencil version per particle."""
+    import jax.numpy as jnp
+    from swift_subtask_dev_tpu.ops import stencil as st
+
+    ic, P, grid3, gridF, state_for = setup
+    s3 = state_for(grid3, "xla")
+    sF = state_for(gridF, "flat")
+    rng = np.random.default_rng(3)
+
+    def sub_for(s):
+        pid = np.asarray(s["pid"])
+        # deterministic per-pid bins/active flags so both layouts agree
+        tb = (pid % 5 + 30) * (np.asarray(s["mask"]) > 0)
+        act = ((pid % 3) == 0) & (np.asarray(s["mask"]) > 0)
+        return {"mask": s["mask"], "off": s["off"], "h": s["h"],
+                "time_bin": jnp.asarray(tb, jnp.int32),
+                "active": jnp.asarray(act, jnp.float32)}
+
+    m3 = st.timebin_loop(grid3, sub_for(s3), P)
+    mF = hydro_pallas.timebin_loop(gridF, sub_for(sF), P, engine="flat")
+    a = _perpid(s3, np.asarray(m3))
+    b = _perpid(sF, np.asarray(mF))
+    assert np.array_equal(a, b)

@@ -42,11 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="resume from the checkpoint in Restarts:basename")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debugging)")
-    ap.add_argument("--backend", default="xla",
+    ap.add_argument("--backend", default="flat",
                     choices=["flat", "gather", "pallas", "pallas_ring",
                              "xla"],
-                    help="neighbour-loop backend ('flat' = the fast "
-                         "column/z-sorted Pallas engine, hydro-only runs)")
+                    help="neighbour-loop backend; default 'flat' (the "
+                         "column/z-sorted Pallas engine — the fast path; "
+                         "self-gravity runs fall back to 'xla')")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
 

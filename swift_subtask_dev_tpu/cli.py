@@ -163,15 +163,26 @@ def main(argv=None) -> int:
             print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
         solver = GravitySolver(gp, grid)
 
-        def gfn(s):
-            [(acc, pot)] = solver.accelerations([s])
-            return acc, pot
+        if params.opt_int("Gravity", "split_mesh_kicks", 1):
+            def gfn(s):
+                [(acc, pot)] = solver.short_range_accelerations([s])
+                return acc, pot
+
+            def mfn(s):
+                [(acc, pot)] = solver.mesh_accelerations([s])
+                return acc, pot
+            mesh_kw = dict(mesh_fn=mfn, mesh_dt_scale=solver.pm.r_s)
+        else:
+            def gfn(s):
+                [(acc, pot)] = solver.accelerations([s])
+                return acc, pot
+            mesh_kw = {}
 
         eng = DMEngine(grid, EngineConfig(dt_min=dt_min, dt_max=dt_max,
                                           eta_grav=gp.eta,
                                           p2p_reach=solver.pm.r_cut),
                        t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
-                       cosmology=cosmology)
+                       cosmology=cosmology, **mesh_kw)
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))

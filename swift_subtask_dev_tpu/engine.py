@@ -1130,8 +1130,9 @@ def _dm_kdk(cfg: EngineConfig, eps_soft: float, s: Dict, T: StepTables,
     v_full = s["v_full"] + s["a_grav"] * dt_k2[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
 
-    # timestep: dt = sqrt(2 eta eps / |a|)
-    a_norm = jnp.sqrt(jnp.sum(s["a_grav"] ** 2, -1))
+    # timestep: dt = sqrt(2 eta eps / |a|) (incl. the split-mesh part)
+    a_norm = jnp.sqrt(jnp.sum(
+        (s["a_grav"] + s.get("a_grav_mesh", 0.0)) ** 2, -1))
     new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
                       / jnp.maximum(a_norm, 1e-30))
     new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
@@ -1293,11 +1294,14 @@ class DMEngine(Engine):
 
     def __init__(self, grid, cfg: EngineConfig, time_begin, time_end,
                  gravity_fn: Callable, eps_soft: float,
-                 cosmo=None, cosmology=None):
+                 cosmo=None, cosmology=None,
+                 mesh_fn: Optional[Callable] = None,
+                 mesh_dt_scale: float = 0.0):
         from .models.sph.sphenix import SPHENIXParams
         super().__init__(grid, SPHENIXParams(), cfg, time_begin, time_end,
                          cosmo=cosmo, gravity_fn=gravity_fn,
-                         cosmology=cosmology)
+                         cosmology=cosmology, mesh_fn=mesh_fn,
+                         mesh_dt_scale=mesh_dt_scale)
         self.eps_soft = float(eps_soft)
 
     def load_dm(self, pos, m, v, pid=None):
@@ -1317,13 +1321,17 @@ class DMEngine(Engine):
         self.state = {
             "mask": mask, "off": off, **out,
             "a_grav": jnp.zeros((C, K, 3), F32),
+            "a_grav_mesh": jnp.zeros((C, K, 3), F32),
             "pot": jnp.zeros((C, K), F32),
+            "pot_mesh": jnp.zeros((C, K), F32),
             "time_bin": jnp.zeros((C, K), I32),
             "drift_accum": jnp.float32(0.0),
         }
         self.n_particles = n
 
     def init_particles(self):
+        if self.mesh_fn is not None:
+            self._mesh_boundary()
         T = self._tables()
         self.state, diag = _JIT_DM_INIT(
             self.grid, self.cfg, self.gravity_fn, self.eps_soft,
@@ -1334,6 +1342,10 @@ class DMEngine(Engine):
     def step(self):
         t = self.timeline
         ti_next = self._ti_end_min
+        if self.mesh_fn is not None:
+            if self.ti_mesh_end is None:
+                self._mesh_boundary()
+            ti_next = min(ti_next, self.ti_mesh_end)
         ti_old = t.ti_current
         dt_drift = (ti_next - ti_old) * t.time_base
         t.ti_current = ti_next
@@ -1345,6 +1357,8 @@ class DMEngine(Engine):
             self.state, T)
         self._post_step(diag)
         self.step_count += 1
+        if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:
+            self._mesh_boundary()
         return diag
 
     def _post_step(self, diag):

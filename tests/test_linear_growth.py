@@ -12,6 +12,7 @@ SmallCosmoVolume-class physics gate of BASELINE.md.
 """
 
 import numpy as np
+import pytest
 
 from swift_subtask_dev_tpu.engine import DMEngine, EngineConfig
 from swift_subtask_dev_tpu.grid import CellGrid
@@ -26,7 +27,8 @@ def _mode_amplitude(pos, n_mean):
     return 2.0 * np.abs(phase.sum()) / len(pos)
 
 
-def test_eds_linear_growth():
+@pytest.mark.parametrize("split_mesh", [False, True])
+def test_eds_linear_growth(split_mesh):
     const = COSMO_UNITS.constants()
     a0, a1 = 0.1, 0.4
     cosmo = Cosmology(Omega_cdm=1.0, Omega_b=0.0, Omega_lambda=0.0,
@@ -51,16 +53,28 @@ def test_eds_linear_growth():
     solver = GravitySolver(gp, grid)
     assert solver.use_fmm   # cosmological FMM regime exercised
 
-    def gfn(s):
-        [(acc, pot)] = solver.accelerations([s])
-        return acc, pot
+    if split_mesh:
+        # exercises the DM split-mesh timestep (kick.h:255 analog)
+        def gfn(s):
+            [(acc, pot)] = solver.short_range_accelerations([s])
+            return acc, pot
+
+        def mfn(s):
+            [(acc, pot)] = solver.mesh_accelerations([s])
+            return acc, pot
+        mesh_kw = dict(mesh_fn=mfn, mesh_dt_scale=solver.pm.r_s)
+    else:
+        def gfn(s):
+            [(acc, pot)] = solver.accelerations([s])
+            return acc, pot
+        mesh_kw = {}
 
     # ~64 KDK steps across [a0, a1]: dt_max = EdS elapsed time / 64
     t_span = 2.0 / (3.0 * H0) * (a1 ** 1.5 - a0 ** 1.5)
     cfg = EngineConfig(dt_max=float(t_span / 64), with_self_gravity=True,
                        p2p_reach=solver.pm.r_cut, eta_grav=gp.eta)
     eng = DMEngine(grid, cfg, 0.0, 0.0, gravity_fn=gfn,
-                   eps_soft=gp.eps, cosmology=cosmo)
+                   eps_soft=gp.eps, cosmology=cosmo, **mesh_kw)
     eng.load_dm(pos, m, np.zeros((n_p, 3), np.float32))
     eng.init_particles()
 

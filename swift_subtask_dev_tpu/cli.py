@@ -208,11 +208,14 @@ def main(argv=None) -> int:
         if scheme_name == "minimal":
             from .models.sph.minimal import MinimalParams
             sph = MinimalParams(**common)
+        elif scheme_name == "gadget2":
+            from .models.sph.gadget2 import Gadget2Params
+            sph = Gadget2Params(**common)
         elif scheme_name == "sphenix":
             sph = SPHENIXParams(**common)
         else:
             print(f"unknown SPH:scheme '{scheme_name}' "
-                  f"(have: sphenix, minimal)", file=sys.stderr)
+                  f"(have: sphenix, minimal, gadget2)", file=sys.stderr)
             return 1
 
         pos = np.asarray(gas["Coordinates"], np.float64)
@@ -262,10 +265,20 @@ def main(argv=None) -> int:
         eng = Engine(grid, sph, cfg, t_begin, t_end,
                      gravity_fn=gravity_fn, cosmology=cosmology,
                      mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
+        u_ic = np.asarray(gas["InternalEnergies"], np.float32)
+        if scheme_name == "gadget2":
+            # the entropy scheme evolves A = P/rho^gamma in the u slots;
+            # convert the IC internal energies with the IC densities
+            # (hydro_set_init_internal_energy analog)
+            from .models.sph.gadget2 import entropy_from_internal_energy
+            rho_ic = np.asarray(gas.get(
+                "Densities", np.ones(len(u_ic))), np.float32)
+            u_ic = np.asarray(entropy_from_internal_energy(
+                sph, rho_ic, u_ic), np.float32)
         eng.load_particles(
             pos, np.asarray(gas["Masses"], np.float32),
             np.asarray(gas["Velocities"], np.float32),
-            np.asarray(gas["InternalEnergies"], np.float32), h0,
+            u_ic, h0,
             pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
 
     # --- restart resume -------------------------------------------------------

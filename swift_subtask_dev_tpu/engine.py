@@ -362,8 +362,11 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     for k, v in force.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
-    ef = p.mod.end_force(s)
-    s = {**s, "h_dt": jnp.where(active, ef["h_dt"], s["h_dt"])}
+    ef = p.mod.end_force(p, s)
+    # u_dt too: entropy schemes convert the raw force-loop sum here
+    # (Gadget2 hydro_end_force, hydro.h:868)
+    s = {**s, "h_dt": jnp.where(active, ef["h_dt"], s["h_dt"]),
+         "u_dt": jnp.where(active, ef["u_dt"], s["u_dt"])}
     return s, n_ghost_iter
 
 
@@ -1046,7 +1049,7 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     s = p.mod.reset_acceleration(s)
     force = loops.force_loop(grid, s, p, cosmo)
     s = {**s, **force}
-    s = p.mod.end_force(s)
+    s = p.mod.end_force(p, s)
 
     if gravity_fn is not None:
         a_grav, pot = _call_gravity(gravity_fn, s)

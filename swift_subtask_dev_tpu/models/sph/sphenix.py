@@ -383,7 +383,7 @@ def reset_acceleration(s):
             "h_dt": jnp.zeros_like(s["h_dt"])}
 
 
-def end_force(s):
+def end_force(p, s):
     """hydro_end_force (hydro.h:1080)."""
     return {**s, "h_dt": s["h_dt"] * s["h"] * HYDRO_DIM_INV}
 

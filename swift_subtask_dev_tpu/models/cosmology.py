@@ -52,6 +52,13 @@ class Cosmology:
     w_a: float = 0.0
     phys_const: Optional[PhysicalConstants] = None
     hydro_gamma: float = 5.0 / 3.0
+    # --- neutrino background (cosmology.c:456-620) -------------------------
+    Omega_g: float = 0.0          # photon density parameter
+    N_ur: float = 0.0             # ultra-relativistic (massless nu) count
+    M_nu_eV: tuple = ()           # massive neutrino masses [eV]
+    deg_nu: tuple = ()            # degeneracies (default 1 each)
+    T_nu_to_T_gamma: float = 0.71599  # T_nu0/T_CMB0 ((4/11)^(1/3) + QED)
+    T_CMB_K: float = 2.7255
 
     def __post_init__(self):
         self.Omega_m = self.Omega_cdm + self.Omega_b
@@ -66,7 +73,48 @@ class Cosmology:
         self.time_base = (self.log_a_end - self.log_a_begin) \
             / tl.MAX_NR_TIMESTEPS
         self.time_base_inv = 1.0 / self.time_base
+        self._init_neutrinos()
         self._build_tables()
+
+    # --- neutrino background --------------------------------------------------
+    def _init_neutrinos(self):
+        """Fermi-Dirac density table for massive neutrinos + the massless
+        Omega_ur term (cosmology_init_neutrino_tables, cosmology.c:535)."""
+        dec4 = self.T_nu_to_T_gamma ** 4
+        self.Omega_ur = self.N_ur * (7.0 / 8.0) * dec4 * self.Omega_g
+        self._nu_pre = 15.0 * (self.T_nu_to_T_gamma / np.pi) ** 4
+        self._kT_nu0_eV = 8.617333262e-5 * self.T_CMB_K \
+            * self.T_nu_to_T_gamma
+        if self.M_nu_eV:
+            if not self.deg_nu:
+                self.deg_nu = tuple(1.0 for _ in self.M_nu_eV)
+            # I(y) = int_0^inf x^2 sqrt(x^2+y^2)/(1+e^x) dx on a log-y grid
+            x = np.linspace(1e-6, 60.0, 20000)
+            self._nu_ly = np.linspace(-12.0, 16.0, 600)
+            ys = np.exp(self._nu_ly)
+            integ = (x[None, :] ** 2 * np.hypot(x[None, :], ys[:, None])
+                     / (1.0 + np.exp(x[None, :])))
+            self._nu_I = np.trapezoid(integ, x, axis=1)
+        self.Omega_nu_0 = float(self.Omega_nu(1.0)) \
+            if self.M_nu_eV else 0.0
+
+    def Omega_nu(self, a):
+        """Massive-neutrino density parameter (relative to rho_crit0,
+        carrying its own a-dependence — used as an addition to Omega_r,
+        cosmology_get_neutrino_density, cosmology.c:580)."""
+        if not self.M_nu_eV:
+            return np.zeros_like(np.asarray(a, np.float64))
+        a = np.asarray(a, np.float64)
+        O = 0.0
+        for m, g in zip(self.M_nu_eV, self.deg_nu):
+            y = a * m / self._kT_nu0_eV
+            I = np.interp(np.log(np.maximum(y, 1e-30)), self._nu_ly,
+                          self._nu_I,
+                          left=self._nu_I[0], right=np.nan)
+            # beyond the table: exact matter-like asymptote I -> 1.803 y
+            I = np.where(np.isnan(I), 1.80309 * y, I)
+            O = O + g * I * self._nu_pre * self.Omega_g
+        return O
 
     # --- background evolution -------------------------------------------------
     def w_de(self, a):
@@ -79,9 +127,12 @@ class Cosmology:
             * np.exp(-3.0 * self.w_a * (1.0 - a))
 
     def E(self, a):
-        """H(a)/H0 (cosmology.c E())."""
+        """H(a)/H0 (cosmology.c E(); radiation = photons + massless nu +
+        the Fermi-Dirac massive-nu density, drift_integrand:312)."""
         a = np.asarray(a, np.float64)
-        return np.sqrt(self.Omega_r / a ** 4 + self.Omega_m / a ** 3
+        Omega_rad = self.Omega_r + self.Omega_g + self.Omega_ur \
+            + self.Omega_nu(a)
+        return np.sqrt(Omega_rad / a ** 4 + self.Omega_m / a ** 3
                        + self.Omega_k / a ** 2
                        + self.Omega_lambda * self._de_density_factor(a))
 
@@ -164,6 +215,8 @@ def make_cosmology_from_params(params, phys_const=None) -> Cosmology:
     """Build from the reference's Cosmology: YAML section."""
     g = lambda k: params.get_float("Cosmology", k)
     o = lambda k, d: params.opt_float("Cosmology", k, d)
+    m_nu = params.opt_array("Cosmology", "M_nu_eV", [])
+    deg = params.opt_array("Cosmology", "deg_nu", [])
     return Cosmology(
         Omega_cdm=g("Omega_cdm"), Omega_b=g("Omega_b"),
         Omega_lambda=g("Omega_lambda"), h=g("h"),
@@ -171,4 +224,11 @@ def make_cosmology_from_params(params, phys_const=None) -> Cosmology:
         Omega_r=o("Omega_r", 0.0), Omega_k=o("Omega_k", 0.0),
         w_0=o("w_0", -1.0), w_a=o("w_a", 0.0),
         phys_const=phys_const,
+        # neutrino background (Cosmology: section, cosmology.c:940-1020)
+        Omega_g=o("Omega_g", 0.0),
+        N_ur=o("N_ur", 0.0),
+        M_nu_eV=tuple(float(v) for v in m_nu),
+        deg_nu=tuple(float(v) for v in deg),
+        T_nu_to_T_gamma=o("T_nu_0_ratio", 0.71599),
+        T_CMB_K=o("T_CMB_0", 2.7255),
     )

@@ -67,3 +67,30 @@ def test_cosmo_tables_feed_tables():
     assert (np.diff(k1[25:]) >= -1e-12).all()
     assert (np.diff(k1[25:45]) > 0).all()
     assert float(T.time_base_inv) > 0
+
+
+def test_neutrino_background():
+    """Massive + massless neutrino background (cosmology.c:456-620):
+    Omega_nu(a=1) matches the canonical Sum(m)/93.14 eV relation, the
+    massless N_ur term is the 7/8 (T_nu/T_gamma)^4 ratio, and the massive
+    density turns matter-like (a^-3) at late times."""
+    from swift_subtask_dev_tpu.models.cosmology import Cosmology
+    from swift_subtask_dev_tpu.utils.units import COSMO_UNITS
+    h = 0.67
+    Og = 2.47e-5 / h ** 2
+    c = Cosmology(Omega_cdm=0.26, Omega_b=0.05, Omega_lambda=0.69, h=h,
+                  a_begin=0.02, a_end=1.0, Omega_g=Og,
+                  M_nu_eV=(0.06,), N_ur=2.0,
+                  phys_const=COSMO_UNITS.constants())
+    # canonical Omega_nu h^2 = m / 93.14 eV (to the known ~1% accuracy)
+    assert abs(c.Omega_nu_0 * h ** 2 / (0.06 / 93.14) - 1) < 0.01
+    # massless term
+    assert abs(c.Omega_ur / (2.0 * 7 / 8 * 0.71599 ** 4 * Og) - 1) < 1e-12
+    # late-time matter-like scaling: Omega_nu(a)/a^4 ~ a^-3 -> Omega_nu ~ a
+    r = c.Omega_nu(1.0) / c.Omega_nu(0.5)
+    assert abs(r - 2.0) < 0.05
+    # E(a) increases when neutrinos are added (denser early universe)
+    c0 = Cosmology(Omega_cdm=0.26, Omega_b=0.05, Omega_lambda=0.69, h=h,
+                   a_begin=0.02, a_end=1.0,
+                   phys_const=COSMO_UNITS.constants())
+    assert c.E(0.02) > c0.E(0.02)

@@ -20,8 +20,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
-# persistent compile cache: CPU compiles hit the disk cache (unlike the
-# axon TPU remote-compile path), so suite re-runs skip the expensive jits
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NOTE: the persistent compile cache is deliberately NOT enabled — a
+# cache write segfaulted mid-suite (jax compilation_cache.py
+# put_executable_and_time via zstandard), and a nondeterministic crash
+# is worse than re-compiling on suite re-runs.

@@ -34,6 +34,20 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--limiter", action="store_true",
                     help="time-step limiter (reference --limiter: wake "
                          "particles >2 bins above an active neighbour)")
+    ap.add_argument("--cooling", action="store_true",
+                    help="radiative cooling (model from the YAML: "
+                         "LambdaCooling / ConstCooling / EAGLECooling)")
+    ap.add_argument("--star-formation", action="store_true",
+                    help="EAGLE pressure-law star formation "
+                         "(gas -> star conversion)")
+    ap.add_argument("--feedback", action="store_true",
+                    help="EAGLE thermal SNII stellar feedback")
+    ap.add_argument("--black-holes", action="store_true",
+                    help="EAGLE black holes (seeding/accretion/AGN)")
+    ap.add_argument("--eagle", action="store_true",
+                    help="meta flag: hydro + self-gravity + cosmology + "
+                         "cooling + star formation + feedback + limiter "
+                         "(reference swift.c --eagle)")
     ap.add_argument("-n", "--steps", type=int, default=-1,
                     help="maximum number of steps")
     ap.add_argument("-P", "--param", action="append", default=[],
@@ -52,8 +66,109 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
+def build_sph_params(params):
+    """SPH: YAML section -> scheme params object (the compile-time scheme
+    selection of configure.ac:1954, resolved at run time here).
+    Returns (sph, scheme_name) or raises ValueError for unknown schemes."""
+    from .models.sph import kernels, SCHEMES
+
+    kernel_name = params.opt_string("SPH", "kernel", "cubic-spline")
+    scheme_name = params.opt_string("SPH", "scheme", "sphenix")
+    common = dict(
+        kernel=kernels.KERNELS[kernel_name],
+        eta_neighbours=params.get_float("SPH", "resolution_eta"),
+        CFL=params.get_float("SPH", "CFL_condition"),
+        h_tolerance=params.opt_float("SPH", "h_tolerance", 1e-4),
+        h_max=params.opt_float("SPH", "h_max", 1e30),
+        max_smoothing_iterations=params.opt_int(
+            "SPH", "max_ghost_iterations", 30),
+        minimal_internal_energy=params.opt_float(
+            "SPH", "minimal_internal_energy", 0.0),
+    )
+    if scheme_name not in SCHEMES:
+        raise ValueError(
+            f"unknown SPH:scheme '{scheme_name}' "
+            f"(have: {', '.join(sorted(SCHEMES))})")
+    return SCHEMES[scheme_name](**common), scheme_name
+
+
+def build_subgrid(params, units, args, cosmology, sph):
+    """Wire the subgrid stack from the YAML sections + CLI switches.
+
+    Returns (cooling_fn, star_formation, entropy_floor, feedback) — any of
+    which may be None.  Mirrors the reference's *_props_init chain
+    (cooling_init, entropy_floor_init, starformation_init, feedback_init).
+    """
+    from .subgrid.cooling import (ConstDuCooling, ConstLambdaCooling,
+                                  make_cooling_fn)
+    from .subgrid.entropy_floor import EagleEntropyFloor
+    from .subgrid.star_formation import EagleStarFormation
+    from .subgrid.feedback import EagleThermalFeedback
+
+    phys_const = units.constants()
+    G = phys_const.const_newton_G
+
+    # comoving critical baryon density anchors the over-density thresholds
+    rho_crit_baryon_0 = 0.0
+    if cosmology is not None:
+        import math
+        rho_crit0 = 3.0 * cosmology.H0 ** 2 / (8.0 * math.pi * G)
+        rho_crit_baryon_0 = cosmology.Omega_b * rho_crit0
+
+    floor = None
+    if params.has("EAGLEEntropyFloor"):
+        floor = EagleEntropyFloor.from_params(
+            params, units, phys_const,
+            rho_crit_baryon_0=rho_crit_baryon_0)
+
+    cooling_fn = None
+    if args.cooling:
+        if params.has("EAGLECooling"):
+            from .subgrid.eagle_cooling import EagleCooling
+            model = EagleCooling.from_params(params, units, phys_const)
+        elif params.has("LambdaCooling"):
+            model = ConstLambdaCooling.from_cgs(
+                params.get_float("LambdaCooling", "lambda_nH2_cgs"),
+                units, phys_const)
+        elif params.has("ConstCooling"):
+            model = ConstDuCooling(
+                cooling_rate=params.get_float("ConstCooling",
+                                              "cooling_rate"))
+        else:
+            raise ValueError(
+                "--cooling given but no cooling section in the YAML "
+                "(EAGLECooling / LambdaCooling / ConstCooling)")
+        cooling_fn = make_cooling_fn(
+            model, floor,
+            u_minimal=params.opt_float("SPH", "minimal_internal_energy",
+                                       0.0))
+
+    star_formation = None
+    if args.star_formation:
+        star_formation = EagleStarFormation.from_params(
+            params, units, phys_const, G,
+            rho_crit_baryon_0=rho_crit_baryon_0, floor=floor)
+
+    feedback = None
+    if args.feedback:
+        sec = "EAGLEFeedback"
+        feedback = EagleThermalFeedback.from_physical(
+            units, phys_const,
+            delta_T_K=10.0 ** params.opt_float(
+                sec, "SNII_delta_T_K_log10", 7.5),
+            f_E=params.opt_float(sec, "SNII_energy_fraction", 1.0),
+            E_SNII_cgs=params.opt_float(sec, "SNII_energy_erg", 1.0e51),
+            snii_delay=params.opt_float(sec, "SNII_delay", 0.0))
+    return cooling_fn, star_formation, floor, feedback
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.eagle:
+        # swift.c --eagle: shorthand for the full EAGLE model stack
+        args.hydro = args.self_gravity = args.cosmology = True
+        args.cooling = args.star_formation = args.feedback = True
+        args.limiter = True
 
     if args.cpu:
         import os
@@ -64,7 +179,8 @@ def main(argv=None) -> int:
     from .engine import DMEngine, Engine, EngineConfig
     from .grid import CellGrid
     from .io.snapshot import (read_snapshot, write_snapshot,
-                              gas_state_to_fields, PTYPE_GAS, PTYPE_DM)
+                              gas_state_to_fields, PTYPE_GAS, PTYPE_DM,
+                              PTYPE_STARS)
     from .io.logs import TimestepsWriter
     from .io import restart as rst
     from .io.statistics import StatisticsWriter, species_statistics
@@ -111,7 +227,13 @@ def main(argv=None) -> int:
 
     gas = parts.get(PTYPE_GAS)
     dm = parts.get(PTYPE_DM)
+    stars_ic = parts.get(PTYPE_STARS)
     dmo = args.self_gravity and not args.hydro
+    # gas + DM (+ stars) cosmological volumes run the multi-species engine
+    # (engine policies hydro|self_gravity|cosmology, engine.c:2245)
+    multi = (args.hydro and args.self_gravity
+             and (dm is not None or stars_ic is not None
+                  or args.star_formation or args.feedback))
 
     # --- gravity parameter block (shared by both run modes) ------------------
     gp = None
@@ -157,8 +279,12 @@ def main(argv=None) -> int:
         mesh_N = gp.mesh_N
         # gravity grid: edge >= r_cut (P3M split; models/gravity.py)
         r_cut = gp.r_cut_ratio * gp.a_smooth * float(box[0]) / mesh_N
-        grid = CellGrid.build_for_positions(tuple(box), r_cut * 1.05, pos,
-                                            headroom=1.6)
+        if args.backend == "flat":
+            # column layout: the flat Pallas P2P kernel drives the DMO run
+            grid = CellGrid.build_columns(tuple(box), r_cut * 1.0001, pos)
+        else:
+            grid = CellGrid.build_for_positions(tuple(box), r_cut * 1.05,
+                                                pos, headroom=1.6)
         if args.verbose:
             print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
         solver = GravitySolver(gp, grid)
@@ -180,43 +306,126 @@ def main(argv=None) -> int:
 
         eng = DMEngine(grid, EngineConfig(dt_min=dt_min, dt_max=dt_max,
                                           eta_grav=gp.eta,
-                                          p2p_reach=solver.pm.r_cut),
+                                          p2p_reach=solver.pm.r_cut,
+                                          backend=("flat" if args.backend
+                                                   == "flat" else "xla")),
                        t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
                        cosmology=cosmology, **mesh_kw)
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
-        state_fields = None  # snapshots use dm fields below
+    elif multi:
+        # -------- gas + DM (+ stars) cosmological volume (MultiEngine) -------
+        from .engine_multi import MultiEngine
+        if gas is None:
+            print("--hydro needs PartType0 in the ICs", file=sys.stderr)
+            return 1
+        try:
+            sph, scheme_name = build_sph_params(params)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        cooling_fn, star_formation, floor, feedback = build_subgrid(
+            params, units, args, cosmology, sph)
+
+        pos_g = np.asarray(gas["Coordinates"], np.float64)
+        h0 = np.asarray(gas["SmoothingLengths"], np.float32)
+        pos_all = [pos_g]
+        if dm is not None:
+            pos_all.append(np.asarray(dm["Coordinates"], np.float64))
+        if stars_ic is not None:
+            pos_all.append(np.asarray(stars_ic["Coordinates"], np.float64))
+        if sph.h_max < 1e29:
+            h_sizing = float(sph.h_max)
+            h0 = np.minimum(h0, sph.h_max)
+            reach = h_sizing * sph.kernel.gamma * 1.01
+        else:
+            h_sizing = float(h0.max())
+            reach = h_sizing * sph.kernel.gamma * 1.3
+        use_flat = (args.backend == "flat" and star_formation is None
+                    and feedback is None)
+        if use_flat:
+            # column/z-sorted layout: gas hydro + all-species P2P gravity
+            # run the flat Pallas kernels; columns must cover r_cut
+            r_cut = (gp.r_cut_ratio * gp.a_smooth
+                     * float(box[0]) / gp.mesh_N)
+            grid = CellGrid.build_columns(
+                tuple(box), max(reach, r_cut * 1.0001),
+                np.concatenate(pos_all))
+            solver = GravitySolver(gp, grid)
+        else:
+            grid = CellGrid.build_for_positions(
+                tuple(box), reach, np.concatenate(pos_all), headroom=1.6)
+            try:
+                solver = GravitySolver(gp, grid)
+            except ValueError:
+                # fine cells but too few for the FMM band: coarsen to the
+                # P3M regime (cell edge >= r_cut) like the DMO path
+                r_cut = (gp.r_cut_ratio * gp.a_smooth
+                         * float(box[0]) / gp.mesh_N)
+                grid = CellGrid.build_for_positions(
+                    tuple(box), max(reach, r_cut * 1.05),
+                    np.concatenate(pos_all), headroom=1.6)
+                solver = GravitySolver(gp, grid)
+        if args.verbose:
+            print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
+        cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
+                           with_self_gravity=True,
+                           with_timestep_limiter=args.limiter,
+                           eta_grav=gp.eta, eps_soft=gp.eps,
+                           p2p_reach=solver.pm.r_cut,
+                           backend="flat" if use_flat else "xla")
+        mesh_kw = {}
+        if params.opt_int("Gravity", "split_mesh_kicks", 1):
+            gravity_fn = solver.short_range_accelerations
+            mesh_kw = dict(mesh_fn=solver.mesh_accelerations,
+                           mesh_dt_scale=solver.pm.r_s)
+        else:
+            gravity_fn = solver.accelerations
+
+        eng = MultiEngine(grid, sph, cfg, t_begin, t_end,
+                          gravity_fn=gravity_fn, eps_soft=gp.eps,
+                          cosmology=cosmology, cooling_fn=cooling_fn,
+                          star_formation=star_formation,
+                          entropy_floor=floor, feedback=feedback,
+                          **mesh_kw)
+        u_ic = np.asarray(gas["InternalEnergies"], np.float32)
+        if scheme_name == "gadget2":
+            from .models.sph.gadget2 import entropy_from_internal_energy
+            rho_ic = np.asarray(gas.get(
+                "Densities", np.ones(len(u_ic))), np.float32)
+            u_ic = np.asarray(entropy_from_internal_energy(
+                sph, rho_ic, u_ic), np.float32)
+        eng.load_gas(pos_g, np.asarray(gas["Masses"], np.float32),
+                     np.asarray(gas["Velocities"], np.float32),
+                     u_ic, h0,
+                     pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
+        if dm is not None:
+            eng.load_dm(np.asarray(dm["Coordinates"], np.float64),
+                        np.asarray(dm["Masses"], np.float32),
+                        np.asarray(dm["Velocities"], np.float32),
+                        pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
+        if stars_ic is not None:
+            eng.load_stars(
+                np.asarray(stars_ic["Coordinates"], np.float64),
+                np.asarray(stars_ic["Masses"], np.float32),
+                np.asarray(stars_ic["Velocities"], np.float32),
+                pid=np.asarray(stars_ic["ParticleIDs"]).astype(np.int32))
+        elif star_formation is not None:
+            eng.alloc_stars(extra_per_cell=params.opt_int(
+                "Scheduler", "cell_extra_sparts", 8))
     else:
         # ---------------- hydro (+ optional self-gravity) run -----------------
         if gas is None:
             print("--hydro needs PartType0 in the ICs", file=sys.stderr)
             return 1
-        kernel_name = params.opt_string("SPH", "kernel", "cubic-spline")
-        scheme_name = params.opt_string("SPH", "scheme", "sphenix")
-        common = dict(
-            kernel=kernels.KERNELS[kernel_name],
-            eta_neighbours=params.get_float("SPH", "resolution_eta"),
-            CFL=params.get_float("SPH", "CFL_condition"),
-            h_tolerance=params.opt_float("SPH", "h_tolerance", 1e-4),
-            h_max=params.opt_float("SPH", "h_max", 1e30),
-            max_smoothing_iterations=params.opt_int(
-                "SPH", "max_ghost_iterations", 30),
-            minimal_internal_energy=params.opt_float(
-                "SPH", "minimal_internal_energy", 0.0),
-        )
-        if scheme_name == "minimal":
-            from .models.sph.minimal import MinimalParams
-            sph = MinimalParams(**common)
-        elif scheme_name == "gadget2":
-            from .models.sph.gadget2 import Gadget2Params
-            sph = Gadget2Params(**common)
-        elif scheme_name == "sphenix":
-            sph = SPHENIXParams(**common)
-        else:
-            print(f"unknown SPH:scheme '{scheme_name}' "
-                  f"(have: sphenix, minimal, gadget2)", file=sys.stderr)
+        try:
+            sph, scheme_name = build_sph_params(params)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
             return 1
+        cooling_fn, _, _, _ = build_subgrid(params, units, args,
+                                            cosmology, sph)
 
         pos = np.asarray(gas["Coordinates"], np.float64)
         h0 = np.asarray(gas["SmoothingLengths"], np.float32)
@@ -229,15 +438,16 @@ def main(argv=None) -> int:
         else:
             h_sizing = float(h0.max())
             reach = h_sizing * sph.kernel.gamma * 1.3
-        if args.backend == "flat" and not args.self_gravity:
-            # column/z-sorted layout for the flat Pallas engine
-            grid = CellGrid.build_columns(tuple(box), reach, pos)
+        if args.backend == "flat":
+            # column/z-sorted layout for the flat Pallas engine; with
+            # self-gravity the columns must also cover the P2P r_cut
+            reach_grid = reach
+            if args.self_gravity:
+                r_cut = (gp.r_cut_ratio * gp.a_smooth
+                         * float(box[0]) / gp.mesh_N)
+                reach_grid = max(reach, r_cut * 1.0001)
+            grid = CellGrid.build_columns(tuple(box), reach_grid, pos)
         else:
-            if args.backend == "flat":
-                # P2P gravity still runs on the 27-stencil: fall back
-                print("note: --backend flat needs hydro-only runs; "
-                      "using xla for self-gravity", file=sys.stderr)
-                args.backend = "xla"
             grid = CellGrid.build_for_positions(tuple(box), reach, pos,
                                                 headroom=1.6)
         if args.verbose:
@@ -252,7 +462,8 @@ def main(argv=None) -> int:
         mesh_dt_scale = 0.0
         if args.self_gravity:
             solver = GravitySolver(gp, grid)
-            cfg = dataclasses.replace(cfg, p2p_reach=solver.pm.r_cut)
+            cfg = dataclasses.replace(cfg, p2p_reach=solver.pm.r_cut,
+                                      eps_soft=gp.eps, eta_grav=gp.eta)
             if params.opt_int("Gravity", "split_mesh_kicks", 1):
                 # reference default: the PM field lives on its own
                 # timestep (kick.h:255, engine.c:2406)
@@ -264,6 +475,7 @@ def main(argv=None) -> int:
 
         eng = Engine(grid, sph, cfg, t_begin, t_end,
                      gravity_fn=gravity_fn, cosmology=cosmology,
+                     cooling_fn=cooling_fn,
                      mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name == "gadget2":
@@ -307,15 +519,27 @@ def main(argv=None) -> int:
         out_list = OutputList(listed)
         out_list.advance_past(t_begin)
 
+    def species_states():
+        """{'gas'|'dm'|'stars': tiled state} for any engine kind."""
+        if "mask" in eng.state:
+            return {("dm" if dmo else "gas"): eng.state}
+        return eng.state
+
+    name2pt = {"gas": PTYPE_GAS, "dm": PTYPE_DM, "stars": PTYPE_STARS}
+
     def write_snap(i):
-        fields = gas_state_to_fields(eng.grid, eng.state)
-        pt = PTYPE_DM if dmo else PTYPE_GAS
-        if dmo:
-            fields.pop("InternalEnergies", None)
-            fields.pop("SmoothingLengths", None)
-            fields.pop("Densities", None)
-        parts_out = apply_selection({pt: fields}, select)
-        write_snapshot(f"{snap_base}_{i:04d}.hdf5", tuple(box), eng.time,
+        parts_out = {}
+        for name, st in species_states().items():
+            fields = gas_state_to_fields(eng.grid, st)
+            if len(fields["Coordinates"]) == 0:
+                continue  # e.g. star slots before any star formed
+            if name == "dm":
+                fields.pop("InternalEnergies", None)
+                fields.pop("SmoothingLengths", None)
+                fields.pop("Densities", None)
+            parts_out[name2pt[name]] = fields
+        parts_out = apply_selection(parts_out, select)
+        write_snapshot(f"{snap_base}_{i:04d}.hdf5", tuple(box), out_time(),
                        parts_out, units=units,
                        cosmo=cosmology, cells_cdim=eng.grid.cdim)
 
@@ -338,10 +562,28 @@ def main(argv=None) -> int:
                                        "lightcone"))
         lightcone = LightconeWriter(lp, cosmology, eng.grid)
 
+    cosmological = cosmology is not None
+
+    def out_time():
+        """Output clock: scale factor a for cosmological runs (the
+        reference's snapshot/statistics triggers, engine_io.c), physical
+        time otherwise."""
+        if cosmological:
+            return cosmology.a_of_ti(eng.timeline.ti_current)
+        return eng.time
+
+    # cosmological output cadences are MULTIPLICATIVE in a
+    # (engine_io.c delta_time semantics; output_list.c for explicit lists)
     if out_list is not None:
         next_snap = out_list.next_time()
+    elif snap_dt > 0:
+        first = params.opt_float(
+            "Snapshots",
+            "scale_factor_first" if cosmological else "time_first",
+            t_begin * snap_dt if cosmological else t_begin + snap_dt)
+        next_snap = first
     else:
-        next_snap = t_begin + snap_dt if snap_dt > 0 else np.inf
+        next_snap = np.inf
     next_stat = t_begin
     snap_i = 0
     max_steps = args.steps if args.steps > 0 else 10 ** 9
@@ -349,38 +591,58 @@ def main(argv=None) -> int:
     from .utils.timeline import MAX_NR_TIMESTEPS
     while (eng.timeline.ti_current < MAX_NR_TIMESTEPS
            and eng.step_count < max_steps and not stopped):
-        t_before = eng.time
+        t_before = out_time()
         ti_before = eng.timeline.ti_current
         t_launch = wallclock.time()
         with timers.phase("step"):
             diag = eng.step()
         busy_ms = (wallclock.time() - t_launch) * 1000.0
+        if lightcone is not None or csds is not None:
+            # observe the primary species (gas, else the single-species
+            # state); per-species lightcones ride the same machinery
+            sp = species_states()
+            primary = sp.get("gas") or sp.get("dm") or eng.state
         if lightcone is not None:
             with timers.phase("lightcone"):
-                lightcone.after_step(eng.state, ti_before,
+                lightcone.after_step(primary, ti_before,
                                      eng.timeline.ti_current)
         if csds is not None:
             with timers.phase("csds"):
-                csds.after_step(eng.state, eng.timeline.ti_current,
+                csds.after_step(primary, eng.timeline.ti_current,
                                 eng.time)
-        steps_log.write(eng.step_count, eng.time, eng.time - t_before,
+        t_now = out_time()
+        steps_log.write(eng.step_count, t_now, t_now - t_before,
                         diag, busy_ms=busy_ms)
         if args.verbose and eng.step_count % 10 == 0:
-            print(f"step {eng.step_count}  t={eng.time:.6f} "
+            print(f"step {eng.step_count}  "
+                  f"{'a' if cosmological else 't'}={t_now:.6f} "
                   f"active={int(diag['n_active'])} "
                   f"wall={wallclock.time()-t0:.1f}s")
-        if eng.time >= next_stat and stats_every > 0:
+        if t_now >= next_stat and stats_every > 0:
             with timers.phase("statistics"):
-                st = species_statistics(eng.grid, eng.state)
-                stats.write(eng.step_count, eng.time, st)
-            next_stat += stats_every
-        if eng.time >= next_snap:
+                sp = species_states()
+                if len(sp) == 1:
+                    st = species_statistics(eng.grid,
+                                            next(iter(sp.values())))
+                else:
+                    from .io.statistics import collect_statistics
+                    st = collect_statistics(eng.grid, sp)["total"]
+                stats.write(eng.step_count, t_now, st)
+            if cosmological:
+                next_stat = max(next_stat, t_now) * stats_every \
+                    if stats_every > 1.0 else t_now + stats_every
+            else:
+                next_stat += stats_every
+        if t_now >= next_snap:
             with timers.phase("snapshot_io"):
                 write_snap(snap_i)
             snap_i += 1
             if out_list is not None:
-                out_list.advance_past(eng.time)
+                out_list.advance_past(t_now)
                 next_snap = out_list.next_time()
+            elif cosmological:
+                next_snap = next_snap * snap_dt if snap_dt > 1.0 \
+                    else t_now + snap_dt
             else:
                 next_snap += snap_dt
         if policy.should_checkpoint() or policy.should_stop():

@@ -97,6 +97,9 @@ class EngineConfig:
     p2p_reach: float = 0.0    # P2P gravity r_cut (coverage margin term);
     # set by callers that wire a stencil-based gravity_fn
     eta_grav: float = 0.025   # Gravity:eta
+    eps_soft: float = 1e-3    # Gravity:eps — gas gravity softening used by
+    # the dt_grav = sqrt(2 eta eps/|a|) criterion (timestep.h:141); a
+    # per-particle 'softening' field in the state overrides it
     with_timestep_limiter: bool = False  # SWIFT --limiter: cap active bins
     # at min_ngb+2 and wake inactive particles whose neighbours got fast
     # (runner_do_limiter, runner_time_integration.c:1324)
@@ -240,11 +243,14 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
     """
     kroot = jnp.float32(p.kernel.root)
 
+    extra_keys = tuple(getattr(p.mod, "DENSITY_EXTRA_KEYS", ()))
+
     def density_pass(h):
         dens = loops.density_loop(grid, {**s, "h": h}, p)
         full = p.mod.end_density(p, {**s, "h": h, **dens}, cosmo)
         return {k: full[k] for k in
-                ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")}
+                ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")
+                + extra_keys}
 
     # gather backend: the candidate lists are only complete up to h_cap, so
     # the iteration is clamped there; a pinned particle triggers a rebuild
@@ -327,10 +333,12 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
     s_fb = p.mod.no_neighbours_fallback(p, s)
+    fb_keys = ("rho", "v_sig", "wcount", "rho_dh", "wcount_dh",
+               "div_v", "laplace_u", "rot_v") \
+        + tuple(getattr(p.mod, "DENSITY_EXTRA_KEYS", ()))
     s = {**s, **{k: jnp.where(active if s[k].ndim == 2 else active[..., None],
                               s_fb[k], s[k])
-                 for k in ("rho", "v_sig", "wcount", "rho_dh", "wcount_dh",
-                           "div_v", "laplace_u", "rot_v")}}
+                 for k in fb_keys}}
 
     # --- prepare gradient + gradient loop ----------------------------------
     prep = p.mod.prepare_gradient(p, s, cosmo)
@@ -381,6 +389,9 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     """
     if "drift_accum" not in s:  # older checkpoints: force a rebucket
         s = {**s, "drift_accum": jnp.float32(1e30)}
+    if "a_grav_mesh" not in s:  # pre-split-mesh checkpoints
+        s = {**s, "a_grav_mesh": jnp.zeros_like(s["a_grav"]),
+             "pot_mesh": jnp.zeros_like(s["m"])}
     mask_b = s["mask"] > 0
     tb = jnp.clip(s["time_bin"], 0, NBINS)
     active = mask_b & T.active[tb]
@@ -532,7 +543,7 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     if cfg.with_self_gravity or cfg.with_external_gravity:
         a_norm = jnp.sqrt(jnp.sum(
             (s["a_hydro"] + s["a_grav"] + s["a_grav_mesh"]) ** 2, -1))
-        eps = s.get("softening", jnp.full_like(new_dt, 1e-3))
+        eps = s.get("softening", jnp.float32(cfg.eps_soft))
         dt_grav = jnp.sqrt(2.0 * cfg.eta_grav * eps
                            / jnp.maximum(a_norm, 1e-30))
         new_dt = jnp.minimum(new_dt, dt_grav)
@@ -712,6 +723,9 @@ class Engine:
             "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
             "drift_accum": jnp.float32(0.0),
         }
+        # scheme-specific state (e.g. PressureEnergy's smoothed pressure)
+        for k in getattr(self.sph.mod, "EXTRA_STATE_KEYS", ()):
+            self.state[k] = z()
         if self.cfg.backend == "gather":
             # placeholders: _init_pass builds the real lists first thing
             self.state.update(
@@ -1316,8 +1330,9 @@ class DMEngine(Engine):
             "m": jnp.asarray(m, F32),
             "v_full": jnp.asarray(v, F32),
         }
-        out, mask, off, n_over = bucket_fields(self.grid, jnp.asarray(pos),
-                                               fields)
+        out, mask, off, n_over = bucket_fields(
+            self.grid, jnp.asarray(pos), fields,
+            zsort=self.cfg.backend == "flat")
         if int(n_over) != 0:
             raise RuntimeError(f"{int(n_over)} particles overflow K")
         C, K = self.grid.C, self.grid.K

@@ -70,6 +70,7 @@ def _convert_gas_to_stars(grid: CellGrid, gas: Dict, stars: Dict,
     stars = {**stars,
              "mask": scat(stars["mask"], okf),
              "off": scat(stars["off"], gas["off"]),
+             "a_grav_mesh": scat(stars["a_grav_mesh"], gas["a_grav_mesh"]),
              "v_full": scat(stars["v_full"], gas["v_full"]),
              "m": scat(stars["m"], gas["m"]),
              "pid": scat(stars["pid"], gas["pid"]),
@@ -114,8 +115,11 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     # --- drift + rebucket + SPH loops (gas) ---------------------------------
     if gas is not None:
         s = gas
+        if "a_grav_mesh" not in s:  # pre-split-mesh checkpoints
+            s = {**s, "a_grav_mesh": jnp.zeros_like(s["a_grav"]),
+                 "pot_mesh": jnp.zeros_like(s["m"])}
         mask_b, tb, active = _species_active(s, T)
-        a_tot = s["a_hydro"] + s["a_grav"]
+        a_tot = s["a_hydro"] + s["a_grav"] + s["a_grav_mesh"]
         s = {**s,
              "off": s["off"] + s["v_full"] * T.dt_drift
              * s["mask"][..., None],
@@ -150,8 +154,16 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         d = stars
         d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
              * d["mask"][..., None]}
-        d, nov = _rebucket_phase(grid, cfg, d, T,
-                                 jnp.float32(cfg.p2p_reach))
+        # feedback pairs reach out to gamma*h_star: the rebucket trigger
+        # must protect that range too, or a drifted star's heated
+        # neighbours could straddle beyond the 27-stencil
+        reach_s = jnp.float32(cfg.p2p_reach)
+        if feedback is not None:
+            reach_s = jnp.maximum(
+                reach_s,
+                jnp.max(jnp.where(d["mask"] > 0, d["h"], 0.0))
+                * jnp.float32(p.kernel.gamma))
+        d, nov = _rebucket_phase(grid, cfg, d, T, reach_s)
         n_overflow = n_overflow + nov
         stars = d
         stars_act = _species_active(d, T)
@@ -337,7 +349,9 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         new_dt = jnp.minimum(jnp.minimum(dt_cfl, dt_h),
                              jnp.float32(cfg.dt_max))
         if cfg.with_self_gravity or cfg.with_external_gravity:
-            a_norm = jnp.sqrt(jnp.sum((s["a_hydro"] + s["a_grav"]) ** 2, -1))
+            a_norm = jnp.sqrt(jnp.sum(
+                (s["a_hydro"] + s["a_grav"]
+                 + s.get("a_grav_mesh", jnp.float32(0.0))) ** 2, -1))
             eps = jnp.float32(eps_soft)
             dt_grav = jnp.sqrt(2.0 * cfg.eta_grav * eps
                                / jnp.maximum(a_norm, 1e-30))
@@ -361,7 +375,9 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         if sp is None:
             continue
         mask_b = sp["mask"] > 0
-        a_norm = jnp.sqrt(jnp.sum(sp["a_grav"] ** 2, -1))
+        a_norm = jnp.sqrt(jnp.sum(
+            (sp["a_grav"] + sp.get("a_grav_mesh", jnp.float32(0.0))) ** 2,
+            -1))
         new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
                           / jnp.maximum(a_norm, 1e-30))
         new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
@@ -408,6 +424,47 @@ _JIT_MULTI_STEP = jax.jit(multi_step,
                           static_argnums=(0, 1, 2, 3, 4, 8, 9, 10))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
+_SPECIES_ORDER = ("gas", "dm", "stars")
+
+
+def _mesh_update_multi(mesh_fn, state, dt_close, dt_open):
+    """Split PM-mesh kick at a mesh-step boundary for every species
+    (kick.h:255 mesh terms; engine.c:2406 ti_mesh).  ``mesh_fn`` takes the
+    species list (same order the gravity_fn uses) and returns
+    [(acc_mesh, pot_mesh), ...]."""
+    names = [n for n in _SPECIES_ORDER if n in state]
+    closed = {}
+    for n in names:
+        s = state[n]
+        if "a_grav_mesh" not in s:
+            s = {**s, "a_grav_mesh": jnp.zeros_like(s["a_grav"]),
+                 "pot_mesh": jnp.zeros_like(s["m"])}
+        mb = s["mask"][..., None]
+        closed[n] = {**s, "v_full": s["v_full"]
+                     + s["a_grav_mesh"] * (dt_close * mb)}
+    outs = mesh_fn([closed[n] for n in names])
+    amax = jnp.float32(0.0)
+    new = {}
+    for n, (acc, pot) in zip(names, outs):
+        s = closed[n]
+        mb = s["mask"][..., None]
+        amax = jnp.maximum(amax, jnp.max(jnp.sqrt(jnp.sum(acc * acc, -1))))
+        new[n] = {**s, "v_full": s["v_full"] + acc * (dt_open * mb),
+                  "a_grav_mesh": acc * mb, "pot_mesh": pot * s["mask"]}
+    return new, amax
+
+
+def _mesh_open_multi(state, dt):
+    new = {}
+    for n, s in state.items():
+        mb = s["mask"][..., None]
+        new[n] = {**s, "v_full": s["v_full"] + s["a_grav_mesh"] * (dt * mb)}
+    return new
+
+
+_JIT_MESH_MULTI = jax.jit(_mesh_update_multi, static_argnums=(0,))
+_JIT_MESH_OPEN_MULTI = jax.jit(_mesh_open_multi)
+
 
 class MultiEngine(Engine):
     """Gas + DM engine (the SmallCosmoVolume / EAGLE configuration)."""
@@ -419,15 +476,20 @@ class MultiEngine(Engine):
                  cosmo: Optional[CosmoFactors] = None, cosmology=None,
                  cooling_fn: Optional[Callable] = None,
                  star_formation=None, entropy_floor=None,
-                 feedback=None):
-        if cfg.backend in ("gather", "flat"):
-            # the multi-species step doesn't carry candidate lists / the
-            # column layout yet; fall back to the roll-stencil here
+                 feedback=None, mesh_fn: Optional[Callable] = None,
+                 mesh_dt_scale: float = 0.0):
+        if cfg.backend == "gather" or (
+                cfg.backend == "flat"
+                and (star_formation is not None or feedback is not None)):
+            # gather: the multi-species step doesn't carry candidate
+            # lists.  flat: the star->gas feedback loops still run on the
+            # 27-stencil, so SF/feedback runs fall back to it too.
             import dataclasses
             cfg = dataclasses.replace(cfg, backend="xla")
         super().__init__(grid, sph, cfg, time_begin, time_end,
                          cosmo=cosmo, gravity_fn=gravity_fn,
-                         cosmology=cosmology, cooling_fn=cooling_fn)
+                         cosmology=cosmology, cooling_fn=cooling_fn,
+                         mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
         self.eps_soft = float(eps_soft)
         # static (hashable) SF pair for the jitted step
         self.sf = (star_formation, entropy_floor) \
@@ -455,6 +517,7 @@ class MultiEngine(Engine):
             "m": z(), "v_full": jnp.zeros((C, K_s, 3), F32),
             "h": z(),
             "a_grav": jnp.zeros((C, K_s, 3), F32), "pot": z(),
+            "a_grav_mesh": jnp.zeros((C, K_s, 3), F32), "pot_mesh": z(),
             "time_bin": jnp.zeros((C, K_s), I32),
             "birth_time": z(), "birth_density": z(), "fb_done": z(),
             "drift_accum": jnp.float32(0.0),
@@ -494,6 +557,7 @@ class MultiEngine(Engine):
             "pid": pad(out["pid"], -1), "m": pad(out["m"]),
             "v_full": pad(out["v_full"]), "h": pad(out["h"]),
             "a_grav": jnp.zeros((C, K_s, 3), F32), "pot": z,
+            "a_grav_mesh": jnp.zeros((C, K_s, 3), F32), "pot_mesh": z * 1.0,
             "time_bin": jnp.zeros((C, K_s), I32),
             "birth_time": z * 1.0, "birth_density": z * 1.0,
             "fb_done": z * 1.0,
@@ -510,22 +574,43 @@ class MultiEngine(Engine):
             "m": jnp.asarray(m, F32),
             "v_full": jnp.asarray(v, F32),
         }
-        out, mask, off, n_over = bucket_fields(self.grid, jnp.asarray(pos),
-                                               fields)
+        out, mask, off, n_over = bucket_fields(
+            self.grid, jnp.asarray(pos), fields,
+            zsort=self.cfg.backend == "flat")
         if int(n_over) != 0:
             raise RuntimeError(f"{int(n_over)} DM particles overflow K")
         C, K = self.grid.C, self.grid.K
         self.state["dm"] = {
             "mask": mask, "off": off, **out,
             "a_grav": jnp.zeros((C, K, 3), F32),
+            "a_grav_mesh": jnp.zeros((C, K, 3), F32),
             "pot": jnp.zeros((C, K), F32),
+            "pot_mesh": jnp.zeros((C, K), F32),
             "time_bin": jnp.zeros((C, K), I32),
             "drift_accum": jnp.float32(0.0),
         }
         self.n_particles = getattr(self, "n_particles", 0) + n
 
+    # --- split PM-mesh timestep over all species -----------------------------
+    def _mesh_boundary(self):
+        t = self.timeline
+        ti = t.ti_current
+        dt_close = (0.0 if self.ti_mesh_mid is None
+                    else self._kick_fac(self.ti_mesh_mid, ti))
+        self.state, amax = _JIT_MESH_MULTI(self.mesh_fn, self.state,
+                                           jnp.float32(dt_close),
+                                           jnp.float32(0.0))
+        dti = self._pick_mesh_dti(float(amax))
+        self.ti_mesh_end = min(ti + dti, tl.MAX_NR_TIMESTEPS)
+        self.ti_mesh_mid = min(ti + dti // 2, tl.MAX_NR_TIMESTEPS)
+        dt_open = self._kick_fac(ti, self.ti_mesh_mid)
+        self.state = _JIT_MESH_OPEN_MULTI(self.state, jnp.float32(dt_open))
+        self.n_mesh_updates += 1
+
     # --- stepping ---------------------------------------------------------------
     def init_particles(self):
+        if self.mesh_fn is not None:
+            self._mesh_boundary()
         T = self._tables()
         self.state, diag = _JIT_MULTI_INIT(
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
@@ -536,6 +621,10 @@ class MultiEngine(Engine):
     def step(self):
         t = self.timeline
         ti_next = self._ti_end_min
+        if self.mesh_fn is not None:
+            if self.ti_mesh_end is None:    # e.g. resumed run
+                self._mesh_boundary()
+            ti_next = min(ti_next, self.ti_mesh_end)
         ti_old = t.ti_current
         dt_drift = (ti_next - ti_old) * t.time_base
         t.ti_current = ti_next
@@ -546,6 +635,8 @@ class MultiEngine(Engine):
             self.feedback)
         self._post_step(diag)
         self.step_count += 1
+        if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:
+            self._mesh_boundary()
         return diag
 
     def _post_step(self, diag):

@@ -18,6 +18,28 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
+def _flatten(state: Dict, prefix: str = "") -> Dict:
+    """Nested species states ({'gas': {...}}) -> '/'-joined flat keys."""
+    out = {}
+    for k, v in state.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = np.asarray(v)
+    return out
+
+
+def _unflatten(arrays: Dict) -> Dict:
+    out: Dict = {}
+    for k, v in arrays.items():
+        parts = k.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
 def save_checkpoint(path: str, state: Dict, meta: Dict) -> None:
     """Write state arrays (npz) + metadata (json) atomically.
 
@@ -28,7 +50,7 @@ def save_checkpoint(path: str, state: Dict, meta: Dict) -> None:
     for ext in (".npz", ".meta.json"):
         if os.path.exists(path + ext):
             os.replace(path + ext, path + ".prev" + ext)
-    arrays = {k: np.asarray(v) for k, v in state.items()}
+    arrays = _flatten(state)
     tmp = path + ".tmp.npz"
     np.savez_compressed(tmp, **arrays)
     os.replace(tmp, path + ".npz")
@@ -78,7 +100,7 @@ class RestartPolicy:
 
 def load_checkpoint(path: str) -> Tuple[Dict, Dict]:
     with np.load(path + ".npz") as z:
-        state = {k: z[k] for k in z.files}
+        state = _unflatten({k: z[k] for k in z.files})
     with open(path + ".meta.json") as f:
         meta = json.load(f)
     return state, meta
@@ -91,6 +113,10 @@ def engine_meta(engine) -> Dict:
         "time_end": engine.timeline.time_end,
         "step_count": engine.step_count,
         "ti_end_min": getattr(engine, "_ti_end_min", 0),
+        # split PM-mesh timestep bookkeeping (engine.c:2406 ti_mesh)
+        "ti_mesh_end": getattr(engine, "ti_mesh_end", None),
+        "ti_mesh_mid": getattr(engine, "ti_mesh_mid", None),
+        "n_mesh_updates": getattr(engine, "n_mesh_updates", 0),
         "grid": {"box": list(engine.grid.box),
                  "cdim": list(engine.grid.cdim), "K": engine.grid.K},
     }
@@ -101,7 +127,16 @@ def restore_engine(engine, state: Dict, meta: Dict) -> None:
     g = meta["grid"]
     assert tuple(g["cdim"]) == engine.grid.cdim and g["K"] == engine.grid.K, \
         "checkpoint grid does not match engine grid"
-    engine.state = {k: jnp.asarray(v) for k, v in state.items()}
+
+    def to_dev(d):
+        return {k: (to_dev(v) if isinstance(v, dict) else jnp.asarray(v))
+                for k, v in d.items()}
+
+    engine.state = to_dev(state)
     engine.timeline.ti_current = int(meta["ti_current"])
     engine.step_count = int(meta["step_count"])
     engine._ti_end_min = int(meta["ti_end_min"])
+    if meta.get("ti_mesh_end") is not None:
+        engine.ti_mesh_end = int(meta["ti_mesh_end"])
+        engine.ti_mesh_mid = int(meta["ti_mesh_mid"])
+        engine.n_mesh_updates = int(meta.get("n_mesh_updates", 0))

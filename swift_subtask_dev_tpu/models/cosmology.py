@@ -61,6 +61,13 @@ class Cosmology:
     T_CMB_K: float = 2.7255
 
     def __post_init__(self):
+        # Omega_r already IS the photon + massless-neutrino density: the
+        # reference forbids specifying both (cosmology.c:888); accepting
+        # both here would silently double-count the radiation
+        if self.Omega_r != 0.0 and (self.Omega_g != 0.0 or self.N_ur != 0.0):
+            raise ValueError(
+                "specify either Cosmology:Omega_r or (Omega_g, N_ur), "
+                "not both (cosmology.c:888)")
         self.Omega_m = self.Omega_cdm + self.Omega_b
         # H0 in internal units (phys_const carries 100 km/s/Mpc equivalent)
         if self.phys_const is not None:

@@ -60,10 +60,22 @@ class GravitySolver:
         self.pm = pm_gravity.PMMeshParams(
             N=gp.mesh_N, box=grid.box, a_smooth=gp.a_smooth,
             r_cut_max_ratio=gp.r_cut_ratio)
-        # regime selection: coarse cells -> pure P3M over the 27-stencil;
-        # fine cells -> FMM M2L bridges the 3-cell..r_cut band
-        self.use_fmm = (gp.periodic
-                        and min(grid.edge) < self.pm.r_cut * (1 - 1e-6))
+        # column grids (cdim z == 1) run the flat Pallas P2P kernel:
+        # 9 neighbour columns cover x/y, z-block windows cover |dz|<=r_cut
+        self.flat = grid.cdim[2] == 1
+        if self.flat:
+            if min(grid.edge[:2]) < self.pm.r_cut * (1 - 1e-6):
+                raise ValueError(
+                    f"flat gravity needs column edges >= r_cut="
+                    f"{self.pm.r_cut:.4g} (have {grid.edge[:2]}); "
+                    "coarsen the PM mesh or the columns")
+            self.use_fmm = False
+        else:
+            # regime selection: coarse cells -> pure P3M over the
+            # 27-stencil; fine cells -> FMM M2L bridges the
+            # 3-cell..r_cut band
+            self.use_fmm = (gp.periodic
+                            and min(grid.edge) < self.pm.r_cut * (1 - 1e-6))
         if self.use_fmm:
             if any(c < 5 for c in grid.cdim):
                 raise ValueError(
@@ -107,6 +119,12 @@ class GravitySolver:
     def short_range_accelerations(self, species: Sequence[Dict]) -> List:
         """Near-field only (P2P + FMM band): [(acc, pot), ...]."""
         gp = self.gp
+        if self.flat:
+            from ..ops import hydro_pallas
+            return [hydro_pallas.p2p_gravity_loop(
+                self.grid, s, species, gp.G, gp.H_soft,
+                self.pm.r_s if gp.periodic else 0.0, self.pm.r_cut,
+                periodic_truncation=gp.periodic) for s in species]
         pp = p2p_gravity.p2p_accelerations(
             self.grid, species, gp.G, H_soft=gp.H_soft,
             r_s=self.pm.r_s if gp.periodic else 0.0,
@@ -151,11 +169,18 @@ class GravitySolver:
         acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
 
         # --- P2P short range -------------------------------------------------
-        pp = p2p_gravity.p2p_accelerations(
-            self.grid, species, gp.G, H_soft=gp.H_soft,
-            r_s=self.pm.r_s if gp.periodic else 0.0,
-            periodic_truncation=gp.periodic,
-            radius=2 if self.use_fmm else 1)
+        if self.flat:
+            from ..ops import hydro_pallas
+            pp = [hydro_pallas.p2p_gravity_loop(
+                self.grid, s, species, gp.G, gp.H_soft,
+                self.pm.r_s if gp.periodic else 0.0, self.pm.r_cut,
+                periodic_truncation=gp.periodic) for s in species]
+        else:
+            pp = p2p_gravity.p2p_accelerations(
+                self.grid, species, gp.G, H_soft=gp.H_soft,
+                r_s=self.pm.r_s if gp.periodic else 0.0,
+                periodic_truncation=gp.periodic,
+                radius=2 if self.use_fmm else 1)
 
         # --- FMM far field (3-cell .. r_cut band) ----------------------------
         fmm_each = None

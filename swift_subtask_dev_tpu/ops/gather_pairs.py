@@ -217,6 +217,9 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     hinv = 1.0 / h
     gamma2 = jnp.float32(p.kernel.gamma2)
 
+    extra_keys = tuple(getattr(p.mod, "DENSITY_EXTRA_KEYS", ()))
+    needs_u = getattr(p.mod, "DENSITY_NEEDS_U", False)
+
     def fn(cells, take, shift):
         dx, r2 = _geometry(off, cells, take, shift)
         range2 = gamma2 * (h[cells] ** 2)[..., None]
@@ -225,19 +228,23 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         v_i = v[cells]
         v_j = take(v)
         dv = tuple(v_i[..., None, k] - v_j[..., k] for k in range(3))
+        uj = (take(s["u"]),) if needs_u else ()
         terms = p.mod.density_terms(p, dx, r2, hinv[cells][..., None],
-                                    take(s["m"]), dv)
+                                    take(s["m"]), dv, *uj)
         return {k: jnp.sum(t * w, axis=-1) for k, t in terms.items()}
 
     out = _map_cells(grid, s, fn)
     out = {k: v * mask for k, v in out.items()}
-    return {
+    res = {
         "rho": out["rho"], "rho_dh": out["rho_dh"],
         "wcount": out["wcount"], "wcount_dh": out["wcount_dh"],
         "div_v": out["div_v"],
         "rot_v": jnp.stack([out["rot_v0"], out["rot_v1"], out["rot_v2"]],
                            axis=-1),
     }
+    for k in extra_keys:
+        res[k] = out[k]
+    return res
 
 
 def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,

@@ -70,6 +70,10 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     fields["h"] = _san(s, "h")
     fields["hinv"] = 1.0 / fields["h"]
     fields["m"] = s["m"]
+    extra_keys = tuple(getattr(p.mod, "DENSITY_EXTRA_KEYS", ()))
+    needs_u = getattr(p.mod, "DENSITY_NEEDS_U", False)
+    if needs_u:
+        fields["u"] = _san(s, "u", 0.0)
     order = list(fields)
     gamma2 = float(p.kernel.gamma2)
 
@@ -77,21 +81,26 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         h_i = sf("h")
         ok = r2 < gamma2 * h_i * h_i
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
-        t = p.mod.density_terms(p, dx, r2, sf("hinv"), nf("m"), dv)
+        uj = (nf("u"),) if needs_u else ()
+        t = p.mod.density_terms(p, dx, r2, sf("hinv"), nf("m"), dv, *uj)
         sums = [t["rho"], t["rho_dh"], t["wcount"], t["wcount_dh"],
                 t["div_v"], t["rot_v0"], t["rot_v1"], t["rot_v2"]]
+        sums += [t[k] for k in extra_keys]
         return ok, sums, []
 
     sums, _ = ENGINES[engine](
-        grid, fields, order, pair_fn, n_sum=8, n_max=0,
+        grid, fields, order, pair_fn, n_sum=8 + len(extra_keys), n_max=0,
         shifts_scale=grid.edge, pad_fills={"h": 1.0},
         interpret=interpret, range_scale=float(p.kernel.gamma))
     m = s["mask"]
-    return {
+    res = {
         "rho": sums[0] * m, "rho_dh": sums[1] * m, "wcount": sums[2] * m,
         "wcount_dh": sums[3] * m, "div_v": sums[4] * m,
         "rot_v": jnp.stack([sums[5] * m, sums[6] * m, sums[7] * m], -1),
     }
+    for i, k in enumerate(extra_keys):
+        res[k] = sums[8 + i] * m
+    return res
 
 
 def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
@@ -194,6 +203,71 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
         "min_ngb_time_bin": min_tb.astype(jnp.int32),
     }
+
+
+def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
+                     G: float, H_soft: float, r_s: float, r_cut: float,
+                     periodic_truncation: bool = True,
+                     interpret: bool = False):
+    """Short-range P2P gravity on the flat column layout.
+
+    The column analog of ops/p2p_gravity.p2p_accelerations (reference
+    runner_dopair_grav_pp_truncated, runner_doiact_grav.c:584): the 9
+    neighbour columns cover x/y out to the column edge (>= r_cut by grid
+    construction) and the z-block bitmask machinery windows the j-side to
+    |dz| <= r_cut.  Pairs beyond r_cut are dropped exactly like the
+    reference drops pairs beyond r_cut_max (gravity_properties.c) — the
+    PM mesh owns that range.
+
+    s_i: receiving species tiles; species_j: list of source species tiles
+    (same column grid, each with its own capacity).  Returns
+    (acc (Ncol,W,3), pot (Ncol,W)).
+    """
+    from . import p2p_gravity as pg
+
+    def grav_fields(s):
+        f = {"mask": s["mask"]}
+        _vec(f, s, "off")
+        f["h"] = jnp.full_like(s["mask"], jnp.float32(r_cut))
+        f["m"] = s["m"]
+        return f
+
+    fi = grav_fields(s_i)
+    order = list(fi)
+    # python-float literals: the Pallas kernel must not close over traced
+    # scalars (Mosaic folds these at trace time)
+    r_cut2 = float(r_cut) ** 2
+    r_s_inv = 1.0 / float(r_s) if r_s > 0 else 0.0
+    H = float(H_soft)
+    Gf = float(G)
+    trunc = periodic_truncation and r_s > 0
+
+    def pair_fn(sf, nf, dx, r2, sc):
+        ok = r2 < r_cut2
+        F = pg.softened_force_factor(r2, H)
+        P = pg.softened_pot_factor(r2, H)
+        if trunc:
+            F = F * pg.truncation_factor(r2, r_s_inv)
+            P = P * pg.pot_truncation_factor(r2, r_s_inv)
+        gm = Gf * nf("m")
+        gmF = gm * F
+        return ok, [-gmF * dx[0], -gmF * dx[1], -gmF * dx[2], -gm * P], []
+
+    acc0 = acc1 = acc2 = pot = 0.0
+    for s_j in species_j:
+        same = s_j is s_i
+        kw = {} if same else dict(fields_j=grav_fields(s_j),
+                                  field_order_j=order)
+        sums, _ = pallas_flat.pair_apply(
+            grid, fi, order, pair_fn, n_sum=4, n_max=0,
+            shifts_scale=grid.edge, interpret=interpret,
+            range_scale=1.0, **kw)
+        acc0 = acc0 + sums[0]
+        acc1 = acc1 + sums[1]
+        acc2 = acc2 + sums[2]
+        pot = pot + sums[3]
+    m = s_i["mask"]
+    return (jnp.stack([acc0 * m, acc1 * m, acc2 * m], -1), pot * m)
 
 
 def timebin_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,

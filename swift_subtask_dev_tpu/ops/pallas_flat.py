@@ -67,23 +67,32 @@ def nbr_col_table(grid: CellGrid) -> np.ndarray:
 
 
 def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
-                 sym_range: bool):
-    """(Ncol, TPC, 9) i32 bitmasks of live z-overlapping j-blocks."""
+                 sym_range: bool, maskf_j=None, zf_j=None, hf_j=None):
+    """(Ncol, TPC, 9) i32 bitmasks of live z-overlapping j-blocks.
+
+    When the j-side arrays are given (cross-species loops: the i tiles of
+    one species against the column blocks of another), the block windows
+    come from the j species' layout (its own W_j / NBLK_j); otherwise the
+    loop is the usual self-pairing.
+    """
     ncx, ncy, Ncol = _column_geometry(grid)
-    W = grid.K
+    W = maskf.shape[1]
     TPC = W // LANES
-    NBLK = W // JB
     boxz = jnp.float32(grid.box[2])
     live = maskf > 0
+    if maskf_j is None:
+        maskf_j, zf_j, hf_j = maskf, zf, hf
+    live_j = maskf_j > 0
+    NBLK = maskf_j.shape[1] // JB
 
     zi = jnp.where(live, zf, jnp.inf).reshape(Ncol, TPC, LANES)
     iz_lo = jnp.min(zi, axis=2)                                # (Ncol,TPC)
     iz_hi = jnp.max(jnp.where(jnp.isfinite(zi), zi, -jnp.inf), axis=2)
     hmax_tile = jnp.max(
         jnp.where(live, hf, 0.0).reshape(Ncol, TPC, LANES), axis=2)
-    hmax_col = jnp.max(jnp.where(live, hf, 0.0), axis=1)       # (Ncol,)
+    hmax_col = jnp.max(jnp.where(live_j, hf_j, 0.0), axis=1)   # (Ncol,)
 
-    zb = jnp.where(live, zf, jnp.inf).reshape(Ncol, NBLK, JB)
+    zb = jnp.where(live_j, zf_j, jnp.inf).reshape(Ncol, NBLK, JB)
     jb_lo = jnp.min(zb, axis=2)                                # (Ncol,NBLK)
     jb_hi = jnp.max(jnp.where(jnp.isfinite(zb), zb, -jnp.inf), axis=2)
 
@@ -107,8 +116,6 @@ def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
     bits = jnp.sum(
         jnp.where(ok, (1 << jnp.arange(NBLK, dtype=I32)), 0),
         axis=3).astype(I32)                                    # (Ncol,TPC,9)
-    ntiles = jnp.sum(jnp.isfinite(iz_lo) & (iz_lo < jnp.inf), axis=1)
-    del ntiles
     return bits
 
 
@@ -123,28 +130,43 @@ def pair_apply(grid: CellGrid,
                pad_fills=None,
                interpret: bool = False,
                range_scale: float = 2.0,
-               sym_range: bool = False):
+               sym_range: bool = False,
+               fields_j: Dict[str, jnp.ndarray] = None,
+               field_order_j: Sequence[str] = None):
     """Run ``pair_fn`` over all pairs of the column/z-sorted layout.
 
     fields are (Ncol, W) tiles, z-sorted within each column (the engine's
     flat-backend state).  Returns (sums, maxes) as lists of (Ncol, W)
     arrays; max outputs are -inf where a slot had no accepted pair.
+
+    Cross-species loops (BH/star density, multi-species gravity) pass
+    ``fields_j``/``field_order_j``: the i-side tiles come from ``fields``
+    and the j-side windows from ``fields_j`` — both on the same column
+    grid, each with its own per-column capacity.
     """
     if jax.default_backend() == "cpu":
         # no Mosaic on CPU: run the kernel through the interpreter so the
         # flat backend works transparently in CPU test runs
         interpret = True
     ncx, ncy, Ncol = _column_geometry(grid)
-    W = grid.K
-    assert W % LANES == 0 and W // JB <= 32
+    W = fields["mask"].shape[1]
+    cross = fields_j is not None
+    if not cross:
+        fields_j, field_order_j = fields, field_order
+    Wj = fields_j["mask"].shape[1]
+    assert W % LANES == 0 and Wj % JB == 0 and Wj // JB <= 32
     TPC = W // LANES
-    NBLK = W // JB
+    NBLK = Wj // JB
     Np = Ncol * W
+    Npj = Ncol * Wj
     F = len(field_order)
+    Fj = len(field_order_j)
     Fp = int(math.ceil(F / 8)) * 8
+    Fpj = int(math.ceil(Fj / 8)) * 8
     n_out = n_sum + n_max
     n8 = int(math.ceil(n_out / 8)) * 8
     fidx = {name: i for i, name in enumerate(field_order)}
+    fidx_j = {name: i for i, name in enumerate(field_order_j)}
     ex, ey = float(grid.edge[0]), float(grid.edge[1])
     boxz = float(grid.box[2])
 
@@ -152,15 +174,19 @@ def pair_apply(grid: CellGrid,
     Xi = jnp.stack([fields[n].reshape(Np) for n in field_order], axis=0)
     if Fp > F:
         Xi = jnp.pad(Xi, ((0, Fp - F), (0, 0)))
-    # ---- AoS (Np, Fp) for j-side row windows ----------------------------
-    Xa = jnp.stack([fields[n].reshape(Np) for n in field_order], axis=1)
-    if Fp > F:
-        Xa = jnp.pad(Xa, ((0, 0), (0, Fp - F)))
+    # ---- AoS (Npj, Fpj) for j-side row windows --------------------------
+    Xa = jnp.stack([fields_j[n].reshape(Npj) for n in field_order_j],
+                   axis=1)
+    if Fpj > Fj:
+        Xa = jnp.pad(Xa, ((0, 0), (0, Fpj - Fj)))
 
     counts = jnp.sum(fields["mask"] > 0, axis=1).astype(I32) \
         .reshape(1, Ncol)
-    bits = _block_masks(grid, fields["mask"], fields["off2"], fields["h"],
-                        range_scale, sym_range).reshape(1, Ncol * TPC * 9)
+    bits = _block_masks(
+        grid, fields["mask"], fields["off2"], fields["h"],
+        range_scale, sym_range,
+        *((fields_j["mask"], fields_j["off2"], fields_j["h"])
+          if cross else (None, None, None))).reshape(1, Ncol * TPC * 9)
 
     n_sc = len(scalars)
     sc_arr = (jnp.stack([jnp.asarray(v, F32) for v in scalars])
@@ -198,10 +224,10 @@ def pair_apply(grid: CellGrid,
                     @pl.when((word >> jb) & 1 != 0)
                     def _():
                         r0 = pl.multiple_of(jb * JB, JB)
-                        tile = wref[pl.ds(r0, JB), :]       # (JB, Fp)
+                        tile = wref[pl.ds(r0, JB), :]       # (JB, Fpj)
 
                         def nf(name):
-                            i = fidx[name]
+                            i = fidx_j[name]
                             return tile[:, i:i + 1]         # (JB, 1)
 
                         dz = sf("off2") - nf("off2")
@@ -251,7 +277,7 @@ def pair_apply(grid: CellGrid,
         return im
 
     for (dx, dy) in OFFSETS_9:
-        in_specs.append(pl.BlockSpec((W, Fp), _nbr_map(dx, dy),
+        in_specs.append(pl.BlockSpec((Wj, Fpj), _nbr_map(dx, dy),
                                      memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(

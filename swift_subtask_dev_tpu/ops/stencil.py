@@ -149,28 +149,39 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     hinv_i = _bi(hinv)
     range2 = gamma2 * hi * hi
 
+    # scheme extras: e.g. PressureEnergy's u-weighted sums
+    # (hydro/PressureEnergy/hydro_iact.h:92 pressure_bar terms)
+    extra_keys = tuple(getattr(p.mod, "DENSITY_EXTRA_KEYS", ()))
+    needs_u = getattr(p.mod, "DENSITY_NEEDS_U", False)
     keys = ("rho", "rho_dh", "wcount", "wcount_dh", "div_v",
-            "rot_v0", "rot_v1", "rot_v2")
+            "rot_v0", "rot_v1", "rot_v2") + extra_keys
     acc0 = {k: jnp.zeros_like(h) for k in keys}
     j_fields = {"off": off, "v": v, "m": m, "mask": mask}
+    if needs_u:
+        j_fields["u"] = g("u")
 
     def accumulate(acc, jf, shift):
         dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
-        terms = p.mod.density_terms(p, dx, r2, hinv_i, _bj(jf["m"]), dv)
+        uj = (_bj(jf["u"]),) if needs_u else ()
+        terms = p.mod.density_terms(p, dx, r2, hinv_i, _bj(jf["m"]), dv,
+                                    *uj)
         return {k: acc[k] + jnp.sum(terms[k] * w, axis=-1) for k in keys}
 
     acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
     out = {k: _flat_view(grid, a) * s["mask"] for k, a in acc.items()}
-    return {
+    res = {
         "rho": out["rho"], "rho_dh": out["rho_dh"],
         "wcount": out["wcount"], "wcount_dh": out["wcount_dh"],
         "div_v": out["div_v"],
         "rot_v": jnp.stack([out["rot_v0"], out["rot_v1"], out["rot_v2"]],
                            axis=-1),
     }
+    for k in extra_keys:
+        res[k] = out[k]
+    return res
 
 
 def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],

@@ -77,7 +77,7 @@ def make_cooling_fn(model, floor: Optional[EagleEntropyFloor] = None,
         a_u = cosmo.a_factor_internal_energy
         u_com = s["u_full"]
         rho_com = jnp.maximum(s["rho"], 1e-30)
-        rho_phys = rho_com * cosmo.a_inv2 * cosmo.a  # a^-3 rho_com
+        rho_phys = rho_com * cosmo.a_inv2 / cosmo.a  # a^-3 rho_com
         u_phys = u_com * a_u
 
         du_dt_phys = model.du_dt_physical(rho_phys, u_phys)

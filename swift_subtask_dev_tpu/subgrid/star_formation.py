@@ -51,7 +51,8 @@ class EagleStarFormation:
     @staticmethod
     def from_params(params, units, phys_const, G_newton: float,
                     hydrogen_mass_fraction: float = 0.755,
-                    rho_crit_baryon_0: float = 0.0
+                    rho_crit_baryon_0: float = 0.0,
+                    floor: Optional[EagleEntropyFloor] = None
                     ) -> "EagleStarFormation":
         """EAGLEStarFormation YAML section (star_formation_init :650-740)."""
         sec = "EAGLEStarFormation"
@@ -86,15 +87,25 @@ class EagleStarFormation:
         rho_high = nH_high * n_to_rho
 
         # continuity of SFR at the high-density break: the high-density
-        # normalisation matches the low-density law at P(rho_high)
-        # (star_formation_init :730-745 does this via the EoS pressure)
+        # normalisation matches the low-density law at the EoS (entropy-
+        # floor) pressure of the break density
+        # (star_formation_init :730-745)
         sf_high_norm = 0.0
         if nH_high < 1e29:
-            # pressure at the break from the Jeans floor shape is model
-            # dependent; the reference uses the polytropic EoS pressure.
-            # We match at P_break supplied later; approximate with the
-            # same power-law continuity in pressure:
-            sf_high_norm = sf_norm  # corrected below when P_break known
+            if floor is None:
+                raise NotImplementedError(
+                    "KS_high_density_threshold_H_p_cm3 requires an entropy "
+                    "floor (EoS) to anchor the break pressure "
+                    "(star_formation_init :730)")
+            import numpy as _np
+            P_break = float(_np.asarray(
+                floor.pressure_floor(jnp.float32(rho_high),
+                                     jnp.float32(1e30))))
+            if P_break <= 0.0:
+                raise ValueError(
+                    "entropy floor gives zero pressure at the high-density "
+                    "SF break; cannot anchor the n=%g law" % KS_high_n)
+            sf_high_norm = sf_norm * P_break ** (sf_power - sf_high_power)
         return EagleStarFormation(
             sf_norm=sf_norm, sf_power=sf_power,
             high_den_thresh=rho_high, sf_high_norm=sf_high_norm,
@@ -135,8 +146,11 @@ class EagleStarFormation:
         (id, ti, purpose) counter draw (:505-512)."""
         a_u = cosmo.a_factor_internal_energy
         rho_com = jnp.maximum(s["rho"], 1e-30)
-        rho_phys = rho_com * cosmo.a_inv2 * cosmo.a
-        P_phys = s["pressure"] * a_u * cosmo.a_inv2 * cosmo.a
+        # physical density = a^-3 rho_com; physical pressure = a^-3gamma P_com
+        # (hydro_get_physical_density / _pressure use cosmo->a3_inv and
+        # a_factor_pressure = a_u * a3_inv)
+        rho_phys = rho_com * cosmo.a_inv2 / cosmo.a
+        P_phys = s["pressure"] * a_u * cosmo.a_inv2 / cosmo.a
         eligible = active & self.is_star_forming(rho_phys, rho_com,
                                                  P_phys, floor)
         sfr_m = self.sfr_per_mass(rho_phys, P_phys)

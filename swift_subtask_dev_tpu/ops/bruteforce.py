@@ -31,22 +31,29 @@ def _pair_geometry(pos, box):
     return tuple(dx), r2
 
 
-def density_bruteforce(p: SPHENIXParams, pos, h, m, v, box=None
+def density_bruteforce(p: SPHENIXParams, pos, h, m, v, box=None, u=None
                        ) -> Dict[str, jnp.ndarray]:
-    """All-pairs density accumulators (pre-end_density)."""
+    """All-pairs density accumulators (pre-end_density).
+
+    ``u`` feeds schemes whose density loop smooths u-weighted quantities
+    (DENSITY_NEEDS_U, e.g. PressureEnergy's pressure_bar terms)."""
     dx, r2 = _pair_geometry(pos, box)
     hi = h[:, None]
     ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
-    t = p.mod.density_terms(p, dx, r2, 1.0 / hi, m[None, :], dv)
+    uj = (u[None, :],) if getattr(p.mod, "DENSITY_NEEDS_U", False) else ()
+    t = p.mod.density_terms(p, dx, r2, 1.0 / hi, m[None, :], dv, *uj)
     out = {k: jnp.sum(val * w, axis=-1) for k, val in t.items()}
-    return {
+    res = {
         "rho": out["rho"], "rho_dh": out["rho_dh"], "wcount": out["wcount"],
         "wcount_dh": out["wcount_dh"], "div_v": out["div_v"],
         "rot_v": jnp.stack([out["rot_v0"], out["rot_v1"], out["rot_v2"]],
                            axis=-1),
     }
+    for k in getattr(p.mod, "DENSITY_EXTRA_KEYS", ()):
+        res[k] = out[k]
+    return res
 
 
 def gradient_bruteforce(p: SPHENIXParams, pos, h, m, v, u, rho, cs,

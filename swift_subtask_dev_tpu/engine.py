@@ -358,7 +358,9 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     # --- prepare force (alpha evolution) + force loop -----------------------
     dt_alpha = dt_alpha_table[tb]
     pf = p.mod.prepare_force(p, s, cosmo, dt_alpha)
-    for k in ("alpha_visc", "div_v_prev", "alpha_diff"):
+    pf_keys = getattr(p.mod, "PREPARE_FORCE_KEYS",
+                      ("alpha_visc", "div_v_prev", "alpha_diff"))
+    for k in pf_keys:
         s = {**s, k: jnp.where(active, pf[k], s[k])}
     ra = p.mod.reset_acceleration(s)
     for k in ("a_hydro", "u_dt", "h_dt"):

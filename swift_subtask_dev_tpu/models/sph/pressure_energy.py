@@ -112,18 +112,23 @@ def no_neighbours_fallback(p: PressureEnergyParams, s):
     return {**out, "pressure_bar": pb, "pressure_bar_dh": pb_dh}
 
 
-def prepare_gradient(p: PressureEnergyParams, s, cosmo: CosmoFactors):
-    """Balsara (alpha folded), P̄-based grad-h term, soundspeed
-    (hydro_prepare_force, hydro.h:714-776)."""
+def prepare_gradient(p: PressureEnergyParams, s, cosmo: CosmoFactors,
+                     fold_alpha: bool = True):
+    """Balsara (constant alpha folded when ``fold_alpha``), P̄-based
+    grad-h term, soundspeed (hydro_prepare_force, hydro.h:714-776).
+    AnarchyPU shares everything but keeps the Balsara bare (its force
+    loop sums the evolved alphas instead)."""
     curl_v = jnp.sqrt(jnp.sum(s["rot_v"] ** 2, axis=-1))
     abs_div_v = jnp.abs(s["div_v"])
     pressure = s["pressure_bar"]
     soundspeed = p.eos.soundspeed_from_pressure(
         jnp.maximum(s["rho"], 1e-30), jnp.maximum(pressure, 0.0))
-    balsara = jnp.float32(p.viscosity_alpha) * abs_div_v / (
+    balsara = abs_div_v / (
         abs_div_v + curl_v + 1e-30
         + 0.0001 * soundspeed * cosmo.a_factor_Balsara_eps
         / jnp.maximum(s["h"], 1e-30))
+    if fold_alpha:
+        balsara = balsara * jnp.float32(p.viscosity_alpha)
 
     common = s["h"] * HYDRO_DIM_INV / jnp.maximum(s["wcount"], 1e-30)
     grad_W_term = common * s["wcount_dh"]

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: particle-steps/sec/chip on an all-active SPH step.
+"""Benchmark: particle-steps/sec/chip on an all-active SPH+gravity step.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -8,9 +8,11 @@ Baseline: SWIFT's PASC-2016 EAGLE-volume number (BASELINE.md): 2.9 s/step
 for 376^3 particles on 256 cores = 6.9e4 particle-steps/s/core, i.e.
 4.4e6 per 64-core node.  vs_baseline is ours / one 64-core node.
 
-Round-1 scope: full SPHENIX hydro (density+ghost+gradient+force, KDK,
-per-particle bins but an all-active uniform problem — the honest apples
-comparison to SWIFT's all-active step).  Gravity joins in later rounds.
+Scope (round 3+): full SPHENIX hydro (density+ghost+gradient+force, KDK)
+PLUS self-gravity — flat-column Pallas P2P short range + PM mesh long
+range, recomputed EVERY step (the reference amortises the mesh over its
+own longer timestep, so this is, if anything, pessimistic) — the honest
+apples comparison to SWIFT's all-active SPH+self-gravity step.
 """
 
 import json
@@ -27,6 +29,8 @@ def main():
 
     from swift_subtask_dev_tpu.engine import Engine, EngineConfig
     from swift_subtask_dev_tpu.grid import CellGrid
+    from swift_subtask_dev_tpu.models.gravity import (GravityParams,
+                                                      GravitySolver)
     from swift_subtask_dev_tpu.models.sph.sphenix import SPHENIXParams
     from swift_subtask_dev_tpu.ics import uniform_box_ic
 
@@ -36,14 +40,22 @@ def main():
     n_parts = len(ic["pos"])
 
     P = SPHENIXParams(h_max=float(ic["h"].max() * 3))
+    # gravity: P3M split with the columns covering r_cut
+    gp = GravityParams(G=1.0, eps=0.5 / n1, mesh_N=64)
+    r_cut = gp.r_cut_ratio * gp.a_smooth * 1.0 / gp.mesh_N
+    hydro_reach = float(ic["h"].max() * P.kernel.gamma * 1.25)
     # column/z-sorted layout for the flat Pallas engine (the fast path)
     grid = CellGrid.build_columns(
-        ic["box"], interaction_range=float(ic["h"].max() * P.kernel.gamma
-                                           * 1.25),
+        ic["box"], interaction_range=max(hydro_reach, r_cut * 1.0001),
         pos=ic["pos"])
+    solver = GravitySolver(gp, grid)
 
-    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="flat"),
-                 0.0, 1.0)
+    eng = Engine(grid, P,
+                 EngineConfig(dt_max=2e-4, backend="flat",
+                              with_self_gravity=True, eps_soft=gp.eps,
+                              eta_grav=gp.eta,
+                              p2p_reach=solver.pm.r_cut),
+                 0.0, 1.0, gravity_fn=solver.gas_gravity_fn())
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 
@@ -58,12 +70,14 @@ def main():
 
     rate = n_steps * n_parts / elapsed
     print(json.dumps({
-        "metric": "particle-steps/sec/chip (SPHENIX SPH, all-active)",
+        "metric": "particle-steps/sec/chip "
+                  "(SPHENIX SPH + P3M self-gravity, all-active)",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE_NODE, 3),
         "n_particles": n_parts,
         "grid": list(grid.cdim) + [grid.K],
+        "mesh_N": gp.mesh_N,
         "steps_timed": n_steps,
         "wall_s": round(elapsed, 2),
     }))

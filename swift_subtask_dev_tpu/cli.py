@@ -123,25 +123,27 @@ def build_subgrid(params, units, args, cosmology, sph):
 
     cooling_fn = None
     if args.cooling:
+        u_min = params.opt_float("SPH", "minimal_internal_energy", 0.0)
         if params.has("EAGLECooling"):
-            from .subgrid.eagle_cooling import EagleCooling
+            from .subgrid.eagle_cooling import (EagleCooling,
+                                                make_eagle_cooling_fn)
             model = EagleCooling.from_params(params, units, phys_const)
-        elif params.has("LambdaCooling"):
-            model = ConstLambdaCooling.from_cgs(
-                params.get_float("LambdaCooling", "lambda_nH2_cgs"),
-                units, phys_const)
-        elif params.has("ConstCooling"):
-            model = ConstDuCooling(
-                cooling_rate=params.get_float("ConstCooling",
-                                              "cooling_rate"))
+            cooling_fn = make_eagle_cooling_fn(model, floor,
+                                               u_minimal=u_min)
         else:
-            raise ValueError(
-                "--cooling given but no cooling section in the YAML "
-                "(EAGLECooling / LambdaCooling / ConstCooling)")
-        cooling_fn = make_cooling_fn(
-            model, floor,
-            u_minimal=params.opt_float("SPH", "minimal_internal_energy",
-                                       0.0))
+            if params.has("LambdaCooling"):
+                model = ConstLambdaCooling.from_cgs(
+                    params.get_float("LambdaCooling", "lambda_nH2_cgs"),
+                    units, phys_const)
+            elif params.has("ConstCooling"):
+                model = ConstDuCooling(
+                    cooling_rate=params.get_float("ConstCooling",
+                                                  "cooling_rate"))
+            else:
+                raise ValueError(
+                    "--cooling given but no cooling section in the YAML "
+                    "(EAGLECooling / LambdaCooling / ConstCooling)")
+            cooling_fn = make_cooling_fn(model, floor, u_minimal=u_min)
 
     star_formation = None
     if args.star_formation:
@@ -396,10 +398,16 @@ def main(argv=None) -> int:
                 "Densities", np.ones(len(u_ic))), np.float32)
             u_ic = np.asarray(entropy_from_internal_energy(
                 sph, rho_ic, u_ic), np.float32)
+        Z_ic = ef_ic = None
+        if params.has("EAGLEChemistry") or params.has("EAGLECooling"):
+            from .subgrid.chemistry import EagleChemistry
+            chem = EagleChemistry.from_params(params)
+            Z_ic, ef_ic = chem.particle_arrays(len(pos_g), gas)
         eng.load_gas(pos_g, np.asarray(gas["Masses"], np.float32),
                      np.asarray(gas["Velocities"], np.float32),
                      u_ic, h0,
-                     pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
+                     pid=np.asarray(gas["ParticleIDs"]).astype(np.int32),
+                     Z=Z_ic, elem_frac=ef_ic)
         if dm is not None:
             eng.load_dm(np.asarray(dm["Coordinates"], np.float64),
                         np.asarray(dm["Masses"], np.float32),
@@ -487,11 +495,17 @@ def main(argv=None) -> int:
                 "Densities", np.ones(len(u_ic))), np.float32)
             u_ic = np.asarray(entropy_from_internal_energy(
                 sph, rho_ic, u_ic), np.float32)
+        Z_ic = ef_ic = None
+        if params.has("EAGLEChemistry") or params.has("EAGLECooling"):
+            from .subgrid.chemistry import EagleChemistry
+            chem = EagleChemistry.from_params(params)
+            Z_ic, ef_ic = chem.particle_arrays(len(pos), gas)
         eng.load_particles(
             pos, np.asarray(gas["Masses"], np.float32),
             np.asarray(gas["Velocities"], np.float32),
             u_ic, h0,
-            pid=np.asarray(gas["ParticleIDs"]).astype(np.int32))
+            pid=np.asarray(gas["ParticleIDs"]).astype(np.int32),
+            Z=Z_ic, elem_frac=ef_ic)
 
     # --- restart resume -------------------------------------------------------
     t0 = wallclock.time()

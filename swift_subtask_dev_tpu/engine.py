@@ -669,12 +669,14 @@ class Engine:
         self.step_count = 0
 
     # --- setup ----------------------------------------------------------------
-    def load_particles(self, pos, m, v, u, h, pid=None):
+    def load_particles(self, pos, m, v, u, h, pid=None, Z=None,
+                       elem_frac=None):
         """Bucket raw particle arrays into the tiled state (IC ingestion).
 
         Uses the native (C++/OpenMP) counting sort when available — the
         analog of the reference's threadpooled space_rebuild — and falls
-        back to the jitted path otherwise."""
+        back to the jitted path otherwise.  ``Z``/``elem_frac`` are the
+        optional chemistry carriers (subgrid/chemistry.py)."""
         n = len(pos)
         if pid is None:
             pid = np.arange(n, dtype=np.int32)
@@ -687,6 +689,10 @@ class Engine:
             "u": np.asarray(u, np.float32),
             "u_full": np.asarray(u, np.float32),
         }
+        if Z is not None:
+            np_fields["Z"] = np.asarray(Z, np.float32)
+        if elem_frac is not None:
+            np_fields["elem_frac"] = np.asarray(elem_frac, np.float32)
         from . import native
         if self.cfg.backend == "flat":
             # column layout needs the z-subsorted jitted bucketing

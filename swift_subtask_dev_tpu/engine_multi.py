@@ -498,9 +498,10 @@ class MultiEngine(Engine):
         self.state = {}
 
     # --- loading --------------------------------------------------------------
-    def load_gas(self, pos, m, v, u, h, pid=None):
+    def load_gas(self, pos, m, v, u, h, pid=None, Z=None, elem_frac=None):
         gas_engine = Engine(self.grid, self.sph, self.cfg, 0.0, 1.0)
-        gas_engine.load_particles(pos, m, v, u, h, pid=pid)
+        gas_engine.load_particles(pos, m, v, u, h, pid=pid, Z=Z,
+                                  elem_frac=elem_frac)
         self.state["gas"] = gas_engine.state
         self.n_particles = getattr(self, "n_particles", 0) + len(pos)
 

@@ -47,6 +47,12 @@ class EagleStarFormation:
     entropy_margin: float = 10.0 ** 0.5  # 0.5 dex over the floor entropy
     rho_crit_baryon_0: float = 0.0
     hydro_gamma: float = 5.0 / 3.0
+    # metallicity-dependent threshold (Schaye 2004; EAGLE
+    # star_formation_is_star_forming_Z_dep :201):
+    # n*(Z) = norm (Z/Z0)^slope, clipped at density_threshold_max
+    threshold_Z0: float = 0.002
+    threshold_slope: float = 0.0    # 0 disables the Z dependence
+    density_threshold_max: float = 1e30
 
     @staticmethod
     def from_params(params, units, phys_const, G_newton: float,
@@ -64,6 +70,10 @@ class EagleStarFormation:
         nH_thresh = params.get_float(sec, "threshold_norm_H_p_cm3")
         over_density = params.opt_float(sec, "threshold_over_density", 57.7)
         margin_dex = params.opt_float(sec, "EOS_entropy_margin_dex", 0.5)
+        thr_Z0 = params.opt_float(sec, "threshold_Z0", 0.002)
+        thr_slope = params.opt_float(sec, "threshold_slope", 0.0)
+        nH_max = params.opt_float(sec, "threshold_max_density_H_p_cm3",
+                                  1e30)
         nH_high = params.opt_float(sec, "KS_high_density_threshold_H_p_cm3",
                                    1e30)
         gamma = 5.0 / 3.0
@@ -112,15 +122,26 @@ class EagleStarFormation:
             sf_high_power=sf_high_power,
             density_threshold=rho_thresh, over_density=over_density,
             entropy_margin=10.0 ** margin_dex,
-            rho_crit_baryon_0=rho_crit_baryon_0, hydro_gamma=gamma)
+            rho_crit_baryon_0=rho_crit_baryon_0, hydro_gamma=gamma,
+            threshold_Z0=thr_Z0, threshold_slope=thr_slope,
+            density_threshold_max=(nH_max * n_to_rho if nH_max < 1e29
+                                   else 1e30))
 
     # --- device-side pieces ---------------------------------------------------
     def is_star_forming(self, rho_phys, rho_com, P_phys,
-                        floor: Optional[EagleEntropyFloor]):
+                        floor: Optional[EagleEntropyFloor], Z=None):
         """Eligibility (star_formation_is_star_forming_Z_dep :201):
-        above the density + over-density thresholds and with entropy within
-        `entropy_margin` of the floor entropy."""
-        ok = rho_phys >= jnp.float32(self.density_threshold)
+        above the (metallicity-dependent) density + over-density
+        thresholds and with entropy within `entropy_margin` of the floor
+        entropy."""
+        thresh = jnp.float32(self.density_threshold)
+        if self.threshold_slope != 0.0 and Z is not None:
+            # Schaye 2004 metallicity scaling, clipped at the max
+            zr = jnp.maximum(Z, 1e-8) / jnp.float32(self.threshold_Z0)
+            thresh = jnp.minimum(
+                thresh * zr ** jnp.float32(self.threshold_slope),
+                jnp.float32(self.density_threshold_max))
+        ok = rho_phys >= thresh
         ok &= rho_com >= jnp.float32(self.rho_crit_baryon_0
                                      * self.over_density)
         if floor is not None:
@@ -152,7 +173,8 @@ class EagleStarFormation:
         rho_phys = rho_com * cosmo.a_inv2 / cosmo.a
         P_phys = s["pressure"] * a_u * cosmo.a_inv2 / cosmo.a
         eligible = active & self.is_star_forming(rho_phys, rho_com,
-                                                 P_phys, floor)
+                                                 P_phys, floor,
+                                                 Z=s.get("Z"))
         sfr_m = self.sfr_per_mass(rho_phys, P_phys)
         sfr = jnp.where(eligible, sfr_m * s["m"], 0.0)
         prob = sfr_m * dt_star

@@ -95,9 +95,10 @@ def build_sph_params(params):
 def build_subgrid(params, units, args, cosmology, sph):
     """Wire the subgrid stack from the YAML sections + CLI switches.
 
-    Returns (cooling_fn, star_formation, entropy_floor, feedback) — any of
-    which may be None.  Mirrors the reference's *_props_init chain
-    (cooling_init, entropy_floor_init, starformation_init, feedback_init).
+    Returns (cooling_fn, star_formation, entropy_floor, feedback,
+    bh_model) — any of which may be None.  Mirrors the reference's
+    *_props_init chain (cooling_init, entropy_floor_init,
+    starformation_init, feedback_init, black_holes_props_init).
     """
     from .subgrid.cooling import (ConstDuCooling, ConstLambdaCooling,
                                   make_cooling_fn)
@@ -161,7 +162,13 @@ def build_subgrid(params, units, args, cosmology, sph):
             f_E=params.opt_float(sec, "SNII_energy_fraction", 1.0),
             E_SNII_cgs=params.opt_float(sec, "SNII_energy_erg", 1.0e51),
             snii_delay=params.opt_float(sec, "SNII_delay", 0.0))
-    return cooling_fn, star_formation, floor, feedback
+
+    bh_model = None
+    if getattr(args, "black_holes", False):
+        from .subgrid.black_holes import EagleBlackHoles
+        bh_model = EagleBlackHoles.from_params(params, units, phys_const,
+                                               G)
+    return cooling_fn, star_formation, floor, feedback, bh_model
 
 
 def main(argv=None) -> int:
@@ -227,15 +234,19 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    from .io.snapshot import PTYPE_BH
     gas = parts.get(PTYPE_GAS)
     dm = parts.get(PTYPE_DM)
     stars_ic = parts.get(PTYPE_STARS)
+    bh_ic = parts.get(PTYPE_BH)
     dmo = args.self_gravity and not args.hydro
-    # gas + DM (+ stars) cosmological volumes run the multi-species engine
-    # (engine policies hydro|self_gravity|cosmology, engine.c:2245)
+    # gas + DM (+ stars/BH) cosmological volumes run the multi-species
+    # engine (engine policies hydro|self_gravity|cosmology, engine.c:2245)
     multi = (args.hydro and args.self_gravity
              and (dm is not None or stars_ic is not None
-                  or args.star_formation or args.feedback))
+                  or bh_ic is not None
+                  or args.star_formation or args.feedback
+                  or args.black_holes))
 
     # --- gravity parameter block (shared by both run modes) ------------------
     gp = None
@@ -327,8 +338,8 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1
-        cooling_fn, star_formation, floor, feedback = build_subgrid(
-            params, units, args, cosmology, sph)
+        cooling_fn, star_formation, floor, feedback, bh_model = \
+            build_subgrid(params, units, args, cosmology, sph)
 
         pos_g = np.asarray(gas["Coordinates"], np.float64)
         h0 = np.asarray(gas["SmoothingLengths"], np.float32)
@@ -345,7 +356,8 @@ def main(argv=None) -> int:
             h_sizing = float(h0.max())
             reach = h_sizing * sph.kernel.gamma * 1.3
         use_flat = (args.backend == "flat" and star_formation is None
-                    and feedback is None)
+                    and feedback is None and bh_model is None
+                    and bh_ic is None)
         if use_flat:
             # column/z-sorted layout: gas hydro + all-species P2P gravity
             # run the flat Pallas kernels; columns must cover r_cut
@@ -390,7 +402,7 @@ def main(argv=None) -> int:
                           cosmology=cosmology, cooling_fn=cooling_fn,
                           star_formation=star_formation,
                           entropy_floor=floor, feedback=feedback,
-                          **mesh_kw)
+                          bh_model=bh_model, **mesh_kw)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name == "gadget2":
             from .models.sph.gadget2 import entropy_from_internal_energy
@@ -422,6 +434,19 @@ def main(argv=None) -> int:
         elif star_formation is not None:
             eng.alloc_stars(extra_per_cell=params.opt_int(
                 "Scheduler", "cell_extra_sparts", 8))
+        if bh_ic is not None:
+            npt = len(bh_ic["Coordinates"])
+            eng.load_bh(
+                np.asarray(bh_ic["Coordinates"], np.float64),
+                np.asarray(bh_ic["Masses"], np.float32),
+                np.asarray(bh_ic["Velocities"], np.float32),
+                h=np.asarray(bh_ic.get(
+                    "SmoothingLengths",
+                    np.full(npt, float(np.median(h0)), np.float32)),
+                    np.float32),
+                pid=np.asarray(bh_ic["ParticleIDs"]).astype(np.int32),
+                m_subgrid=np.asarray(bh_ic.get(
+                    "SubgridMasses", bh_ic["Masses"]), np.float32))
     else:
         # ---------------- hydro (+ optional self-gravity) run -----------------
         if gas is None:
@@ -432,8 +457,7 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1
-        cooling_fn, _, _, _ = build_subgrid(params, units, args,
-                                            cosmology, sph)
+        cooling_fn = build_subgrid(params, units, args, cosmology, sph)[0]
 
         pos = np.asarray(gas["Coordinates"], np.float64)
         h0 = np.asarray(gas["SmoothingLengths"], np.float32)
@@ -539,7 +563,8 @@ def main(argv=None) -> int:
             return {("dm" if dmo else "gas"): eng.state}
         return eng.state
 
-    name2pt = {"gas": PTYPE_GAS, "dm": PTYPE_DM, "stars": PTYPE_STARS}
+    name2pt = {"gas": PTYPE_GAS, "dm": PTYPE_DM, "stars": PTYPE_STARS,
+               "bh": PTYPE_BH}
 
     def write_snap(i):
         parts_out = {}

@@ -92,17 +92,20 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                gravity_fn: Optional[Callable], eps_soft: float,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
                cooling_fn: Optional[Callable] = None,
-               sf=None, feedback=None):
-    """One engine step over {'gas', 'dm', 'stars'} species states.
+               sf=None, feedback=None, bh_model=None):
+    """One engine step over {'gas', 'dm', 'stars', 'bh'} species states.
 
     ``sf`` is an optional (EagleStarFormation, EagleEntropyFloor|None)
     pair enabling stochastic gas->star conversion (requires a 'stars'
     species for the free slots).  ``feedback`` is an optional
     EagleThermalFeedback injecting SNII energy from flagged stars.
+    ``bh_model`` is an optional EagleBlackHoles driving Bondi accretion,
+    gas swallowing and AGN heating of the 'bh' species.
     """
     gas = state.get("gas")
     dm = state.get("dm")
     stars = state.get("stars")
+    bh = state.get("bh")
     n_overflow = jnp.int32(0)
     n_ghost_iter = jnp.int32(0)
     too_small_n = jnp.int32(0)
@@ -168,36 +171,95 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         stars = d
         stars_act = _species_active(d, T)
         n_active = n_active + jnp.sum(stars_act[2])
+    if bh is not None:
+        d = bh
+        d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
+             * d["mask"][..., None]}
+        reach_b = jnp.float32(cfg.p2p_reach)
+        if bh_model is not None:
+            # BH-gas loops reach out to gamma*h_bh
+            reach_b = jnp.maximum(
+                reach_b,
+                jnp.max(jnp.where(d["mask"] > 0, d["h"], 0.0))
+                * jnp.float32(p.kernel.gamma))
+        d, nov = _rebucket_phase(grid, cfg, d, T, reach_b)
+        n_overflow = n_overflow + nov
+        bh = d
+        bh_act = _species_active(d, T)
+        n_active = n_active + jnp.sum(bh_act[2])
 
     # --- joint gravity (all species source; all receive) ---------------------
     if gravity_fn is not None:
-        species = [sp for sp in (gas, dm, stars) if sp is not None]
-        outs = gravity_fn(species)
-        idx = 0
-        if gas is not None:
-            acc, pot = outs[idx]
-            idx += 1
-            act = gas_act[2]
-            gas = {**gas, "a_grav": jnp.where(act[..., None], acc,
-                                              gas["a_grav"])}
-            if pot is not None:
-                gas = {**gas, "pot": jnp.where(act, pot, gas["pot"])}
-        if dm is not None:
-            acc, pot = outs[idx]
-            idx += 1
-            act = dm_act[2]
-            dm = {**dm, "a_grav": jnp.where(act[..., None], acc,
-                                            dm["a_grav"])}
-            if pot is not None:
-                dm = {**dm, "pot": jnp.where(act, pot, dm["pot"])}
-        if stars is not None:
-            acc, pot = outs[idx]
-            act = stars_act[2]
-            stars = {**stars, "a_grav": jnp.where(act[..., None], acc,
-                                                  stars["a_grav"])}
-            if pot is not None:
-                stars = {**stars, "pot": jnp.where(act, pot,
-                                                   stars["pot"])}
+        pool = {"gas": (gas, gas_act if gas is not None else None),
+                "dm": (dm, dm_act if dm is not None else None),
+                "stars": (stars, stars_act if stars is not None else None),
+                "bh": (bh, bh_act if bh is not None else None)}
+        names = [n for n in ("gas", "dm", "stars", "bh")
+                 if pool[n][0] is not None]
+        outs = gravity_fn([pool[n][0] for n in names])
+        for n, (acc, pot) in zip(names, outs):
+            sp, act_t = pool[n]
+            act = act_t[2]
+            sp = {**sp, "a_grav": jnp.where(act[..., None], acc,
+                                            sp["a_grav"])}
+            if pot is not None and "pot" in sp:
+                sp = {**sp, "pot": jnp.where(act, pot, sp["pot"])}
+            pool[n] = (sp, act_t)
+        gas = pool["gas"][0]
+        dm = pool["dm"][0]
+        stars = pool["stars"][0]
+        bh = pool["bh"][0]
+
+    # --- black holes: density -> accretion -> swallow -> AGN -----------------
+    # (runner_black_holes.c: bh_density, bh_swallow, do_gas_swallow,
+    # bh_feedback; black_holes/EAGLE)
+    n_swallowed = jnp.int32(0)
+    n_agn = jnp.int32(0)
+    bh_heated = None
+    if bh_model is not None and bh is not None and gas is not None:
+        from .ops import black_holes as _bh
+        from .ops import stencil as _st
+        dens = _bh.bh_gas_density_loop(grid, bh, gas, p,
+                                       use_scan=cfg.stencil_scan)
+        tb_bh = jnp.clip(bh["time_bin"], 0, NBINS)
+        dt_bh = T.dt_alpha[tb_bh] * bh_act[2]
+        bh = bh_model.accrete(bh, dens, cosmo, dt_bh)
+        # only ACTIVE black holes swallow or fire this step
+        bh = {**bh,
+              "swallow_prob": jnp.where(bh_act[2], bh["swallow_prob"],
+                                        0.0)}
+
+        # swallowing: mark -> collect -> apply (mass + momentum moves)
+        bid = _bh.bh_swallow_target_loop(grid, gas, bh, p,
+                                         T.ti_lo, T.ti_hi,
+                                         use_scan=cfg.stencil_scan)
+        gains = _bh.bh_swallow_collect_loop(grid, bh, gas, p, bid,
+                                            use_scan=cfg.stencil_scan)
+        m_new = bh["m"] + gains["dm"]
+        dp = jnp.stack([gains["dp0"], gains["dp1"], gains["dp2"]], -1)
+        v_new = (bh["m"][..., None] * bh["v_full"] + dp) \
+            / jnp.maximum(m_new, 1e-30)[..., None]
+        keep_v = (gains["dm"] <= 0)[..., None]
+        bh = {**bh, "m": m_new,
+              "v_full": jnp.where(keep_v, bh["v_full"], v_new)}
+        swallowed = bid >= 0
+        n_swallowed = jnp.sum(swallowed)
+        gas = {**gas, "mask": jnp.where(swallowed, 0.0, gas["mask"])}
+
+        # AGN heating: reservoir release through the stochastic kernel
+        fb_energy, resv = bh_model.agn_fire(bh)
+        fb_energy = jnp.where(bh_act[2], fb_energy, 0.0)
+        resv = jnp.where(bh_act[2], resv, bh["energy_reservoir"])
+        bh = {**bh, "energy_reservoir": resv}
+        bh_fb = {**bh, "fb_energy": fb_energy,
+                 "fb_ngb_mass": bh["ngb_mass"]}
+        du_add, nev = _st.feedback_apply_loop(
+            grid, gas, bh_fb, p, T.ti_lo, T.ti_hi, bh_model.delta_u,
+            use_scan=cfg.stencil_scan)
+        bh_heated = nev > 0
+        n_agn = jnp.sum(fb_energy > 0)
+        gas = {**gas, "u_full": gas["u_full"] + du_add,
+               "u": gas["u"] + du_add}
 
     # --- stellar feedback (stars -> gas, EAGLE thermal) -----------------------
     n_heated = jnp.int32(0)
@@ -235,7 +297,10 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         n_woken = n_woken + woken
 
         # --- feedback sync: heated inactive particles join the current
-        # step (runner_do_sync, runner_time_integration.c:1478) ------------
+        # step (runner_do_sync, runner_time_integration.c:1478); AGN
+        # heating syncs through the same machinery ------------------------
+        if bh_heated is not None:
+            heated = bh_heated if heated is None else (heated | bh_heated)
         if heated is not None:
             sync = heated & mask_b & ~active & (gas["time_bin"] > 0)
             tb_now = jnp.clip(gas["time_bin"], 0, NBINS)
@@ -254,8 +319,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             n_converted = n_converted + n_c
             n_overflow = n_overflow + n_lost
             sfr_total = sfr_total + jnp.sum(sfr)
-            mask_b = gas["mask"] > 0
 
+        mask_b = gas["mask"] > 0  # excludes converted + swallowed slots
         bins_masked = jnp.where(mask_b, jnp.clip(gas["time_bin"], 0, NBINS),
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
@@ -278,6 +343,14 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
+    if bh is not None:
+        mask_b, tb, active = bh_act
+        bh, too_small = _dm_kdk(cfg, eps_soft, bh, T, active, tb)
+        too_small_n = too_small_n + jnp.sum(too_small)
+        bins_masked = jnp.where(mask_b, jnp.clip(bh["time_bin"], 0, NBINS),
+                                NBINS + 5)
+        bin_counts = bin_counts + jnp.bincount(
+            bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
     out_state = {}
     if gas is not None:
@@ -286,6 +359,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         out_state["dm"] = dm
     if stars is not None:
         out_state["stars"] = stars
+    if bh is not None:
+        out_state["bh"] = bh
     diag = {
         "bin_counts": bin_counts,
         "n_overflow": n_overflow,
@@ -297,6 +372,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_converted": n_converted,
         "sfr_total": sfr_total,
         "n_heated": n_heated,
+        "n_swallowed": n_swallowed,
+        "n_agn": n_agn,
     }
     return out_state, diag
 
@@ -309,6 +386,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     gas = state.get("gas")
     dm = state.get("dm")
     stars = state.get("stars")
+    bh = state.get("bh")
     n_ghost_iter = jnp.int32(0)
 
     if gas is not None:
@@ -317,26 +395,16 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                        T.dt_alpha * 0.0)
 
     if gravity_fn is not None:
-        species = [sp for sp in (gas, dm, stars) if sp is not None]
-        outs = gravity_fn(species)
-        idx = 0
-        if gas is not None:
-            acc, pot = outs[idx]
-            idx += 1
-            gas = {**gas, "a_grav": acc}
-            if pot is not None:
-                gas = {**gas, "pot": pot}
-        if dm is not None:
-            acc, pot = outs[idx]
-            idx += 1
-            dm = {**dm, "a_grav": acc}
-            if pot is not None:
-                dm = {**dm, "pot": pot}
-        if stars is not None:
-            acc, pot = outs[idx]
-            stars = {**stars, "a_grav": acc}
-            if pot is not None:
-                stars = {**stars, "pot": pot}
+        pool = {"gas": gas, "dm": dm, "stars": stars, "bh": bh}
+        names = [n for n in _SPECIES_ORDER if pool[n] is not None]
+        outs = gravity_fn([pool[n] for n in names])
+        for n, (acc, pot) in zip(names, outs):
+            sp = {**pool[n], "a_grav": acc}
+            if pot is not None and "pot" in sp:
+                sp = {**sp, "pot": pot}
+            pool[n] = sp
+        gas, dm, stars, bh = (pool["gas"], pool["dm"], pool["stars"],
+                              pool["bh"])
 
     bin_counts = jnp.zeros(NBINS + 1, jnp.int32)
     too_small_n = jnp.int32(0)
@@ -371,7 +439,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
-    for name, sp in (("dm", dm), ("stars", stars)):
+    for name, sp in (("dm", dm), ("stars", stars), ("bh", bh)):
         if sp is None:
             continue
         mask_b = sp["mask"] > 0
@@ -394,8 +462,10 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
         if name == "dm":
             dm = sp
-        else:
+        elif name == "stars":
             stars = sp
+        else:
+            bh = sp
 
     out_state = {}
     if gas is not None:
@@ -404,6 +474,8 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         out_state["dm"] = dm
     if stars is not None:
         out_state["stars"] = stars
+    if bh is not None:
+        out_state["bh"] = bh
     diag = {
         "bin_counts": bin_counts,
         "n_overflow": jnp.int32(0),
@@ -421,10 +493,10 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 
 
 _JIT_MULTI_STEP = jax.jit(multi_step,
-                          static_argnums=(0, 1, 2, 3, 4, 8, 9, 10))
+                          static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
-_SPECIES_ORDER = ("gas", "dm", "stars")
+_SPECIES_ORDER = ("gas", "dm", "stars", "bh")
 
 
 def _mesh_update_multi(mesh_fn, state, dt_close, dt_open):
@@ -477,7 +549,7 @@ class MultiEngine(Engine):
                  cooling_fn: Optional[Callable] = None,
                  star_formation=None, entropy_floor=None,
                  feedback=None, mesh_fn: Optional[Callable] = None,
-                 mesh_dt_scale: float = 0.0):
+                 mesh_dt_scale: float = 0.0, bh_model=None):
         if cfg.backend == "gather" or (
                 cfg.backend == "flat"
                 and (star_formation is not None or feedback is not None)):
@@ -495,6 +567,7 @@ class MultiEngine(Engine):
         self.sf = (star_formation, entropy_floor) \
             if star_formation is not None else None
         self.feedback = feedback
+        self.bh_model = bh_model
         self.state = {}
 
     # --- loading --------------------------------------------------------------
@@ -608,6 +681,42 @@ class MultiEngine(Engine):
         self.state = _JIT_MESH_OPEN_MULTI(self.state, jnp.float32(dt_open))
         self.n_mesh_updates += 1
 
+    def load_bh(self, pos, m, v, h=None, pid=None, m_subgrid=None):
+        """Bucket black holes (EAGLE bpart: dynamical mass m, subgrid
+        mass m_subgrid, AGN energy reservoir; black_holes_part.h)."""
+        n = len(pos)
+        if pid is None:
+            pid = np.arange(n, dtype=np.int32)
+        if h is None:
+            h = np.full(n, min(self.grid.edge) / 4, np.float32)
+        if m_subgrid is None:
+            m_subgrid = np.asarray(m, np.float32)
+        fields = {
+            "pid": jnp.asarray(pid, I32),
+            "m": jnp.asarray(m, F32),
+            "m_subgrid": jnp.asarray(m_subgrid, F32),
+            "v_full": jnp.asarray(v, F32),
+            "h": jnp.asarray(h, F32),
+        }
+        out, mask, off, n_over = bucket_fields(
+            self.grid, jnp.asarray(pos), fields,
+            zsort=self.cfg.backend == "flat")
+        if int(n_over) != 0:
+            raise RuntimeError(f"{int(n_over)} BH particles overflow K")
+        C, K = self.grid.C, mask.shape[1]
+        z = lambda: jnp.zeros((C, K), F32)
+        self.state["bh"] = {
+            "mask": mask, "off": off, **out,
+            "a_grav": jnp.zeros((C, K, 3), F32),
+            "a_grav_mesh": jnp.zeros((C, K, 3), F32),
+            "pot": z(), "pot_mesh": z(),
+            "time_bin": jnp.zeros((C, K), I32),
+            "energy_reservoir": z(), "swallow_prob": z(),
+            "mdot": z(), "rho_gas": z(), "ngb_mass": z(),
+            "drift_accum": jnp.float32(0.0),
+        }
+        self.n_particles = getattr(self, "n_particles", 0) + n
+
     # --- stepping ---------------------------------------------------------------
     def init_particles(self):
         if self.mesh_fn is not None:
@@ -633,7 +742,7 @@ class MultiEngine(Engine):
         self.state, diag = _JIT_MULTI_STEP(
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
             self.cosmo, self.state, T, self.cooling_fn, self.sf,
-            self.feedback)
+            self.feedback, self.bh_model)
         self._post_step(diag)
         self.step_count += 1
         if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:

@@ -53,6 +53,17 @@ def softened_force_factor(r2, H):
     return jnp.where(r < H, inside, outside)
 
 
+def _erfc_pos(x):
+    """erfc(x) for x >= 0 — Abramowitz & Stegun 7.1.26 polynomial
+    (|err| < 1.5e-7).  jax.lax.erfc has no Mosaic lowering, and an
+    identical approximation in every backend keeps the XLA and Pallas
+    gravity paths bit-consistent."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return poly * jnp.exp(-x * x)
+
+
 def truncation_factor(r2, r_s_inv):
     """Gadget-like short-range truncation chi_force(r, r_s).
 
@@ -61,7 +72,7 @@ def truncation_factor(r2, r_s_inv):
     """
     r = jnp.sqrt(r2)
     u = 0.5 * r * r_s_inv
-    return jax.lax.erfc(u) + 2.0 * u * _SQRT_PI_INV * jnp.exp(-u * u)
+    return _erfc_pos(u) + 2.0 * u * _SQRT_PI_INV * jnp.exp(-u * u)
 
 
 def softened_pot_factor(r2, H):
@@ -83,7 +94,7 @@ def softened_pot_factor(r2, H):
 
 def pot_truncation_factor(r2, r_s_inv):
     """chi_pot(r, r_s) = erfc(r / (2 r_s)) (kernel_long_gravity.h:52)."""
-    return jax.lax.erfc(0.5 * jnp.sqrt(r2) * r_s_inv)
+    return _erfc_pos(0.5 * jnp.sqrt(r2) * r_s_inv)
 
 
 def stencil_offsets(radius: int):

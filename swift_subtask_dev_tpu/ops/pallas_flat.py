@@ -45,8 +45,18 @@ OFFSETS_9 = [(0, 0)] + [(dx, dy)
                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                         if not (dx == 0 and dy == 0)]
 
-JB = 32          # j-block rows (z-skip granularity); NBLK = W/JB <= 32
+JB = 32          # default j-block rows (z-skip granularity); NBLK <= 32
 LANES = 128      # i-tile width
+
+
+def _jb_for(Wj: int) -> int:
+    """Block rows for a column capacity: the bitmask word holds 32 bits,
+    so JB doubles (32 -> 64 -> 128...) as W grows past 1024; W is always
+    a multiple of 128 (build_columns w_align) so JB divides it."""
+    jb = JB
+    while Wj // jb > 32:
+        jb *= 2
+    return jb
 
 
 def _column_geometry(grid: CellGrid):
@@ -67,7 +77,8 @@ def nbr_col_table(grid: CellGrid) -> np.ndarray:
 
 
 def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
-                 sym_range: bool, maskf_j=None, zf_j=None, hf_j=None):
+                 sym_range: bool, maskf_j=None, zf_j=None, hf_j=None,
+                 jb: int = JB):
     """(Ncol, TPC, 9) i32 bitmasks of live z-overlapping j-blocks.
 
     When the j-side arrays are given (cross-species loops: the i tiles of
@@ -83,7 +94,7 @@ def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
     if maskf_j is None:
         maskf_j, zf_j, hf_j = maskf, zf, hf
     live_j = maskf_j > 0
-    NBLK = maskf_j.shape[1] // JB
+    NBLK = maskf_j.shape[1] // jb
 
     zi = jnp.where(live, zf, jnp.inf).reshape(Ncol, TPC, LANES)
     iz_lo = jnp.min(zi, axis=2)                                # (Ncol,TPC)
@@ -92,7 +103,7 @@ def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
         jnp.where(live, hf, 0.0).reshape(Ncol, TPC, LANES), axis=2)
     hmax_col = jnp.max(jnp.where(live_j, hf_j, 0.0), axis=1)   # (Ncol,)
 
-    zb = jnp.where(live_j, zf_j, jnp.inf).reshape(Ncol, NBLK, JB)
+    zb = jnp.where(live_j, zf_j, jnp.inf).reshape(Ncol, NBLK, jb)
     jb_lo = jnp.min(zb, axis=2)                                # (Ncol,NBLK)
     jb_hi = jnp.max(jnp.where(jnp.isfinite(zb), zb, -jnp.inf), axis=2)
 
@@ -154,9 +165,10 @@ def pair_apply(grid: CellGrid,
     if not cross:
         fields_j, field_order_j = fields, field_order
     Wj = fields_j["mask"].shape[1]
-    assert W % LANES == 0 and Wj % JB == 0 and Wj // JB <= 32
+    jb = _jb_for(Wj)
+    assert W % LANES == 0 and Wj % jb == 0 and Wj // jb <= 32
     TPC = W // LANES
-    NBLK = Wj // JB
+    NBLK = Wj // jb
     Np = Ncol * W
     Npj = Ncol * Wj
     F = len(field_order)
@@ -186,7 +198,8 @@ def pair_apply(grid: CellGrid,
         grid, fields["mask"], fields["off2"], fields["h"],
         range_scale, sym_range,
         *((fields_j["mask"], fields_j["off2"], fields_j["h"])
-          if cross else (None, None, None))).reshape(1, Ncol * TPC * 9)
+          if cross else (None, None, None)),
+        jb=jb).reshape(1, Ncol * TPC * 9)
 
     n_sc = len(scalars)
     sc_arr = (jnp.stack([jnp.asarray(v, F32) for v in scalars])
@@ -220,11 +233,11 @@ def pair_apply(grid: CellGrid,
                 sx = jnp.float32(dx * ex)
                 sy = jnp.float32(dy * ey)
 
-                def jblock(jb, _):
-                    @pl.when((word >> jb) & 1 != 0)
+                def jblock(blk, _):
+                    @pl.when((word >> blk) & 1 != 0)
                     def _():
-                        r0 = pl.multiple_of(jb * JB, JB)
-                        tile = wref[pl.ds(r0, JB), :]       # (JB, Fpj)
+                        r0 = pl.multiple_of(blk * jb, jb)
+                        tile = wref[pl.ds(r0, jb), :]       # (jb, Fpj)
 
                         def nf(name):
                             i = fidx_j[name]

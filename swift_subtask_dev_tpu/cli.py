@@ -327,6 +327,7 @@ def main(argv=None) -> int:
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
+        eng.solver_builder = lambda g: GravitySolver(gp, g)
     elif multi:
         # -------- gas + DM (+ stars) cosmological volume (MultiEngine) -------
         from .engine_multi import MultiEngine
@@ -403,6 +404,7 @@ def main(argv=None) -> int:
                           star_formation=star_formation,
                           entropy_floor=floor, feedback=feedback,
                           bh_model=bh_model, **mesh_kw)
+        eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name == "gadget2":
             from .models.sph.gadget2 import entropy_from_internal_energy
@@ -509,6 +511,8 @@ def main(argv=None) -> int:
                      gravity_fn=gravity_fn, cosmology=cosmology,
                      cooling_fn=cooling_fn,
                      mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
+        if args.self_gravity:
+            eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name == "gadget2":
             # the entropy scheme evolves A = P/rho^gamma in the u slots;

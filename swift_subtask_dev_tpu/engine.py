@@ -112,6 +112,17 @@ class EngineConfig:
     # slack-inflated reach (caps the candidate volume at ~2.2 kernel balls)
 
 
+class RegridNeeded(RuntimeError):
+    """A step hit a capacity/coverage wall (cell overflow or h outgrowing
+    the cell edge): the host must rebuild the grid and retry — the analog
+    of space_regrid (space.c) resizing the top grid when h grows."""
+
+    def __init__(self, reason: str, h_reach: float = 0.0):
+        super().__init__(reason)
+        self.reason = reason
+        self.h_reach = h_reach
+
+
 def _call_gravity(gravity_fn, s):
     """gravity_fn may return acc or (acc, potential)."""
     out = gravity_fn(s)
@@ -794,6 +805,9 @@ class Engine:
         self.n_mesh_updates += 1
 
     def init_particles(self):
+        return self._with_regrid_retry(self._init_particles_once)
+
+    def _init_particles_once(self):
         """First density/ghost/force pass + initial bins + first kick1.
 
         Mirrors engine_init_particles (engine.c:1893): a density-only
@@ -943,6 +957,9 @@ class Engine:
         return wake_dv, wake_du
 
     def step(self):
+        return self._with_regrid_retry(self._step_once)
+
+    def _step_once(self):
         """Advance to the next ti_end_min (engine_step, engine.c:2245)."""
         t = self.timeline
         ti_next = self._ti_end_min
@@ -968,11 +985,131 @@ class Engine:
             self._mesh_boundary()
         return diag
 
+    # --- automatic re-gridding (space_regrid, space.c) ---------------------
+    def _with_regrid_retry(self, fn, max_attempts: int = 3):
+        """Run a step; on a capacity/coverage wall restore the pre-step
+        state, rebuild the grid from the live particles, and retry —
+        SWIFT's space_regrid-at-rebuild, done reactively (the jitted step
+        is pure, so the pre-step state is untouched by a failed attempt).
+        """
+        for attempt in range(max_attempts):
+            saved = (self.state, self.timeline.ti_current,
+                     getattr(self, "_ti_end_min", 0), self.step_count,
+                     self.ti_mesh_end, self.ti_mesh_mid)
+            try:
+                return fn()
+            except RegridNeeded as e:
+                (self.state, self.timeline.ti_current, self._ti_end_min,
+                 self.step_count, self.ti_mesh_end, self.ti_mesh_mid) \
+                    = saved
+                self.regrid(h_reach=e.h_reach)
+        raise RuntimeError(
+            f"re-grid did not converge after {max_attempts} attempts")
+
+    def _grid_reach(self, h_reach: float = 0.0) -> float:
+        """Interaction range a rebuilt grid must cover."""
+        reach = float(self.cfg.p2p_reach)
+        if "h" in self.state:
+            mask = np.asarray(self.state["mask"]) > 0
+            if mask.any():
+                h_now = float(np.asarray(self.state["h"])[mask].max())
+                reach = max(reach, h_now * self.sph.kernel.gamma * 1.05)
+        return max(reach, h_reach * 1.05)
+
+    def _extract_particles(self, state):
+        """Live particles of a tiled species state -> (pos_f64, fields)."""
+        from .grid.cellgrid import global_positions
+        mask = np.asarray(state["mask"]) > 0
+        pos = global_positions(self.grid, np.asarray(state["off"]))[mask]
+        fields = {}
+        K = state["mask"].shape[1]
+        for k, v in state.items():
+            if k in ("mask", "off") or k in _NBR_KEYS:
+                continue
+            arr = np.asarray(v)
+            if arr.ndim >= 2 and arr.shape[:2] == (self.grid.C, K):
+                fields[k] = arr[mask]
+        return pos, fields
+
+    def _rebucket_species(self, grid, pos, fields, extra_slots: int = 0):
+        """Bucket extracted particles onto a new grid (+ free slots)."""
+        jfields = {k: jnp.asarray(v) for k, v in fields.items()}
+        out, mask, off, n_over = bucket_fields(
+            grid, jnp.asarray(pos), jfields,
+            zsort=self.cfg.backend == "flat")
+        if int(n_over) != 0:
+            raise RuntimeError(
+                f"{int(n_over)} particles overflow even the rebuilt grid")
+        if extra_slots > 0:
+            C, K0 = mask.shape
+
+            def pad(a, fill=0.0):
+                shape = (C, extra_slots) + a.shape[2:]
+                return jnp.concatenate(
+                    [a, jnp.full(shape, fill, a.dtype)], axis=1)
+
+            out = {k: pad(v, -1 if k == "pid" else 0)
+                   for k, v in out.items()}
+            mask, off = pad(mask), pad(off)
+        state = {"mask": mask, "off": off, **out,
+                 "drift_accum": jnp.float32(0.0)}
+        if self.cfg.backend == "gather":
+            C, K = mask.shape
+            state.update(
+                nbr_idx=jnp.zeros((C, K, self.cfg.ngb_cap), I32),
+                nbr_code=jnp.zeros((C, K, self.cfg.ngb_cap), jnp.int8),
+                h_cap=jnp.zeros((C, K), F32),
+                nbr_dbudget=jnp.float32(0.0),   # forces a list rebuild
+                nbr_maxcount=jnp.int32(0))
+        return state
+
+    def _build_grid(self, pos_all, reach: float) -> CellGrid:
+        if self.cfg.backend == "flat":
+            return CellGrid.build_columns(self.grid.box, reach, pos_all)
+        return CellGrid.build_for_positions(self.grid.box, reach, pos_all,
+                                            headroom=1.6)
+
+    def regrid(self, h_reach: float = 0.0):
+        """Rebuild the grid from the live state and re-bucket everything.
+
+        Triggered by cell overflow (clustering outgrew K) or by h
+        outgrowing the cell edge; the new grid re-derives cdim and K from
+        the ACTUAL particle distribution — space_regrid + space_rebuild.
+        """
+        reach = self._grid_reach(h_reach)
+        pos, fields = self._extract_particles(self.state)
+        new_grid = self._build_grid(pos, reach)
+        self.state = self._rebucket_species(new_grid, pos, fields)
+        self.grid = new_grid
+        if self.gravity_fn is not None or self.mesh_fn is not None:
+            self._rebind_gravity(new_grid)
+
+    def _rebind_gravity(self, new_grid):
+        """Gravity closures capture the grid (cell corners, stencil
+        geometry): rebuild them from ``solver_builder`` — a
+        ``CellGrid -> GravitySolver`` factory the caller sets (the CLI
+        always does)."""
+        builder = getattr(self, "solver_builder", None)
+        if builder is None:
+            raise RuntimeError(
+                "auto re-grid with gravity needs engine.solver_builder "
+                "(a CellGrid -> GravitySolver factory): the old "
+                "gravity_fn is bound to the replaced grid")
+        self._bind_solver(builder(new_grid))
+
+    def _bind_solver(self, solver):
+        if self.mesh_fn is not None:
+            self.gravity_fn = solver.gas_short_range_fn()
+            self.mesh_fn = solver.gas_mesh_fn()
+            self.mesh_dt_scale = solver.pm.r_s
+        else:
+            self.gravity_fn = solver.gas_gravity_fn()
+
     def _post_step(self, diag):
         counts = np.asarray(diag["bin_counts"])
         self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)
         if int(diag["n_overflow"]) != 0:
-            raise RuntimeError(
+            raise RegridNeeded(
                 f"cell overflow during rebucket at step {self.step_count}: "
                 f"{int(diag['n_overflow'])} particles (grid too tight)")
         if int(diag["n_dt_too_small"]) != 0:
@@ -981,10 +1118,10 @@ class Engine:
         # h grew beyond stencil coverage -> would silently lose pairs
         h_reach = float(diag["h_max_active"]) * self.sph.kernel.gamma
         if h_reach > min(self.grid.edge) * (1 + 1e-5):
-            raise RuntimeError(
+            raise RegridNeeded(
                 f"smoothing length reach {h_reach:.4g} exceeds cell edge "
-                f"{min(self.grid.edge):.4g}: re-grid needed "
-                f"(reference space_regrid analog)")
+                f"{min(self.grid.edge):.4g} (space_regrid analog)",
+                h_reach=h_reach)
         nbr_max = int(diag.get("nbr_maxcount", 0))
         if nbr_max > self.cfg.ngb_cap:
             raise RuntimeError(
@@ -1356,6 +1493,9 @@ class DMEngine(Engine):
         self.n_particles = n
 
     def init_particles(self):
+        return self._with_regrid_retry(self._init_particles_once)
+
+    def _init_particles_once(self):
         if self.mesh_fn is not None:
             self._mesh_boundary()
         T = self._tables()
@@ -1365,7 +1505,7 @@ class DMEngine(Engine):
         self._post_step(diag)
         return diag
 
-    def step(self):
+    def _step_once(self):
         t = self.timeline
         ti_next = self._ti_end_min
         if self.mesh_fn is not None:
@@ -1391,6 +1531,6 @@ class DMEngine(Engine):
         counts = np.asarray(diag["bin_counts"])
         self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)
         if int(diag["n_overflow"]) != 0:
-            raise RuntimeError("cell overflow during rebucket")
+            raise RegridNeeded("cell overflow during rebucket")
         if int(diag["n_dt_too_small"]) != 0:
             raise RuntimeError("dt below dt_min")

@@ -719,6 +719,9 @@ class MultiEngine(Engine):
 
     # --- stepping ---------------------------------------------------------------
     def init_particles(self):
+        return self._with_regrid_retry(self._init_particles_once)
+
+    def _init_particles_once(self):
         if self.mesh_fn is not None:
             self._mesh_boundary()
         T = self._tables()
@@ -728,7 +731,7 @@ class MultiEngine(Engine):
         self._post_step(diag)
         return diag
 
-    def step(self):
+    def _step_once(self):
         t = self.timeline
         ti_next = self._ti_end_min
         if self.mesh_fn is not None:
@@ -750,16 +753,62 @@ class MultiEngine(Engine):
         return diag
 
     def _post_step(self, diag):
+        from .engine import RegridNeeded
         counts = np.asarray(diag["bin_counts"])
         self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)
         if int(diag["n_overflow"]) != 0:
-            raise RuntimeError(
+            raise RegridNeeded(
                 f"cell overflow during rebucket at step {self.step_count}")
         if int(diag["n_dt_too_small"]) != 0:
             raise RuntimeError("a particle wants dt < dt_min")
         if "gas" in self.state:
             h_reach = float(diag["h_max_active"]) * self.sph.kernel.gamma
             if h_reach > min(self.grid.edge) * (1 + 1e-5):
-                raise RuntimeError(
+                raise RegridNeeded(
                     f"smoothing reach {h_reach:.4g} exceeds cell edge "
-                    f"{min(self.grid.edge):.4g}: re-grid needed")
+                    f"{min(self.grid.edge):.4g}", h_reach=h_reach)
+
+    # --- automatic re-gridding over all species ---------------------------
+    def _grid_reach(self, h_reach: float = 0.0) -> float:
+        reach = float(self.cfg.p2p_reach)
+        for name in ("gas", "stars", "bh"):
+            sp = self.state.get(name)
+            if sp is None or "h" not in sp:
+                continue
+            mask = np.asarray(sp["mask"]) > 0
+            if mask.any():
+                reach = max(reach,
+                            float(np.asarray(sp["h"])[mask].max())
+                            * self.sph.kernel.gamma * 1.05)
+        return max(reach, h_reach * 1.05)
+
+    def regrid(self, h_reach: float = 0.0):
+        """space_regrid over every species: one new grid sized for the
+        union of particles, each species re-bucketed onto it (stars keep
+        their star-formation free slots)."""
+        reach = self._grid_reach(h_reach)
+        extracted = {}
+        pos_all = []
+        for name, sp in self.state.items():
+            pos, fields = self._extract_particles(sp)
+            extracted[name] = (pos, fields)
+            pos_all.append(pos)
+        new_grid = self._build_grid(np.concatenate(pos_all), reach)
+        new_state = {}
+        for name, (pos, fields) in extracted.items():
+            extra = 8 if name == "stars" and self.sf is not None else 0
+            new_state[name] = self._rebucket_species(new_grid, pos,
+                                                     fields,
+                                                     extra_slots=extra)
+        self.state = new_state
+        self.grid = new_grid
+        if self.gravity_fn is not None or self.mesh_fn is not None:
+            self._rebind_gravity(new_grid)
+
+    def _bind_solver(self, solver):
+        if self.mesh_fn is not None:
+            self.gravity_fn = solver.short_range_accelerations
+            self.mesh_fn = solver.mesh_accelerations
+            self.mesh_dt_scale = solver.pm.r_s
+        else:
+            self.gravity_fn = solver.accelerations

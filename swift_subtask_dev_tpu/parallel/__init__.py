@@ -18,9 +18,11 @@ sharded `(C, K, ...)` cell-tile layout over a `jax.sharding.Mesh`:
 """
 
 from .mesh import (cell_sharding, make_mesh, replicated_sharding,
-                   shard_state, sharded_hydro_step)
+                   shard_state, shard_multi_state, sharded_hydro_step,
+                   sharded_dm_step, sharded_multi_step)
 
 __all__ = [
     "make_mesh", "cell_sharding", "replicated_sharding", "shard_state",
-    "sharded_hydro_step",
+    "shard_multi_state", "sharded_hydro_step", "sharded_dm_step",
+    "sharded_multi_step",
 ]

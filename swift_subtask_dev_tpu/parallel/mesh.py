@@ -94,3 +94,62 @@ def sharded_hydro_step(grid, sph, cfg, gravity_fn, cosmo, mesh,
         return new_s, diag
 
     return step
+
+
+def sharded_dm_step(grid, cfg, gravity_fn, eps_soft, mesh,
+                    axis: str = "x"):
+    """Sharded gravity-only (DMO) step: P2P short range rides the same
+    roll-stencil halo collectives as hydro; the PM mesh's CIC deposit is
+    a sharded scatter-add and the FFT runs replicated (XLA gathers the
+    mesh — the analog of the reference's slab-FFT alltoall,
+    mesh_gravity_mpi.c, left to the compiler here)."""
+    import jax
+
+    from ..engine import dm_step
+
+    shard_c = cell_sharding(mesh, axis)
+
+    @jax.jit
+    def step(s, tables):
+        new_s, diag = dm_step(grid, cfg, gravity_fn, eps_soft, s, tables)
+        new_s = {k: (jax.lax.with_sharding_constraint(v, shard_c)
+                     if (hasattr(v, "ndim") and v.ndim >= 2
+                         and v.shape[0] == grid.C) else v)
+                 for k, v in new_s.items()}
+        return new_s, diag
+
+    return step
+
+
+def sharded_multi_step(grid, sph, cfg, gravity_fn, eps_soft, cosmo, mesh,
+                       cooling_fn=None, sf=None, feedback=None,
+                       bh_model=None, axis: str = "x"):
+    """Sharded multi-species step (gas+DM+stars+BH): every species' cell
+    tiles are x-slab sharded; the joint gravity sums species on the same
+    sharded grid."""
+    import jax
+
+    from ..engine_multi import multi_step
+
+    shard_c = cell_sharding(mesh, axis)
+
+    def constrain(sp):
+        return {k: (jax.lax.with_sharding_constraint(v, shard_c)
+                    if (hasattr(v, "ndim") and v.ndim >= 2
+                        and v.shape[0] == grid.C) else v)
+                for k, v in sp.items()}
+
+    @jax.jit
+    def step(state, tables):
+        new_state, diag = multi_step(grid, sph, cfg, gravity_fn, eps_soft,
+                                     cosmo, state, tables, cooling_fn,
+                                     sf, feedback, bh_model)
+        return {n: constrain(sp) for n, sp in new_state.items()}, diag
+
+    return step
+
+
+def shard_multi_state(state: Dict, grid, mesh, axis: str = "x") -> Dict:
+    """shard_state over a {'gas': {...}, ...} species dict."""
+    return {name: shard_state(sp, grid, mesh, axis)
+            for name, sp in state.items()}

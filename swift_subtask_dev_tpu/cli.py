@@ -234,17 +234,18 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    from .io.snapshot import PTYPE_BH
+    from .io.snapshot import PTYPE_BH, PTYPE_NEUTRINO
     gas = parts.get(PTYPE_GAS)
     dm = parts.get(PTYPE_DM)
     stars_ic = parts.get(PTYPE_STARS)
     bh_ic = parts.get(PTYPE_BH)
+    nu_ic = parts.get(PTYPE_NEUTRINO)
     dmo = args.self_gravity and not args.hydro
     # gas + DM (+ stars/BH) cosmological volumes run the multi-species
     # engine (engine policies hydro|self_gravity|cosmology, engine.c:2245)
     multi = (args.hydro and args.self_gravity
              and (dm is not None or stars_ic is not None
-                  or bh_ic is not None
+                  or bh_ic is not None or nu_ic is not None
                   or args.star_formation or args.feedback
                   or args.black_holes))
 
@@ -349,6 +350,8 @@ def main(argv=None) -> int:
             pos_all.append(np.asarray(dm["Coordinates"], np.float64))
         if stars_ic is not None:
             pos_all.append(np.asarray(stars_ic["Coordinates"], np.float64))
+        if nu_ic is not None:
+            pos_all.append(np.asarray(nu_ic["Coordinates"], np.float64))
         if sph.h_max < 1e29:
             h_sizing = float(sph.h_max)
             h0 = np.minimum(h0, sph.h_max)
@@ -398,12 +401,21 @@ def main(argv=None) -> int:
         else:
             gravity_fn = solver.accelerations
 
+        nu_model = None
+        if nu_ic is not None:
+            from .subgrid.neutrino import NeutrinoModel
+            if "mesh_fn" not in mesh_kw:
+                print("neutrino particles need Gravity:split_mesh_kicks",
+                      file=sys.stderr)
+                return 1
+            nu_model = NeutrinoModel.from_params(params, units)
         eng = MultiEngine(grid, sph, cfg, t_begin, t_end,
                           gravity_fn=gravity_fn, eps_soft=gp.eps,
                           cosmology=cosmology, cooling_fn=cooling_fn,
                           star_formation=star_formation,
                           entropy_floor=floor, feedback=feedback,
-                          bh_model=bh_model, **mesh_kw)
+                          bh_model=bh_model, nu_model=nu_model,
+                          **mesh_kw)
         eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name == "gadget2":
@@ -436,6 +448,14 @@ def main(argv=None) -> int:
         elif star_formation is not None:
             eng.alloc_stars(extra_per_cell=params.opt_int(
                 "Scheduler", "cell_extra_sparts", 8))
+        if nu_ic is not None:
+            vel = nu_ic.get("Velocities")
+            eng.load_nu(
+                np.asarray(nu_ic["Coordinates"], np.float64),
+                np.asarray(nu_ic["Masses"], np.float32),
+                v=(np.asarray(vel, np.float32) if vel is not None
+                   and np.abs(np.asarray(vel)).max() > 0 else None),
+                pid=np.asarray(nu_ic["ParticleIDs"]).astype(np.int32))
         if bh_ic is not None:
             npt = len(bh_ic["Coordinates"])
             eng.load_bh(
@@ -568,7 +588,7 @@ def main(argv=None) -> int:
         return eng.state
 
     name2pt = {"gas": PTYPE_GAS, "dm": PTYPE_DM, "stars": PTYPE_STARS,
-               "bh": PTYPE_BH}
+               "bh": PTYPE_BH, "nu": PTYPE_NEUTRINO}
 
     def write_snap(i):
         parts_out = {}

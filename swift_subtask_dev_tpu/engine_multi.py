@@ -106,6 +106,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     dm = state.get("dm")
     stars = state.get("stars")
     bh = state.get("bh")
+    nu = state.get("nu")
     n_overflow = jnp.int32(0)
     n_ghost_iter = jnp.int32(0)
     too_small_n = jnp.int32(0)
@@ -187,9 +188,20 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         bh = d
         bh_act = _species_active(d, T)
         n_active = n_active + jnp.sum(bh_act[2])
+    if nu is not None:
+        d = nu
+        d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
+             * d["mask"][..., None]}
+        d, nov = _rebucket_phase(grid, cfg, d, T, jnp.float32(0.0))
+        n_overflow = n_overflow + nov
+        nu = d
+        nu_act = _species_active(d, T)
+        n_active = n_active + jnp.sum(nu_act[2])
 
     # --- joint gravity (all species source; all receive) ---------------------
     if gravity_fn is not None:
+        # neutrinos are mesh-only (neutrino.h): excluded from the
+        # short-range/near-field gravity entirely
         pool = {"gas": (gas, gas_act if gas is not None else None),
                 "dm": (dm, dm_act if dm is not None else None),
                 "stars": (stars, stars_act if stars is not None else None),
@@ -351,6 +363,14 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
+    if nu is not None:
+        mask_b, tb, active = nu_act
+        nu, too_small = _dm_kdk(cfg, eps_soft, nu, T, active, tb)
+        too_small_n = too_small_n + jnp.sum(too_small)
+        bins_masked = jnp.where(mask_b, jnp.clip(nu["time_bin"], 0, NBINS),
+                                NBINS + 5)
+        bin_counts = bin_counts + jnp.bincount(
+            bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
     out_state = {}
     if gas is not None:
@@ -361,6 +381,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         out_state["stars"] = stars
     if bh is not None:
         out_state["bh"] = bh
+    if nu is not None:
+        out_state["nu"] = nu
     diag = {
         "bin_counts": bin_counts,
         "n_overflow": n_overflow,
@@ -387,6 +409,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     dm = state.get("dm")
     stars = state.get("stars")
     bh = state.get("bh")
+    nu = state.get("nu")
     n_ghost_iter = jnp.int32(0)
 
     if gas is not None:
@@ -395,7 +418,10 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                        T.dt_alpha * 0.0)
 
     if gravity_fn is not None:
-        pool = {"gas": gas, "dm": dm, "stars": stars, "bh": bh}
+        # neutrinos are mesh-only sources/receivers: never in the
+        # short-range pool (neutrino.h)
+        pool = {"gas": gas, "dm": dm, "stars": stars, "bh": bh,
+                "nu": None}
         names = [n for n in _SPECIES_ORDER if pool[n] is not None]
         outs = gravity_fn([pool[n] for n in names])
         for n, (acc, pot) in zip(names, outs):
@@ -439,7 +465,8 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
-    for name, sp in (("dm", dm), ("stars", stars), ("bh", bh)):
+    for name, sp in (("dm", dm), ("stars", stars), ("bh", bh),
+                     ("nu", nu)):
         if sp is None:
             continue
         mask_b = sp["mask"] > 0
@@ -464,8 +491,10 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             dm = sp
         elif name == "stars":
             stars = sp
-        else:
+        elif name == "bh":
             bh = sp
+        else:
+            nu = sp
 
     out_state = {}
     if gas is not None:
@@ -476,6 +505,8 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         out_state["stars"] = stars
     if bh is not None:
         out_state["bh"] = bh
+    if nu is not None:
+        out_state["nu"] = nu
     diag = {
         "bin_counts": bin_counts,
         "n_overflow": jnp.int32(0),
@@ -496,14 +527,16 @@ _JIT_MULTI_STEP = jax.jit(multi_step,
                           static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
-_SPECIES_ORDER = ("gas", "dm", "stars", "bh")
+_SPECIES_ORDER = ("gas", "dm", "stars", "bh", "nu")
 
 
-def _mesh_update_multi(mesh_fn, state, dt_close, dt_open):
+def _mesh_update_multi(mesh_fn, state, dt_close, dt_open,
+                       nu_model=None, a_now=1.0):
     """Split PM-mesh kick at a mesh-step boundary for every species
     (kick.h:255 mesh terms; engine.c:2406 ti_mesh).  ``mesh_fn`` takes the
     species list (same order the gravity_fn uses) and returns
-    [(acc_mesh, pot_mesh), ...]."""
+    [(acc_mesh, pot_mesh), ...].  A 'nu' species deposits its delta-f
+    WEIGHTED mass (neutrino.h:36; neutrinos are mesh-only sources)."""
     names = [n for n in _SPECIES_ORDER if n in state]
     closed = {}
     for n in names:
@@ -514,7 +547,14 @@ def _mesh_update_multi(mesh_fn, state, dt_close, dt_open):
         mb = s["mask"][..., None]
         closed[n] = {**s, "v_full": s["v_full"]
                      + s["a_grav_mesh"] * (dt_close * mb)}
-    outs = mesh_fn([closed[n] for n in names])
+    sources = []
+    for n in names:
+        s = closed[n]
+        if n == "nu" and nu_model is not None:
+            w = nu_model.weights(s["v_full"], s["mask"], s["y0"], a_now)
+            s = {**s, "m": s["m"] * w}
+        sources.append(s)
+    outs = mesh_fn(sources)
     amax = jnp.float32(0.0)
     new = {}
     for n, (acc, pot) in zip(names, outs):
@@ -534,7 +574,7 @@ def _mesh_open_multi(state, dt):
     return new
 
 
-_JIT_MESH_MULTI = jax.jit(_mesh_update_multi, static_argnums=(0,))
+_JIT_MESH_MULTI = jax.jit(_mesh_update_multi, static_argnums=(0, 4))
 _JIT_MESH_OPEN_MULTI = jax.jit(_mesh_open_multi)
 
 
@@ -549,7 +589,8 @@ class MultiEngine(Engine):
                  cooling_fn: Optional[Callable] = None,
                  star_formation=None, entropy_floor=None,
                  feedback=None, mesh_fn: Optional[Callable] = None,
-                 mesh_dt_scale: float = 0.0, bh_model=None):
+                 mesh_dt_scale: float = 0.0, bh_model=None,
+                 nu_model=None):
         if cfg.backend == "gather" or (
                 cfg.backend == "flat"
                 and (star_formation is not None or feedback is not None)):
@@ -568,6 +609,11 @@ class MultiEngine(Engine):
             if star_formation is not None else None
         self.feedback = feedback
         self.bh_model = bh_model
+        self.nu_model = nu_model
+        if nu_model is not None and mesh_fn is None:
+            raise ValueError(
+                "neutrino delta-f particles are mesh-only gravity "
+                "sources: run with split mesh kicks (mesh_fn)")
         self.state = {}
 
     # --- loading --------------------------------------------------------------
@@ -669,11 +715,15 @@ class MultiEngine(Engine):
     def _mesh_boundary(self):
         t = self.timeline
         ti = t.ti_current
+        a_now = (self.cosmology.a_of_ti(ti)
+                 if self.cosmology is not None else 1.0)
         dt_close = (0.0 if self.ti_mesh_mid is None
                     else self._kick_fac(self.ti_mesh_mid, ti))
         self.state, amax = _JIT_MESH_MULTI(self.mesh_fn, self.state,
                                            jnp.float32(dt_close),
-                                           jnp.float32(0.0))
+                                           jnp.float32(0.0),
+                                           self.nu_model,
+                                           jnp.float32(a_now))
         dti = self._pick_mesh_dti(float(amax))
         self.ti_mesh_end = min(ti + dti, tl.MAX_NR_TIMESTEPS)
         self.ti_mesh_mid = min(ti + dti // 2, tl.MAX_NR_TIMESTEPS)
@@ -713,6 +763,46 @@ class MultiEngine(Engine):
             "time_bin": jnp.zeros((C, K), I32),
             "energy_reservoir": z(), "swallow_prob": z(),
             "mdot": z(), "rho_gas": z(), "ngb_mass": z(),
+            "drift_accum": jnp.float32(0.0),
+        }
+        self.n_particles = getattr(self, "n_particles", 0) + n
+
+    def load_nu(self, pos, m, v=None, pid=None):
+        """Bucket delta-f neutrino particles (PartType6).  Without
+        explicit velocities, isotropic Fermi-Dirac thermal velocities are
+        drawn from the ID-seeded sampler (fermi_dirac.c) so the initial
+        delta-f weights vanish.  ``y0`` stores the sampled dimensionless
+        momentum (neutrino.h:36 sampled magnitude)."""
+        if self.nu_model is None:
+            raise ValueError("load_nu needs a nu_model")
+        n = len(pos)
+        if pid is None:
+            pid = np.arange(n, dtype=np.int32)
+        a_now = (self.cosmology.a_of_ti(self.timeline.ti_current)
+                 if self.cosmology is not None else 1.0)
+        if v is None:
+            v = self.nu_model.thermal_velocities(pid, a_now)
+        y0 = np.asarray(self.nu_model.sample_y(jnp.asarray(pid)),
+                        np.float32)
+        fields = {
+            "pid": jnp.asarray(pid, I32),
+            "m": jnp.asarray(m, F32),
+            "v_full": jnp.asarray(v, F32),
+            "y0": jnp.asarray(y0, F32),
+        }
+        out, mask, off, n_over = bucket_fields(
+            self.grid, jnp.asarray(pos), fields,
+            zsort=self.cfg.backend == "flat")
+        if int(n_over) != 0:
+            raise RuntimeError(f"{int(n_over)} neutrinos overflow K")
+        C, K = self.grid.C, mask.shape[1]
+        self.state["nu"] = {
+            "mask": mask, "off": off, **out,
+            "a_grav": jnp.zeros((C, K, 3), F32),
+            "a_grav_mesh": jnp.zeros((C, K, 3), F32),
+            "pot": jnp.zeros((C, K), F32),
+            "pot_mesh": jnp.zeros((C, K), F32),
+            "time_bin": jnp.zeros((C, K), I32),
             "drift_accum": jnp.float32(0.0),
         }
         self.n_particles = getattr(self, "n_particles", 0) + n

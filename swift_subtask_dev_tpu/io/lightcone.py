@@ -16,10 +16,14 @@ state to per-shell HDF5 files.  The bulk-synchronous analog:
 * Flagged slots are gathered host-side into a growing buffer and flushed
   to a SWIFT-style lightcone HDF5 file.
 
-Current scope vs the reference: one box replication (no replication list
-yet — lightcone_replications.c), crossing state taken at step end (the
-reference interpolates along the drift), particle data only (no healpix
-shell maps).
+Replications (lightcone_replications.c): the observer's past cone
+extends through periodic images of the box; a host-side replication list
+enumerates every image cube whose distance range can intersect the
+current shell, and the crossing predicate runs per image with the
+unwrapped offset — so an observer near the box edge catches crossings of
+images on the far side.  Crossing state is taken at step end (the
+reference interpolates along the drift); particle data only (healpix
+shell maps ride ops/healpix.py separately).
 """
 
 from __future__ import annotations
@@ -45,6 +49,8 @@ class LightconeParams:
     radius_max: float = 1e30       # only record crossings inside this
     radius_min: float = 0.0
     basename: str = "lightcone"
+    use_replications: bool = True  # periodic-image crossings
+    # (lightcone_replications.c replication_list_init)
 
 
 def comoving_distance(cosmology, ti: int) -> float:
@@ -54,20 +60,43 @@ def comoving_distance(cosmology, ti: int) -> float:
     return c * cosmology.grav_kick_factor(ti, tl.MAX_NR_TIMESTEPS)
 
 
-def _crossing_mask(off, mask, corners, obs, box, r_new, r_old,
+def _crossing_mask(off, mask, corners, obs, shift, r_new, r_old,
                    r_min, r_max):
-    """(C, K) bool: particles whose comoving observer distance lies in
-    (r_new, r_old] — they crossed the shrinking cone this step."""
-    pos = corners[:, None, :] + off
+    """(C, K) bool: particles (of the periodic image displaced by
+    ``shift``) whose observer distance lies in (r_new, r_old] — they
+    crossed the shrinking cone this step."""
+    pos = corners[:, None, :] + off + jnp.asarray(shift, F32)
     d = pos - jnp.asarray(obs, F32)
-    bx = jnp.asarray(box, F32)
-    d = d - bx * jnp.round(d / bx)          # nearest periodic image
     r = jnp.sqrt(jnp.sum(d * d, axis=-1))
     return ((mask > 0) & (r > r_new) & (r <= r_old)
             & (r >= r_min) & (r <= r_max))
 
 
 _JIT_CROSS = jax.jit(_crossing_mask)
+
+
+def replication_list(box, obs, r_max):
+    """All periodic-image shifts (n_i * L_i) whose image cube can lie
+    within r_max of the observer, with each cube's (d_min, d_max) range —
+    replication_list_init (lightcone_replications.c).  Returns a list of
+    (shift (3,), d_min, d_max)."""
+    box = np.asarray(box, np.float64)
+    obs = np.asarray(obs, np.float64)
+    nrep = np.maximum(np.ceil(r_max / box).astype(int), 0) + 1
+    out = []
+    for ix in range(-nrep[0], nrep[0] + 1):
+        for iy in range(-nrep[1], nrep[1] + 1):
+            for iz in range(-nrep[2], nrep[2] + 1):
+                shift = np.array([ix, iy, iz]) * box
+                lo = shift
+                hi = shift + box
+                dmin = np.linalg.norm(
+                    np.maximum(np.maximum(lo - obs, obs - hi), 0.0))
+                dmax = np.linalg.norm(
+                    np.maximum(np.abs(obs - lo), np.abs(obs - hi)))
+                if dmin <= r_max:
+                    out.append((shift, dmin, dmax))
+    return out
 
 
 class LightconeWriter:
@@ -84,6 +113,15 @@ class LightconeWriter:
             grid.C, 1, 3)[:, 0, :], F32)
         self.buf: Dict[str, List[np.ndarray]] = {f: [] for f in self.FIELDS}
         self.n_total = 0
+        # replication list for the whole run (lightcone_replications.c);
+        # r_max capped at the cone radius at the run start
+        r_cap = min(params.radius_max,
+                    comoving_distance(cosmology, 0))
+        if params.use_replications:
+            self.replications = replication_list(
+                grid.box, params.observer_position, r_cap)
+        else:
+            self.replications = [(np.zeros(3), 0.0, np.inf)]
 
     def radius_at(self, ti: int) -> float:
         return comoving_distance(self.cosmology, ti)
@@ -97,32 +135,41 @@ class LightconeWriter:
         r_new = self.radius_at(ti_new)
         if r_old <= self.p.radius_min or r_new >= self.p.radius_max:
             return 0
-        crossed = np.asarray(_JIT_CROSS(
-            state["off"], state["mask"], self.corners,
-            np.asarray(self.p.observer_position, np.float32),
-            np.asarray(self.grid.box, np.float32),
-            np.float32(r_new), np.float32(r_old),
-            np.float32(self.p.radius_min), np.float32(self.p.radius_max)))
-        idx = np.nonzero(crossed.reshape(-1))
-        n = len(idx[0])
-        if n == 0:
-            return 0
+        n_all = 0
         corners = np.asarray(self.corners)
-        pos = (corners[:, None, :] + np.asarray(state["off"])) \
-            .reshape(-1, 3)[idx]
-        pos = np.mod(pos, np.asarray(self.grid.box))
         vkey = "v_full" if "v_full" in state else "v"
         a_cross = self.cosmology.a_of_ti(ti_new)
-        self.buf["Coordinates"].append(pos)
-        self.buf["Velocities"].append(
-            np.asarray(state[vkey]).reshape(-1, 3)[idx])
-        self.buf["Masses"].append(np.asarray(state["m"]).reshape(-1)[idx])
-        self.buf["ParticleIDs"].append(
-            np.asarray(state["pid"]).reshape(-1)[idx])
-        self.buf["ScaleFactorCrossing"].append(
-            np.full(n, a_cross, np.float32))
-        self.n_total += n
-        return n
+        for shift, dmin, dmax in self.replications:
+            # skip images whose whole cube misses the current shell
+            if dmin > r_old or dmax < r_new:
+                continue
+            crossed = np.asarray(_JIT_CROSS(
+                state["off"], state["mask"], self.corners,
+                np.asarray(self.p.observer_position, np.float32),
+                np.asarray(shift, np.float32),
+                np.float32(r_new), np.float32(r_old),
+                np.float32(self.p.radius_min),
+                np.float32(self.p.radius_max)))
+            idx = np.nonzero(crossed.reshape(-1))
+            n = len(idx[0])
+            if n == 0:
+                continue
+            # lightcone coordinates are UNWRAPPED (observer-centred
+            # image positions, not box-wrapped — lightcone.c convention)
+            pos = (corners[:, None, :] + np.asarray(state["off"])) \
+                .reshape(-1, 3)[idx] + shift
+            self.buf["Coordinates"].append(pos)
+            self.buf["Velocities"].append(
+                np.asarray(state[vkey]).reshape(-1, 3)[idx])
+            self.buf["Masses"].append(
+                np.asarray(state["m"]).reshape(-1)[idx])
+            self.buf["ParticleIDs"].append(
+                np.asarray(state["pid"]).reshape(-1)[idx])
+            self.buf["ScaleFactorCrossing"].append(
+                np.full(n, a_cross, np.float32))
+            n_all += n
+        self.n_total += n_all
+        return n_all
 
     def flush(self, path: Optional[str] = None):
         path = path or f"{self.p.basename}_0000.hdf5"

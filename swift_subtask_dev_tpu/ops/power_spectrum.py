@@ -93,3 +93,51 @@ def power_spectrum(pm: PMMeshParams, pos, m,
 
     k_phys = k_centers * 2 * np.pi / L
     return k_phys, P, n_modes
+
+
+def power_spectrum_folded(pm: PMMeshParams, pos, m,
+                          n_foldings: int = 2, fold_factor: int = 4,
+                          n_total: Optional[int] = None,
+                          stitch_frac: float = 0.5):
+    """P(k) with box foldings for dynamic range (power_spectrum.c:859-880).
+
+    Folding i remaps positions into a box L/fold_factor^i (periodic
+    modulo): the same mesh then resolves wavenumbers fold_factor^i times
+    higher at the cost of low-k modes, exactly the reference's folding
+    trick.  Spectra are stitched at ``stitch_frac`` of each folding's
+    Nyquist.  Returns (k, P, n_modes, fold_id) sorted in k.
+    """
+    pos = np.asarray(pos)
+    L = pm.box[0]
+    ks, Ps, ns, fid = [], [], [], []
+    k_lo = 0.0
+    for i in range(n_foldings + 1):
+        f = fold_factor ** i
+        Lf = L / f
+        pm_f = PMMeshParams(N=pm.N, box=(Lf,) * 3,
+                            a_smooth=pm.a_smooth,
+                            r_cut_max_ratio=pm.r_cut_max_ratio)
+        pos_f = np.mod(pos, Lf)
+        k, P, n = power_spectrum(pm_f, jnp.asarray(pos_f), m,
+                                 n_total=n_total,
+                                 subtract_shot_noise=False)
+        # a commensurate mode's amplitude |delta_k| is identical in the
+        # folded box, so P = |delta_k|^2 V uses the FULL volume: scale by
+        # f^3 and subtract the full-volume shot noise (power_spectrum.c
+        # folding normalisation)
+        V = float(np.prod(pm.box))
+        n_sn = n_total if n_total is not None else len(pos)
+        P = P * f ** 3 - V / max(n_sn, 1)
+        k_hi = stitch_frac * (pm.N // 2) * 2 * np.pi / Lf
+        if i == n_foldings:
+            k_hi = np.inf     # last folding keeps its full range
+        sel = (k > k_lo) & (k <= k_hi) & (n > 0)
+        ks.append(k[sel])
+        Ps.append(P[sel])
+        ns.append(n[sel])
+        fid.append(np.full(sel.sum(), i, np.int32))
+        k_lo = k_hi
+    k = np.concatenate(ks)
+    order = np.argsort(k)
+    return (k[order], np.concatenate(Ps)[order],
+            np.concatenate(ns)[order], np.concatenate(fid)[order])

@@ -261,7 +261,10 @@ def main(argv=None) -> int:
             mesh_N=params.opt_int("Gravity", "mesh_side_length", 64),
             a_smooth=params.opt_float("Gravity", "a_smooth", 1.25),
             r_cut_ratio=params.opt_float("Gravity", "r_cut_max", 4.5),
-            eta=params.opt_float("Gravity", "eta", 0.025))
+            eta=params.opt_float("Gravity", "eta", 0.025),
+            theta_cr=params.opt_float("Gravity", "theta_cr", 0.7),
+            multipole_order=params.opt_int("Gravity",
+                                           "multipole_order", 5))
 
     # --- observability + restart policy --------------------------------------
     stats_every = params.opt_float("Statistics", "delta_time", 0.0)
@@ -269,8 +272,10 @@ def main(argv=None) -> int:
         params.opt_string("Statistics", "basename", "statistics") + ".txt")
     steps_log = TimestepsWriter("timesteps.txt",
                                 cosmological=args.cosmology)
-    from .io.logs import PhaseTimers
+    from .io.logs import PhaseTimers, MemuseLedger, GhostStats
     timers = PhaseTimers()
+    memuse = MemuseLedger()
+    ghost_stats = GhostStats()
     from .io.lightcone import LightconeParams, LightconeWriter
     from .io.csds import CSDSParams, CSDSWriter
     snap_base = params.opt_string("Snapshots", "basename", "output")
@@ -602,15 +607,33 @@ def main(argv=None) -> int:
                 fields.pop("Densities", None)
             parts_out[name2pt[name]] = fields
         parts_out = apply_selection(parts_out, select)
-        write_snapshot(f"{snap_base}_{i:04d}.hdf5", tuple(box), out_time(),
-                       parts_out, units=units,
-                       cosmo=cosmology, cells_cdim=eng.grid.cdim)
+        # lossy per-field compression + XMF sidecar + distributed pieces
+        # (io_compression.h:28, xmf.c, distributed_io.c:751)
+        filt = params.opt_string("Snapshots", "lossy_compression", "")
+        comp = None
+        if filt:
+            comp = {k: filt for st in parts_out.values() for k in st
+                    if k not in ("ParticleIDs",)}
+        n_dist = params.opt_int("Snapshots", "distributed", 0)
+        xmf = bool(params.opt_int("Snapshots", "xmf", 0))
+        if n_dist > 1:
+            from .io.snapshot import write_snapshot_distributed
+            write_snapshot_distributed(
+                f"{snap_base}_{i:04d}", tuple(box), out_time(),
+                parts_out, n_dist, units=units, cosmo=cosmology,
+                compression=comp)
+        else:
+            write_snapshot(f"{snap_base}_{i:04d}.hdf5", tuple(box),
+                           out_time(), parts_out, units=units,
+                           cosmo=cosmology, cells_cdim=eng.grid.cdim,
+                           compression=comp, write_xmf_sidecar=xmf)
 
     csds = None
     if params.opt_int("CSDS", "enabled", 0):
         csds = CSDSWriter(CSDSParams(
             delta_step=params.opt_int("CSDS", "delta_step", 10),
-            basename=params.opt_string("CSDS", "basename", "csds")),
+            basename=params.opt_string("CSDS", "basename", "csds"),
+            format=params.opt_string("CSDS", "format", "hdf5")),
             eng.grid)
 
     lightcone = None
@@ -676,6 +699,7 @@ def main(argv=None) -> int:
         t_now = out_time()
         steps_log.write(eng.step_count, t_now, t_now - t_before,
                         diag, busy_ms=busy_ms)
+        ghost_stats.record(int(diag.get("n_ghost_iter", 0)))
         if args.verbose and eng.step_count % 10 == 0:
             print(f"step {eng.step_count}  "
                   f"{'a' if cosmological else 't'}={t_now:.6f} "
@@ -724,6 +748,8 @@ def main(argv=None) -> int:
     if csds is not None:
         csds.flush()
     timers.dump("phase_timings.txt")
+    memuse.dump(eng.state, step=eng.step_count)
+    ghost_stats.dump()
     params.dump_used("used_parameters.yml")
     params.dump_unused("unused_parameters.yml")
     if args.verbose:

@@ -1132,19 +1132,26 @@ class Engine:
     def run_fixed_dt(self, n_steps: int, per_launch: int = 8):
         """Advance n_steps with the global fixed timestep (= dt_max),
         batching per_launch steps per device launch.  Requires dt_max below
-        every particle's CFL limit; raises if any particle disagrees."""
-        if self.mesh_fn is not None:
-            raise RuntimeError("run_fixed_dt does not drive the split "
-                               "mesh timestep; use step()/run()")
+        every particle's CFL limit; raises if any particle disagrees.
+
+        With a split PM mesh, the mesh field is recomputed at host-driven
+        mesh-step boundaries between launches (its own longer interval,
+        engine.c:2406) — launches are clamped so they never run past a
+        mesh boundary."""
         t = self.timeline
         # everyone must already be in max_bin
         T = self._tables()
         b = int(T.max_bin)
         dti = tl.get_integer_timestep(b)
         T = self._tables(dt_drift=dti * t.time_base)
+        if self.mesh_fn is not None and self.ti_mesh_end is None:
+            self._mesh_boundary()
         done = 0
         while done < n_steps:
             k = min(per_launch, n_steps - done)
+            if self.mesh_fn is not None:
+                k_mesh = max(1, (self.ti_mesh_end - t.ti_current) // dti)
+                k = min(k, int(k_mesh))
             if getattr(self, "_nc", False):
                 self.state, diag = _JIT_MULTI_NC(
                     self.grid, self.sph, self.cfg, self.gravity_fn, k,
@@ -1160,6 +1167,9 @@ class Engine:
             t.ti_current += k * dti
             self.step_count += k
             done += k
+            if (self.mesh_fn is not None
+                    and t.ti_current >= self.ti_mesh_end):
+                self._mesh_boundary()
         counts = np.zeros(NBINS + 1, int)
         counts[b] = 1
         self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)

@@ -39,6 +39,8 @@ class CSDSParams:
 
     delta_step: int = 10          # particle steps between records
     basename: str = "csds"
+    format: str = "hdf5"          # 'hdf5' stream or 'binary' logfile
+    # (the reference's mmap logfile + index files, csds.c:200)
 
 
 def _due_mask(time_bin, last_ti_hi, ti_hi, active, mask, delta_step):
@@ -74,6 +76,8 @@ class CSDSWriter:
             "Velocities": [], "InternalEnergies": [], "Densities": []}
         self.n_records = 0
         self._last_hi = None
+        self._bin = (CSDSBinaryLog(f"{params.basename}.dump")
+                     if params.format == "binary" else None)
 
     def after_step(self, state: Dict, ti: int, time: float):
         """Append records for every particle due this step; returns the
@@ -98,18 +102,21 @@ class CSDSWriter:
             pos = (self.corners[:, None, :]
                    + np.asarray(state["off"])).reshape(-1, 3)[idx]
             vkey = "v_full" if "v_full" in state else "v"
-            self.bufs["ParticleIDs"].append(
-                np.asarray(state["pid"]).reshape(-1)[idx])
-            self.bufs["Times"].append(np.full(n, time, np.float64))
-            self.bufs["Coordinates"].append(
-                np.mod(pos, np.asarray(self.grid.box)))
-            self.bufs["Velocities"].append(
-                np.asarray(state[vkey]).reshape(-1, 3)[idx])
+            rec = {
+                "ParticleIDs": np.asarray(state["pid"]).reshape(-1)[idx],
+                "Times": np.full(n, time, np.float64),
+                "Coordinates": np.mod(pos, np.asarray(self.grid.box)),
+                "Velocities": np.asarray(state[vkey]).reshape(-1, 3)[idx],
+            }
             for name, key in (("InternalEnergies", "u_full"),
                               ("Densities", "rho")):
                 if key in state:
-                    self.bufs[name].append(
-                        np.asarray(state[key]).reshape(-1)[idx])
+                    rec[name] = np.asarray(state[key]).reshape(-1)[idx]
+            if self._bin is not None:
+                self._bin.append(rec)
+            else:
+                for name, v in rec.items():
+                    self.bufs[name].append(v)
             # stamp the logged particles
             self._last_hi = jnp.where(jnp.asarray(due), jnp.int32(ti_hi),
                                       self._last_hi)
@@ -117,6 +124,9 @@ class CSDSWriter:
         return n
 
     def flush(self, path=None):
+        if self._bin is not None:
+            self._bin.close()
+            return self._bin.path
         path = path or f"{self.p.basename}_0000.hdf5"
         with h5py.File(path, "w") as f:
             h = f.create_group("Header")
@@ -134,3 +144,126 @@ class CSDSWriter:
                 order = np.lexsort((t, pid))
                 g.create_dataset("HistoryOrder", data=order.astype(np.int64))
         return path
+
+
+# ---------------------------------------------------------------------------
+# Binary logfile format + reader (the reference's actual CSDS contract:
+# csds.c:200-267 — append-only records with field masks and back-offsets
+# into an mmap'd logfile, reconstructable per particle).
+# ---------------------------------------------------------------------------
+
+CSDS_MAGIC = b"SWIFTTPUCSDS1\n"
+
+# (mask bit, name, numpy dtype, components)
+CSDS_FIELDS = (
+    (0, "ParticleIDs", "<i8", 1),
+    (1, "Times", "<f8", 1),
+    (2, "Coordinates", "<f4", 3),
+    (3, "Velocities", "<f4", 3),
+    (4, "InternalEnergies", "<f4", 1),
+    (5, "Densities", "<f4", 1),
+)
+
+
+def _record_dtype(mask: int) -> np.dtype:
+    fields = [("hdr", "<u8")]   # u16 mask << 48 | u48 back-offset
+    for bit, name, dt, nc in CSDS_FIELDS:
+        if mask & (1 << bit):
+            fields.append((name, dt, (nc,)) if nc > 1 else (name, dt))
+    return np.dtype(fields)
+
+
+class CSDSBinaryLog:
+    """Append-only binary logfile with per-particle back-offset chains.
+
+    Layout: MAGIC, then raw records.  Each record starts with a u64
+    header word: (field mask << 48) | offset_of_previous_record_of_this
+    particle (absolute file offset; 0 = first record).  A JSON sidecar
+    ``<path>.index`` maps pid -> last record offset (the reference's
+    periodically-dumped index files, csds_io.c)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.f = open(path, "wb")
+        self.f.write(CSDS_MAGIC)
+        self.offset = len(CSDS_MAGIC)
+        self.last_offset: Dict[int, int] = {}
+        self.n_records = 0
+
+    def append(self, fields: Dict[str, np.ndarray]):
+        """Append one record per row; ``fields`` must include
+        ParticleIDs and may include any CSDS_FIELDS subset."""
+        mask = 0
+        for bit, name, _, _ in CSDS_FIELDS:
+            if name in fields:
+                mask |= 1 << bit
+        dt = _record_dtype(mask)
+        pid = np.asarray(fields["ParticleIDs"]).astype(np.int64)
+        n = len(pid)
+        rec = np.zeros(n, dt)
+        for bit, name, fdt, nc in CSDS_FIELDS:
+            if name in fields:
+                rec[name] = np.asarray(fields[name])
+        offs = np.empty(n, np.uint64)
+        here = self.offset
+        sz = dt.itemsize
+        for i, p in enumerate(pid):
+            offs[i] = self.last_offset.get(int(p), 0)
+            self.last_offset[int(p)] = here + i * sz
+        rec["hdr"] = (np.uint64(mask) << np.uint64(48)) | offs
+        self.f.write(rec.tobytes())
+        self.offset += n * sz
+        self.n_records += n
+
+    def close(self):
+        self.f.close()
+        import json
+        with open(self.path + ".index", "w") as f:
+            json.dump({"n_records": self.n_records,
+                       "last_offset": {str(k): v for k, v in
+                                       self.last_offset.items()}}, f)
+
+
+def csds_read_trajectory(path: str, pid: int):
+    """Walk a particle's back-offset chain from its last record (the
+    reference reader's reconstruction primitive).  Returns a dict of
+    field -> array ordered OLDEST first."""
+    import json
+    with open(path + ".index") as f:
+        index = json.load(f)
+    off = index["last_offset"].get(str(pid))
+    if off is None:
+        return {}
+    out: Dict[str, List] = {}
+    with open(path, "rb") as f:
+        magic = f.read(len(CSDS_MAGIC))
+        assert magic == CSDS_MAGIC, "not a CSDS logfile"
+        while off:
+            f.seek(off)
+            hdr = np.frombuffer(f.read(8), "<u8")[0]
+            mask = int(hdr >> np.uint64(48))
+            back = int(hdr & np.uint64((1 << 48) - 1))
+            dt = _record_dtype(mask)
+            f.seek(off)
+            rec = np.frombuffer(f.read(dt.itemsize), dt)[0]
+            for bit, name, _, nc in CSDS_FIELDS:
+                if mask & (1 << bit):
+                    out.setdefault(name, []).append(np.array(rec[name]))
+            off = back
+    return {k: np.asarray(v[::-1]) for k, v in out.items()}
+
+
+def csds_scan(path: str):
+    """Sequential scan of every record (offset, mask, record) — the
+    forward-reading debug path of the reference reader."""
+    with open(path, "rb") as f:
+        data = f.read()
+    off = len(CSDS_MAGIC)
+    assert data[:off] == CSDS_MAGIC
+    while off < len(data):
+        hdr = np.frombuffer(data[off:off + 8], "<u8")[0]
+        mask = int(hdr >> np.uint64(48))
+        dt = _record_dtype(mask)
+        rec = np.frombuffer(data[off:off + dt.itemsize], dt)[0]
+        yield off, mask, rec
+        off += dt.itemsize

@@ -83,3 +83,67 @@ class PhaseTimers:
     def dump(self, path: str):
         with open(path, "w") as f:
             f.write(self.summary() + "\n")
+
+
+class MemuseLedger:
+    """Device-memory ledger — the analog of the reference's swift_malloc
+    accounting (memuse.h:82, memuse_report-*.dat): every engine-state
+    array's label, shape, dtype and bytes, per species, plus the process
+    totals from the JAX runtime."""
+
+    def __init__(self, path: str = "memuse_report.txt"):
+        self.path = path
+
+    @staticmethod
+    def _walk(state, prefix=""):
+        rows = []
+        for k, v in sorted(state.items()):
+            if isinstance(v, dict):
+                rows += MemuseLedger._walk(v, prefix + k + "/")
+            elif hasattr(v, "nbytes"):
+                rows.append((prefix + k, tuple(getattr(v, "shape", ())),
+                             str(getattr(v, "dtype", "?")), int(v.nbytes)))
+        return rows
+
+    def dump(self, state, step: int = 0, extra_note: str = ""):
+        rows = self._walk(state)
+        total = sum(r[3] for r in rows)
+        with open(self.path, "w") as f:
+            f.write(f"# memuse ledger at step {step} {extra_note}\n")
+            f.write("# label shape dtype bytes\n")
+            for label, shape, dtype, nbytes in rows:
+                f.write(f"{label} {list(shape)} {dtype} {nbytes}\n")
+            f.write(f"# total_state_bytes {total}\n")
+            try:
+                import jax
+                stats = jax.devices()[0].memory_stats() or {}
+                for k in ("bytes_in_use", "peak_bytes_in_use",
+                          "bytes_limit"):
+                    if k in stats:
+                        f.write(f"# device_{k} {stats[k]}\n")
+            except Exception:
+                pass
+        return total
+
+
+class GhostStats:
+    """Histogram of smoothing-length iteration counts per step — the
+    reference's ghost_stats.c h-convergence histograms."""
+
+    def __init__(self, max_iter: int = 31):
+        import numpy as _np
+        self.hist = _np.zeros(max_iter + 1, int)
+        self.n_steps = 0
+
+    def record(self, n_iter: int):
+        self.hist[min(int(n_iter), len(self.hist) - 1)] += 1
+        self.n_steps += 1
+
+    def dump(self, path: str = "ghost_stats.txt"):
+        with open(path, "w") as f:
+            f.write("# ghost h-iteration histogram "
+                    f"({self.n_steps} steps)\n# iters steps\n")
+            for i, c in enumerate(self.hist):
+                if c:
+                    f.write(f"{i} {c}\n")
+        return path

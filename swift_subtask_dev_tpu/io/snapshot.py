@@ -43,12 +43,39 @@ FIELD_UNITS = {
 }
 
 
+def apply_lossy_filter(arr: np.ndarray, filt: str) -> np.ndarray:
+    """The reference's lossy output filters (io_compression.h:28):
+    mantissa truncation (FMantissa9/13, DMantissa9/13) and fixed-decimal
+    rounding (DScale1..6).  Implemented as bit-grooming before the
+    (gzip-compressed) write — same information loss, portable storage."""
+    if filt in ("on", "off", "gzip", None):
+        return arr
+    if filt.startswith("FMantissa") or filt.startswith("DMantissa"):
+        keep = int(filt.replace("FMantissa", "").replace("DMantissa", ""))
+        a = np.asarray(arr, np.float32)
+        bits = a.view(np.uint32)
+        drop = 23 - keep
+        mask = np.uint32(0xFFFFFFFF) << np.uint32(drop)
+        # round-to-nearest on the dropped bits
+        half = np.uint32(1) << np.uint32(drop - 1) if drop > 0 else 0
+        groomed = ((bits + half) & mask).view(np.float32)
+        return groomed.astype(arr.dtype if np.issubdtype(
+            np.asarray(arr).dtype, np.floating) else np.float32)
+    if filt.startswith("DScale"):
+        k = int(filt.replace("DScale", ""))
+        return np.round(np.asarray(arr, np.float64), k)
+    raise ValueError(f"unknown compression filter '{filt}' "
+                     "(io_compression.h surface)")
+
+
 def write_snapshot(path: str, box, time: float,
                    parts: Dict[int, Dict[str, np.ndarray]],
                    units: Optional[UnitSystem] = None,
                    cosmo=None, redshift: float = 0.0,
                    extra_header: Optional[Dict] = None,
-                   cells_cdim: Optional[tuple] = None):
+                   cells_cdim: Optional[tuple] = None,
+                   compression: Optional[Dict[str, str]] = None,
+                   write_xmf_sidecar: bool = False):
     """Write a SWIFT-style snapshot.
 
     parts: {ptype: {field_name: (N,...) array}}; every ptype dict should
@@ -153,7 +180,16 @@ def write_snapshot(path: str, box, time: float,
         for pt, fields in parts.items():
             g = f.create_group(f"PartType{pt}")
             for name, arr in fields.items():
-                ds = g.create_dataset(name, data=np.asarray(arr))
+                filt = (compression or {}).get(name)
+                data = np.asarray(arr)
+                kw = {}
+                if filt and filt != "off":
+                    data = apply_lossy_filter(data, filt)
+                    kw = dict(compression="gzip", compression_opts=4)
+                ds = g.create_dataset(name, data=data, **kw)
+                if filt:
+                    ds.attrs["Lossy compression filter"] = np.bytes_(
+                        filt.encode())
                 if name in FIELD_UNITS:
                     um, ul, ut, ui, utemp, a_exp, h_exp = FIELD_UNITS[name]
                     ds.attrs["U_M exponent"] = float(um)
@@ -166,6 +202,106 @@ def write_snapshot(path: str, box, time: float,
                     ds.attrs["Conversion factor to CGS"] = \
                         units.cgs_factor_for_exponents(
                             (um, ul, ut, ui, utemp))
+    if write_xmf_sidecar:
+        write_xmf(path, parts, time)
+
+
+def write_xmf(h5path: str, parts: Dict[int, Dict[str, np.ndarray]],
+              time: float) -> str:
+    """XDMF sidecar describing the snapshot's particle clouds for
+    ParaView/VisIt (the reference's xmf.c prepare/write chain)."""
+    import os
+    base = os.path.basename(h5path)
+    xmf_path = h5path.rsplit(".", 1)[0] + ".xmf"
+    lines = ['<?xml version="1.0" ?>',
+             '<!DOCTYPE Xdmf SYSTEM "Xdmf.dtd" []>',
+             '<Xdmf Version="2.0">', '<Domain>',
+             '<Grid Name="Snapshot" GridType="Collection" '
+             'CollectionType="Spatial">',
+             f'<Time Value="{time}"/>']
+    for pt, fields in parts.items():
+        if not fields:
+            continue
+        n = len(next(iter(fields.values())))
+        lines += [f'<Grid Name="PartType{pt}" GridType="Uniform">',
+                  f'<Topology TopologyType="Polyvertex" '
+                  f'NumberOfElements="{n}"/>',
+                  '<Geometry GeometryType="XYZ">',
+                  f'<DataItem Dimensions="{n} 3" NumberType="Float" '
+                  f'Format="HDF">{base}:/PartType{pt}/Coordinates'
+                  '</DataItem>', '</Geometry>']
+        for name, arr in fields.items():
+            if name == "Coordinates":
+                continue
+            a = np.asarray(arr)
+            ncomp = 1 if a.ndim == 1 else a.shape[1]
+            att = "Scalar" if ncomp == 1 else "Vector"
+            dims = f"{len(a)}" if ncomp == 1 else f"{len(a)} {ncomp}"
+            lines += [f'<Attribute Name="{name}" '
+                      f'AttributeType="{att}" Center="Node">',
+                      f'<DataItem Dimensions="{dims}" Format="HDF">'
+                      f'{base}:/PartType{pt}/{name}</DataItem>',
+                      '</Attribute>']
+        lines.append('</Grid>')
+    lines += ['</Grid>', '</Domain>', '</Xmf>'.replace("Xmf", "Xdmf")]
+    with open(xmf_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return xmf_path
+
+
+def write_snapshot_distributed(basename: str, box, time: float,
+                               parts: Dict[int, Dict[str, np.ndarray]],
+                               n_files: int, **kw):
+    """Distributed snapshot: n_files pieces + one virtual meta-file
+    (distributed_io.c:751 — one file per rank and a virtual dataset
+    meta-file stitching them together).
+
+    Returns the meta-file path; pieces land at <basename>.{i}.hdf5.
+    """
+    pieces = []
+    splits: Dict[int, list] = {}
+    for pt, fields in parts.items():
+        n = len(next(iter(fields.values()))) if fields else 0
+        edges = np.linspace(0, n, n_files + 1).astype(np.int64)
+        splits[pt] = edges
+    for i in range(n_files):
+        sub = {}
+        for pt, fields in parts.items():
+            lo, hi = splits[pt][i], splits[pt][i + 1]
+            sub[pt] = {k: np.asarray(v)[lo:hi] for k, v in fields.items()}
+        piece = f"{basename}.{i}.hdf5"
+        write_snapshot(piece, box, time, sub, **kw)
+        pieces.append(piece)
+
+    meta = f"{basename}.hdf5"
+    import os
+    with h5py.File(meta, "w") as f:
+        h = f.create_group("Header")
+        h.attrs["BoxSize"] = np.asarray(box, np.float64)
+        h.attrs["Time"] = float(time)
+        h.attrs["NumFilesPerSnapshot"] = n_files
+        numpart = [0] * N_TYPES
+        for pt in parts:
+            numpart[pt] = int(splits[pt][-1])
+        h.attrs["NumPart_Total"] = np.asarray(numpart, np.uint64)
+        h.attrs["NumPart_ThisFile"] = np.asarray(numpart, np.uint64)
+        for pt, fields in parts.items():
+            g = f.create_group(f"PartType{pt}")
+            for name, arr in fields.items():
+                a = np.asarray(arr)
+                shape = (int(splits[pt][-1]),) + a.shape[1:]
+                layout = h5py.VirtualLayout(shape=shape, dtype=a.dtype)
+                for i in range(n_files):
+                    lo, hi = int(splits[pt][i]), int(splits[pt][i + 1])
+                    if hi <= lo:
+                        continue
+                    vs = h5py.VirtualSource(
+                        os.path.basename(pieces[i]),
+                        f"PartType{pt}/{name}",
+                        shape=(hi - lo,) + a.shape[1:])
+                    layout[lo:hi] = vs
+                g.create_virtual_dataset(name, layout)
+    return meta
 
 
 def read_snapshot(path: str):

@@ -77,11 +77,21 @@ class GravitySolver:
             self.use_fmm = (gp.periodic
                             and min(grid.edge) < self.pm.r_cut * (1 - 1e-6))
         if self.use_fmm:
-            if any(c < 5 for c in grid.cdim):
+            # geometric MAC on the uniform grid: a multipole pair at
+            # |d|_inf cells has opening ratio s/((|d|-1)s); accepting it
+            # needs 1/(|d|-1) <= theta_cr, so P2P covers
+            # |d|_inf <= ceil(1/theta_cr) — the Gravity:theta_cr contract
+            # (multipole_accept.h:81 geometric criterion) mapped onto the
+            # flattened tree
+            self.near_radius = max(2, int(np.ceil(1.0 / gp.theta_cr)))
+            need = 2 * self.near_radius + 1
+            if any(c < need for c in grid.cdim):
                 raise ValueError(
-                    f"FMM near field needs cdim >= 5 (have {grid.cdim}); "
-                    "coarsen the mesh or the grid")
-            self.fmm_offsets = fmm.far_offsets(grid, self.pm.r_cut)
+                    f"FMM near field at theta_cr={gp.theta_cr} needs "
+                    f"cdim >= {need} (have {grid.cdim}); coarsen the "
+                    "mesh or the grid, or raise theta_cr")
+            self.fmm_offsets = fmm.far_offsets(
+                grid, self.pm.r_cut, near_radius=self.near_radius)
             self.fmm_T = fmm.build_t_matrices(
                 grid, self.fmm_offsets, gp.multipole_order,
                 gp.H_soft, self.pm.r_s)
@@ -108,10 +118,9 @@ class GravitySolver:
         acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
         outs = []
         for s, pos in zip(species, pos_all):
-            ax = pm_gravity.cic_gather(self.pm, acc_mesh[0], pos)
-            ay = pm_gravity.cic_gather(self.pm, acc_mesh[1], pos)
-            az = pm_gravity.cic_gather(self.pm, acc_mesh[2], pos)
-            pot = pm_gravity.cic_gather(self.pm, phi, pos)
+            ax, ay, az, pot = pm_gravity.cic_gather_multi(
+                self.pm, (acc_mesh[0], acc_mesh[1], acc_mesh[2], phi),
+                pos)
             outs.append((jnp.stack([ax, ay, az], -1)
                          * s["mask"][..., None], pot * s["mask"]))
         return outs
@@ -129,7 +138,7 @@ class GravitySolver:
             self.grid, species, gp.G, H_soft=gp.H_soft,
             r_s=self.pm.r_s if gp.periodic else 0.0,
             periodic_truncation=gp.periodic,
-            radius=2 if self.use_fmm else 1)
+            radius=self.near_radius if self.use_fmm else 1)
         if not self.use_fmm:
             return [(a, p) for (a, p) in pp]
         p_ord = gp.multipole_order
@@ -180,7 +189,7 @@ class GravitySolver:
                 self.grid, species, gp.G, H_soft=gp.H_soft,
                 r_s=self.pm.r_s if gp.periodic else 0.0,
                 periodic_truncation=gp.periodic,
-                radius=2 if self.use_fmm else 1)
+                radius=self.near_radius if self.use_fmm else 1)
 
         # --- FMM far field (3-cell .. r_cut band) ----------------------------
         fmm_each = None
@@ -194,10 +203,9 @@ class GravitySolver:
         outs = []
         for i, (s, pos, (acc_pp, pot_pp)) in enumerate(
                 zip(species, pos_all, pp)):
-            ax = pm_gravity.cic_gather(self.pm, acc_mesh[0], pos)
-            ay = pm_gravity.cic_gather(self.pm, acc_mesh[1], pos)
-            az = pm_gravity.cic_gather(self.pm, acc_mesh[2], pos)
-            pot = pm_gravity.cic_gather(self.pm, phi, pos)
+            ax, ay, az, pot = pm_gravity.cic_gather_multi(
+                self.pm, (acc_mesh[0], acc_mesh[1], acc_mesh[2], phi),
+                pos)
             a_pm = jnp.stack([ax, ay, az], -1) * s["mask"][..., None]
             acc = acc_pp + a_pm
             ptot = pot_pp + pot * s["mask"]

@@ -98,6 +98,38 @@ def cic_gather(pm: PMMeshParams, field: jnp.ndarray, pos: jnp.ndarray
     return out.reshape(shp)
 
 
+def cic_gather_multi(pm: PMMeshParams, fields, pos: jnp.ndarray):
+    """CIC-interpolate SEVERAL mesh fields at once.
+
+    TPU gathers cost ~12-17 ns per INDEX at any row width, so fetching
+    the (ax, ay, az, phi) bundle as one row gather per corner is ~4x
+    cheaper than four scalar gathers (the mesh_gravity.c accelerations +
+    potential interpolation fused).  Returns a list matching ``fields``.
+    """
+    N = pm.N
+    box = jnp.asarray(pm.box, F32)
+    shp = pos.shape[:-1]
+    p = pos.reshape(-1, 3)
+    x = jnp.mod(p / box * N, N)
+    i0 = jnp.floor(x).astype(jnp.int32)
+    f = x - i0
+    nf = len(fields)
+    stacked = jnp.stack([fld.reshape(-1) for fld in fields], axis=-1)
+    out = 0.0
+    for dx in (0, 1):
+        wx = jnp.where(dx == 0, 1 - f[:, 0], f[:, 0])
+        ix = jnp.mod(i0[:, 0] + dx, N)
+        for dy in (0, 1):
+            wy = jnp.where(dy == 0, 1 - f[:, 1], f[:, 1])
+            iy = jnp.mod(i0[:, 1] + dy, N)
+            for dz in (0, 1):
+                wz = jnp.where(dz == 0, 1 - f[:, 2], f[:, 2])
+                iz = jnp.mod(i0[:, 2] + dz, N)
+                idx = (ix * N + iy) * N + iz
+                out = out + stacked[idx] * (wx * wy * wz)[:, None]
+    return [out[:, i].reshape(shp) for i in range(nf)]
+
+
 def long_range_potential(pm: PMMeshParams, mass_grid: jnp.ndarray,
                          G: float) -> jnp.ndarray:
     """Solve the smoothed Poisson equation on the mesh.

@@ -423,7 +423,7 @@ def main(argv=None) -> int:
                           **mesh_kw)
         eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
-        if scheme_name == "gadget2":
+        if scheme_name in ("gadget2", "pressure-entropy"):
             from .models.sph.gadget2 import entropy_from_internal_energy
             rho_ic = np.asarray(gas.get(
                 "Densities", np.ones(len(u_ic))), np.float32)
@@ -539,8 +539,8 @@ def main(argv=None) -> int:
         if args.self_gravity:
             eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
-        if scheme_name == "gadget2":
-            # the entropy scheme evolves A = P/rho^gamma in the u slots;
+        if scheme_name in ("gadget2", "pressure-entropy"):
+            # the entropy schemes evolve A = P/rho^gamma in the u slots;
             # convert the IC internal energies with the IC densities
             # (hydro_set_init_internal_energy analog)
             from .models.sph.gadget2 import entropy_from_internal_energy

@@ -354,8 +354,9 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     # --- prepare gradient + gradient loop ----------------------------------
     prep = p.mod.prepare_gradient(p, s, cosmo)
     rg = p.mod.reset_gradient(prep)
-    for k in ("f_gradh", "pressure", "soundspeed", "balsara",
-              "v_sig", "alpha_visc_max_ngb"):
+    pg_keys = getattr(p.mod, "PREPARE_GRADIENT_KEYS",
+                      ("f_gradh", "pressure", "soundspeed", "balsara"))
+    for k in pg_keys + ("v_sig", "alpha_visc_max_ngb"):
         s = {**s, k: jnp.where(active, rg[k], s[k])}
 
     if getattr(p.mod, "HAS_GRADIENT_LOOP", True):
@@ -363,8 +364,8 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         for k, v in grad.items():
             s = {**s, k: jnp.where(active, v, s[k])}
         eg = p.mod.end_gradient(s)
-        s = {**s, "laplace_u": jnp.where(active, eg["laplace_u"],
-                                         s["laplace_u"])}
+        for k in getattr(p.mod, "GRADIENT_END_KEYS", ("laplace_u",)):
+            s = {**s, k: jnp.where(active, eg[k], s[k])}
 
     # --- prepare force (alpha evolution) + force loop -----------------------
     dt_alpha = dt_alpha_table[tb]

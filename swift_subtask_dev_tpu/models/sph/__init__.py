@@ -58,7 +58,9 @@ SCHEMES = {
     "minimal": _minimal,
     "gadget2": _gadget2,
     "pressure-energy": _pressure_energy,
+    "pressure-entropy": _pressure_entropy,
     "anarchy-pu": _anarchy_pu,
     "phantom": _phantom,
+    "gasoline": _gasoline,
     "none": _none_scheme,
 }

@@ -58,24 +58,29 @@ def density_bruteforce(p: SPHENIXParams, pos, h, m, v, box=None, u=None
 
 def gradient_bruteforce(p: SPHENIXParams, pos, h, m, v, u, rho, cs,
                         alpha_visc, v_sig0, a_max0, cosmo: CosmoFactors,
-                        box=None) -> Dict[str, jnp.ndarray]:
+                        box=None, extra=None) -> Dict[str, jnp.ndarray]:
+    """``extra``: {key: (N,) array} for the scheme's GRADIENT_J_EXTRA."""
     dx, r2 = _pair_geometry(pos, box)
     hi = h[:, None]
     ok = (r2 > 0) & (r2 < jnp.float32(p.kernel.gamma2) * hi * hi)
     w = ok.astype(F32)
     dv = tuple(v[:, None, k] - v[None, :, k] for k in range(3))
+    sum_keys = tuple(getattr(p.mod, "GRADIENT_SUM_KEYS", ("laplace_u",)))
+    args = []
+    for k in getattr(p.mod, "GRADIENT_J_EXTRA", ()):
+        args += [extra[k][:, None], extra[k][None, :]]
     t = p.mod.gradient_terms(
         p, dx, r2, 1.0 / hi, m[None, :], dv, u[:, None], u[None, :],
         1.0 / jnp.maximum(rho[None, :], 1e-30),
-        cs[:, None], cs[None, :], alpha_visc[None, :], cosmo)
-    return {
-        "laplace_u": jnp.sum(t["sum"]["laplace_u"] * w, axis=-1),
-        "v_sig": jnp.maximum(v_sig0, jnp.max(
-            jnp.where(ok, t["max"]["v_sig"], -jnp.inf), axis=-1)),
-        "alpha_visc_max_ngb": jnp.maximum(a_max0, jnp.max(
-            jnp.where(ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
-            axis=-1)),
-    }
+        cs[:, None], cs[None, :], alpha_visc[None, :], *args,
+        cosmo=cosmo)
+    out = {k: jnp.sum(t["sum"][k] * w, axis=-1) for k in sum_keys}
+    out["v_sig"] = jnp.maximum(v_sig0, jnp.max(
+        jnp.where(ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
+    out["alpha_visc_max_ngb"] = jnp.maximum(a_max0, jnp.max(
+        jnp.where(ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
+        axis=-1))
+    return out
 
 
 def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,

@@ -250,13 +250,16 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
                   cosmo: CosmoFactors, use_scan: bool = False
                   ) -> Dict[str, jnp.ndarray]:
-    """SPHENIX gradient loop (v_sig max, laplace_u, alpha_visc_max_ngb)."""
+    """Gradient loop (v_sig/alpha max + per-scheme GRADIENT_SUM_KEYS sums;
+    GRADIENT_J_EXTRA state keys feed extra (i, j) args — see stencil)."""
     mask, off, v = s["mask"], s["off"], s["v"]
     h = _sanitize(mask, s["h"])
     hinv = 1.0 / h
     rhoinv = 1.0 / jnp.maximum(_sanitize(mask, s["rho"]), 1e-30)
     u, cs, av = s["u"], s["soundspeed"], s["alpha_visc"]
     gamma2 = jnp.float32(p.kernel.gamma2)
+    sum_keys = tuple(getattr(p.mod, "GRADIENT_SUM_KEYS", ("laplace_u",)))
+    j_extra = tuple(getattr(p.mod, "GRADIENT_J_EXTRA", ()))
 
     def fn(cells, take, shift):
         dx, r2 = _geometry(off, cells, take, shift)
@@ -266,24 +269,27 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         v_i = v[cells]
         v_j = take(v)
         dv = tuple(v_i[..., None, k] - v_j[..., k] for k in range(3))
+        extra = []
+        for k in j_extra:
+            extra += [s[k][cells][..., None], take(s[k])]
         t = p.mod.gradient_terms(
             p, dx, r2, hinv[cells][..., None], take(s["m"]), dv,
             u[cells][..., None], take(u), take(rhoinv),
-            cs[cells][..., None], take(cs), take(av), cosmo)
-        laplace_u = jnp.sum(t["sum"]["laplace_u"] * w, axis=-1)
+            cs[cells][..., None], take(cs), take(av), *extra,
+            cosmo=cosmo)
+        sums = tuple(jnp.sum(t["sum"][k] * w, axis=-1) for k in sum_keys)
         v_sig = jnp.maximum(s["v_sig"][cells], jnp.max(
             jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
         a_max = jnp.maximum(s["alpha_visc_max_ngb"][cells], jnp.max(
             jnp.where(pair_ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
             axis=-1))
-        return laplace_u, v_sig, a_max
+        return sums + (v_sig, a_max)
 
-    laplace_u, v_sig, a_max = _map_cells(grid, s, fn)
-    return {
-        "laplace_u": laplace_u * mask,
-        "v_sig": v_sig,
-        "alpha_visc_max_ngb": a_max,
-    }
+    res = _map_cells(grid, s, fn)
+    out = {k: a * mask for k, a in zip(sum_keys, res[:len(sum_keys)])}
+    out["v_sig"] = res[-2]
+    out["alpha_visc_max_ngb"] = res[-1]
+    return out
 
 
 def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,

@@ -115,6 +115,10 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     fields["rhoinv"] = 1.0 / jnp.maximum(_san(s, "rho"), 1e-30)
     fields["cs"] = _san(s, "soundspeed", 0.0)
     fields["av"] = _san(s, "alpha_visc", 0.0)
+    sum_keys = tuple(getattr(p.mod, "GRADIENT_SUM_KEYS", ("laplace_u",)))
+    j_extra = tuple(getattr(p.mod, "GRADIENT_J_EXTRA", ()))
+    for k in j_extra:
+        fields[k] = _san(s, k, 0.0)
     order = list(fields)
     gamma2 = float(p.kernel.gamma2)
     scal, getcf = _cosmo_binding(cosmo)
@@ -123,24 +127,27 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         h_i = sf("h")
         ok = r2 < gamma2 * h_i * h_i
         dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
+        extra = []
+        for k in j_extra:
+            extra += [sf(k), nf(k)]
         t = p.mod.gradient_terms(
             p, dx, r2, sf("hinv"), nf("m"), dv, sf("u"), nf("u"),
-            nf("rhoinv"), sf("cs"), nf("cs"), nf("av"), getcf(sc))
-        return ok, [t["sum"]["laplace_u"]], \
+            nf("rhoinv"), sf("cs"), nf("cs"), nf("av"), *extra,
+            cosmo=getcf(sc))
+        return ok, [t["sum"][k] for k in sum_keys], \
             [t["max"]["v_sig"], t["max"]["alpha_visc_max_ngb"]]
 
     sums, maxes = ENGINES[engine](
-        grid, fields, order, pair_fn, n_sum=1, n_max=2,
+        grid, fields, order, pair_fn, n_sum=len(sum_keys), n_max=2,
         shifts_scale=grid.edge, scalars=scal,
         pad_fills={"h": 1.0, "rho": 1.0}, interpret=interpret,
         range_scale=float(p.kernel.gamma))
     m = s["mask"]
-    return {
-        "laplace_u": sums[0] * m,
-        "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
-        "alpha_visc_max_ngb": jnp.maximum(s["alpha_visc_max_ngb"],
-                                          maxes[1]),
-    }
+    out = {k: sums[i] * m for i, k in enumerate(sum_keys)}
+    out["v_sig"] = jnp.maximum(s["v_sig"], maxes[0])
+    out["alpha_visc_max_ngb"] = jnp.maximum(s["alpha_visc_max_ngb"],
+                                            maxes[1])
+    return out
 
 
 def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,

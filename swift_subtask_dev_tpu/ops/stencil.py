@@ -187,7 +187,13 @@ def density_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
 def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
                   p: SPHENIXParams, cosmo: CosmoFactors,
                   use_scan: bool = False) -> Dict[str, jnp.ndarray]:
-    """SPHENIX gradient loop (v_sig max, laplace_u, alpha_visc_max_ngb)."""
+    """Gradient loop (v_sig max, alpha_visc_max_ngb + per-scheme sums).
+
+    Per-scheme extensions ride module attributes: ``GRADIENT_SUM_KEYS``
+    names the summed outputs (default SPHENIX's laplace_u), and
+    ``GRADIENT_J_EXTRA`` names state keys whose (i, j) values are
+    appended as positional args to ``gradient_terms`` — e.g. Gasoline's
+    shock_indicator/tensor_norm (hydro/Gasoline/hydro_iact.h:191)."""
     g = lambda name: _grid_view(grid, s[name])
     mask, off, v, m = g("mask"), g("off"), g("v"), g("m")
     h = _sanitize(mask, g("h"))
@@ -195,41 +201,51 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     u, cs, av = g("u"), g("soundspeed"), g("alpha_visc")
     rhoinv = 1.0 / jnp.maximum(_sanitize(mask, g("rho")), 1e-30)
 
+    sum_keys = tuple(getattr(p.mod, "GRADIENT_SUM_KEYS", ("laplace_u",)))
+    j_extra = tuple(getattr(p.mod, "GRADIENT_J_EXTRA", ()))
+
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)
     hinv_i = _bi(hinv)
     range2 = gamma2 * hi * hi
 
-    acc0 = (jnp.zeros_like(h), _grid_view(grid, s["v_sig"]),
+    acc0 = (tuple(jnp.zeros_like(h) for _ in sum_keys),
+            _grid_view(grid, s["v_sig"]),
             _grid_view(grid, s["alpha_visc_max_ngb"]))
     j_fields = {"off": off, "v": v, "m": m, "mask": mask,
                 "u": u, "rhoinv": rhoinv, "cs": cs, "av": av}
+    for k in j_extra:
+        j_fields[k] = g(k)
 
     def accumulate(acc, jf, shift):
-        laplace_u, v_sig, a_max = acc
+        sums, v_sig, a_max = acc
         dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
+        extra = []
+        for k in j_extra:
+            extra += [_bi(j_fields[k]), _bj(jf[k])]
         t = p.mod.gradient_terms(
             p, dx, r2, hinv_i, _bj(jf["m"]), dv,
             _bi(u), _bj(jf["u"]), _bj(jf["rhoinv"]),
-            _bi(cs), _bj(jf["cs"]), _bj(jf["av"]), cosmo)
-        laplace_u = laplace_u + jnp.sum(t["sum"]["laplace_u"] * w, axis=-1)
+            _bi(cs), _bj(jf["cs"]), _bj(jf["av"]), *extra, cosmo=cosmo)
+        sums = tuple(a + jnp.sum(t["sum"][k] * w, axis=-1)
+                     for a, k in zip(sums, sum_keys))
         v_sig = jnp.maximum(v_sig, jnp.max(
             jnp.where(pair_ok, t["max"]["v_sig"], -jnp.inf), axis=-1))
         a_max = jnp.maximum(a_max, jnp.max(
             jnp.where(pair_ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
             axis=-1))
-        return (laplace_u, v_sig, a_max)
+        return (sums, v_sig, a_max)
 
-    laplace_u, v_sig, a_max = _apply_offsets(grid, j_fields, acc0,
-                                             accumulate, use_scan)
-    return {
-        "laplace_u": _flat_view(grid, laplace_u) * s["mask"],
-        "v_sig": _flat_view(grid, v_sig),
-        "alpha_visc_max_ngb": _flat_view(grid, a_max),
-    }
+    sums, v_sig, a_max = _apply_offsets(grid, j_fields, acc0,
+                                        accumulate, use_scan)
+    out = {k: _flat_view(grid, a) * s["mask"]
+           for k, a in zip(sum_keys, sums)}
+    out["v_sig"] = _flat_view(grid, v_sig)
+    out["alpha_visc_max_ngb"] = _flat_view(grid, a_max)
+    return out
 
 
 def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],

@@ -37,6 +37,11 @@ def _pressure_entropy(**kw):
     return PressureEntropyParams(**kw)
 
 
+def _pressure_energy_mm(**kw):
+    from .pressure_energy_mm import PressureEnergyMMParams
+    return PressureEnergyMMParams(**kw)
+
+
 def _phantom(**kw):
     from .phantom import PhantomParams
     return PhantomParams(**kw)
@@ -58,6 +63,7 @@ SCHEMES = {
     "minimal": _minimal,
     "gadget2": _gadget2,
     "pressure-energy": _pressure_energy,
+    "pressure-energy-monaghan": _pressure_energy_mm,
     "pressure-entropy": _pressure_entropy,
     "anarchy-pu": _anarchy_pu,
     "phantom": _phantom,

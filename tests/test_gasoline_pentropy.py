@@ -164,3 +164,42 @@ def test_gasoline_engine_conserves_energy():
         eng.step()
     e1 = total_energy()
     assert abs(e1 - e0) / abs(e0) < 1e-4, (e0, e1)
+
+
+def test_pressure_energy_mm_alpha_and_conservation():
+    """Morris & Monaghan variable alpha: grows under compression, decays
+    toward alpha_min in quiescence (hydro.h:745-765); engine conserves."""
+    import jax.numpy as jnp
+    from swift_subtask_dev_tpu.models.sph.pressure_energy_mm import (
+        PressureEnergyMMParams)
+    p = PressureEnergyMMParams(h_max=0.4)
+    cosmo = sphenix.CosmoFactors.no_cosmo()
+    s = {"h": jnp.full(2, 0.1, jnp.float32),
+         "soundspeed": jnp.full(2, 1.0, jnp.float32),
+         "div_v": jnp.asarray([-5.0, 0.0], jnp.float32),
+         "alpha_visc": jnp.full(2, 0.8, jnp.float32)}
+    out = p.mod.prepare_force(p, s, cosmo, jnp.float32(0.01))
+    a = np.asarray(out["alpha_visc"])
+    assert a[0] > 0.8          # compression -> alpha grows
+    assert a[1] < 0.8          # quiescent -> decays toward alpha_min
+    assert a[1] >= p.viscosity_alpha_min
+
+    ic = uniform_box_ic(n=6, jitter=0.1, seed=21)
+    grid = CellGrid(box=(1.0, 1.0, 1.0), cdim=(3, 3, 3), K=48)
+    eng = Engine(grid, p, EngineConfig(dt_max=5e-4), 0.0, 1.0)
+    eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
+    eng.init_particles()
+    mask = np.asarray(eng.state["mask"]) > 0
+
+    def total_energy():
+        st = eng.state
+        m = np.asarray(st["m"])[mask]
+        v = np.asarray(st["v_full"])[mask]
+        u = np.asarray(st["u_full"])[mask]
+        return float((0.5 * m * (v ** 2).sum(-1) + m * u).sum())
+
+    e0 = total_energy()
+    for _ in range(6):
+        eng.step()
+    e1 = total_energy()
+    assert abs(e1 - e0) / abs(e0) < 1e-4, (e0, e1)

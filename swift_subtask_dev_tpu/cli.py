@@ -89,7 +89,19 @@ def build_sph_params(params):
         raise ValueError(
             f"unknown SPH:scheme '{scheme_name}' "
             f"(have: {', '.join(sorted(SCHEMES))})")
+    if scheme_name.startswith("gizmo"):
+        # Gizmo: --with-riemann-solver (configure.ac:2036) -> runtime param
+        common["riemann_solver"] = params.opt_string(
+            "SPH", "riemann_solver", "exact")
     return SCHEMES[scheme_name](**common), scheme_name
+
+
+def _needs_xla_backend(sph) -> bool:
+    """Schemes using the force-loop j-extras / gradient min-max protocol
+    (Gizmo) run on the XLA stencil only — the Pallas kernels don't carry
+    those extensions yet."""
+    return bool(getattr(sph.mod, "FORCE_J_EXTRA", ())
+                or getattr(sph.mod, "GRADIENT_MAX_KEYS", ()))
 
 
 def build_subgrid(params, units, args, cosmology, sph):
@@ -345,6 +357,10 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1
+        if _needs_xla_backend(sph) and args.backend != "xla":
+            if args.verbose:
+                print(f"scheme {scheme_name}: forcing --backend xla")
+            args.backend = "xla"
         cooling_fn, star_formation, floor, feedback, bh_model = \
             build_subgrid(params, units, args, cosmology, sph)
 
@@ -484,6 +500,10 @@ def main(argv=None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 1
+        if _needs_xla_backend(sph) and args.backend != "xla":
+            if args.verbose:
+                print(f"scheme {scheme_name}: forcing --backend xla")
+            args.backend = "xla"
         cooling_fn = build_subgrid(params, units, args, cosmology, sph)[0]
 
         pos = np.asarray(gas["Coordinates"], np.float64)

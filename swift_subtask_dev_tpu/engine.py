@@ -540,7 +540,7 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     v_full = s["v_full"] + a_tot * dt_k2[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
     ke = p.mod.kick_extra(p, s, cosmo, dt_t2)
-    for k in ("u_full", "u_dt"):
+    for k in getattr(p.mod, "KICK_EXTRA_KEYS", ("u_full", "u_dt")):
         s = {**s, k: jnp.where(active, ke[k], s[k])}
 
     # reset predicted values at the kick point (runner_time_integration:463)
@@ -587,7 +587,7 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     v_full = s["v_full"] + a_tot * dt_k1[..., None]
     s = {**s, "v_full": jnp.where(active[..., None], v_full, s["v_full"])}
     ke1 = p.mod.kick_extra(p, s, cosmo, dt_t1)
-    for k in ("u_full", "u_dt"):
+    for k in getattr(p.mod, "KICK_EXTRA_KEYS", ("u_full", "u_dt")):
         s = {**s, k: jnp.where(active, ke1[k], s[k])}
 
     # --- timestep limiter: wake inactive particles near fast ones -----------
@@ -630,7 +630,7 @@ def apply_wake(p: SPHENIXParams, cosmo: CosmoFactors, s: Dict,
     v_w = s["v_full"] + a_tot * dv[..., None]
     s = {**s, "v_full": jnp.where(wake[..., None], v_w, s["v_full"])}
     ke_w = p.mod.kick_extra(p, s, cosmo, du)
-    for k in ("u_full", "u_dt"):
+    for k in getattr(p.mod, "KICK_EXTRA_KEYS", ("u_full", "u_dt")):
         s = {**s, k: jnp.where(wake, ke_w[k], s[k])}
     return {**s, "time_bin": jnp.where(wake, new_bin_w, s["time_bin"])}
 
@@ -1242,7 +1242,8 @@ def _init_pass(grid, p, cfg, gravity_fn, cosmo, s, T):
     s = {**s, "v_full": s["v_full"] + a_tot * dt_k1[..., None]
          * s["mask"][..., None]}
     ke = p.mod.kick_extra(p, s, cosmo, dt_k1 * s["mask"])
-    s = {**s, "u_full": ke["u_full"], "u_dt": ke["u_dt"]}
+    s = {**s, **{k: ke[k] for k in
+                 getattr(p.mod, "KICK_EXTRA_KEYS", ("u_full", "u_dt"))}}
 
     bins_masked = jnp.where(mask_b, jnp.clip(s["time_bin"], 0, NBINS),
                             NBINS + 5)

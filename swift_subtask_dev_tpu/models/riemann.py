@@ -448,4 +448,61 @@ def hllc_flux(WL, WR, n, vij, gamma: float = 5.0 / 3.0):
                  for F in (F0, F1, F2, F3, F4))
 
 
+def _middle_flux_from(pstar, ustar, vac, n, vij):
+    PM = jnp.where(vac, 0.0, pstar)
+    vM = jnp.where(vac, 0.0, ustar)
+    vface = vij[0] * n[0] + vij[1] * n[1] + vij[2] * n[2]
+    zero = jnp.zeros_like(PM)
+    return (zero, PM * n[0], PM * n[1], PM * n[2], (vM + vface) * PM)
+
+
+def middle_state_flux(WL, WR, n, vij, gamma: float = 5.0 / 3.0,
+                      n_iter: int = 12):
+    """Lagrangian middle-state flux for MFM
+    (riemann_solve_for_middle_state_flux, riemann_exact.h:626): only the
+    star-region pressure PM and normal velocity vM matter — no mass flux
+    crosses the (comoving) interface.  Returns the 5 conserved fluxes
+    (0, PM*n, (vM+vface)*PM); vacuum pairs yield zero flux."""
+    rhoL, PL = WL[0], WL[4]
+    rhoR, PR = WR[0], WR[4]
+    uL = WL[1] * n[0] + WL[2] * n[1] + WL[3] * n[2]
+    uR = WR[1] * n[0] + WR[2] * n[1] + WR[3] * n[2]
+    aL = _soundspeed(rhoL, PL, gamma)
+    aR = _soundspeed(rhoR, PR, gamma)
+
+    pstar, ustar = _solve_pstar(
+        jnp.maximum(rhoL, 1e-30), jnp.maximum(PL, 1e-30), aL, uL,
+        jnp.maximum(rhoR, 1e-30), jnp.maximum(PR, 1e-30), aR, uR, gamma,
+        n_iter=n_iter)
+
+    vac = (rhoL <= 0.0) | (rhoR <= 0.0) \
+        | _is_vacuum(rhoL, rhoR, uL, uR, aL, aR, gamma)
+    return _middle_flux_from(pstar, ustar, vac, n, vij)
+
+
+def trrs_middle_state_flux(WL, WR, n, vij, gamma: float = 5.0 / 3.0):
+    """Two-rarefaction middle-state flux (riemann_trrs.h:223): closed-form
+    p*/u* — one pow chain instead of a Newton loop, the cheap MFM path."""
+    rhoL, PL = WL[0], WL[4]
+    rhoR, PR = WR[0], WR[4]
+    uL = WL[1] * n[0] + WL[2] * n[1] + WL[3] * n[2]
+    uR = WR[1] * n[0] + WR[2] * n[1] + WR[3] * n[2]
+    aL = _soundspeed(rhoL, PL, gamma)
+    aR = _soundspeed(rhoR, PR, gamma)
+
+    gm1_2g = (gamma - 1.0) / (2.0 * gamma)
+    PLz = jnp.maximum(PL, 1e-30) ** gm1_2g
+    PRz = jnp.maximum(PR, 1e-30) ** gm1_2g
+    num = aL + aR - 0.5 * (gamma - 1.0) * (uR - uL)
+    den = aL / PLz + aR / PRz
+    pstar = jnp.maximum(num / jnp.maximum(den, 1e-30),
+                        0.0) ** (1.0 / gm1_2g)
+    ustar = 0.5 * (uL + uR) + 0.5 * (
+        _fb(pstar, rhoR, PR, aR, gamma) - _fb(pstar, rhoL, PL, aL, gamma))
+
+    vac = (rhoL <= 0.0) | (rhoR <= 0.0) \
+        | _is_vacuum(rhoL, rhoR, uL, uR, aL, aR, gamma)
+    return _middle_flux_from(pstar, ustar, vac, n, vij)
+
+
 SOLVERS = {"exact": exact_flux, "hllc": hllc_flux, "trrs": trrs_flux}

@@ -57,6 +57,16 @@ def _none_scheme(**kw):
     return NoneParams(**kw)
 
 
+def _gizmo_mfm(**kw):
+    from .gizmo import GizmoMFMParams
+    return GizmoMFMParams(**kw)
+
+
+def _gizmo_mfv(**kw):
+    from .gizmo_mfv import GizmoMFVParams
+    return GizmoMFVParams(**kw)
+
+
 # name -> constructor taking the common SPH: section kwargs
 SCHEMES = {
     "sphenix": _sphenix,
@@ -69,4 +79,6 @@ SCHEMES = {
     "phantom": _phantom,
     "gasoline": _gasoline,
     "none": _none_scheme,
+    "gizmo-mfm": _gizmo_mfm,
+    "gizmo-mfv": _gizmo_mfv,
 }

@@ -80,12 +80,17 @@ def gradient_bruteforce(p: SPHENIXParams, pos, h, m, v, u, rho, cs,
     out["alpha_visc_max_ngb"] = jnp.maximum(a_max0, jnp.max(
         jnp.where(ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
         axis=-1))
+    for k in getattr(p.mod, "GRADIENT_MAX_KEYS", ()):
+        out[k] = jnp.max(jnp.where(ok, t["max"][k], jnp.float32(-1e30)),
+                         axis=-1)
     return out
 
 
 def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
                      balsara, alpha_visc, alpha_diff, u, v_sig0,
-                     cosmo: CosmoFactors, box=None) -> Dict[str, jnp.ndarray]:
+                     cosmo: CosmoFactors, box=None, extra=None
+                     ) -> Dict[str, jnp.ndarray]:
+    """``extra``: {key: (N,) array} for the scheme's FORCE_J_EXTRA."""
     dx, r2 = _pair_geometry(pos, box)
     hi = h[:, None]
     hj = h[None, :]
@@ -97,6 +102,9 @@ def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
     rhoinv = 1.0 / rho_s
     minv = 1.0 / m
     pr2 = P * rhoinv * rhoinv
+    args = []
+    for k in getattr(p.mod, "FORCE_J_EXTRA", ()):
+        args += [extra[k][:, None], extra[k][None, :]]
     t = p.mod.force_terms(
         p, dx, r2, 1.0 / hi, 1.0 / hj, m[:, None], m[None, :],
         minv[:, None], minv[None, :], dv,
@@ -105,9 +113,9 @@ def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
         cs[:, None], cs[None, :], f_gradh[:, None], f_gradh[None, :],
         balsara[:, None], balsara[None, :], alpha_visc[:, None],
         alpha_visc[None, :], alpha_diff[:, None], alpha_diff[None, :],
-        u[:, None], u[None, :], cosmo)
+        u[:, None], u[None, :], *args, cosmo=cosmo)
     sums = {k: jnp.sum(val * w, axis=-1) for k, val in t["sum"].items()}
-    return {
+    res = {
         "a_hydro": jnp.stack([sums["a_hydro0"], sums["a_hydro1"],
                               sums["a_hydro2"]], axis=-1),
         "u_dt": sums["u_dt"],
@@ -115,3 +123,6 @@ def force_bruteforce(p: SPHENIXParams, pos, h, m, v, rho, P, cs, f_gradh,
         "v_sig": jnp.maximum(v_sig0, jnp.max(
             jnp.where(ok, t["max"]["v_sig"], -jnp.inf), axis=-1)),
     }
+    for k in getattr(p.mod, "FORCE_EXTRA_SUM_KEYS", ()):
+        res[k] = sums[k]
+    return res

@@ -203,22 +203,28 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
 
     sum_keys = tuple(getattr(p.mod, "GRADIENT_SUM_KEYS", ("laplace_u",)))
     j_extra = tuple(getattr(p.mod, "GRADIENT_J_EXTRA", ()))
+    # extra masked-max reductions beyond v_sig/alpha_visc_max_ngb — e.g.
+    # Gizmo's cell-wide slope-limiter min/max of neighbour primitives
+    # (hydro_slope_limiters_cell.h:58; minima ride as max of the negation)
+    max_keys = tuple(getattr(p.mod, "GRADIENT_MAX_KEYS", ()))
 
     gamma2 = jnp.float32(p.kernel.gamma2)
     hi = _bi(h)
     hinv_i = _bi(hinv)
     range2 = gamma2 * hi * hi
 
+    NEG_BIG = jnp.float32(-1e30)
     acc0 = (tuple(jnp.zeros_like(h) for _ in sum_keys),
             _grid_view(grid, s["v_sig"]),
-            _grid_view(grid, s["alpha_visc_max_ngb"]))
+            _grid_view(grid, s["alpha_visc_max_ngb"]),
+            tuple(jnp.full_like(h, NEG_BIG) for _ in max_keys))
     j_fields = {"off": off, "v": v, "m": m, "mask": mask,
                 "u": u, "rhoinv": rhoinv, "cs": cs, "av": av}
     for k in j_extra:
         j_fields[k] = g(k)
 
     def accumulate(acc, jf, shift):
-        sums, v_sig, a_max = acc
+        sums, v_sig, a_max, xmaxs = acc
         dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
         pair_ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (r2 < range2)
         w = pair_ok.astype(F32)
@@ -237,14 +243,19 @@ def gradient_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         a_max = jnp.maximum(a_max, jnp.max(
             jnp.where(pair_ok, t["max"]["alpha_visc_max_ngb"], -jnp.inf),
             axis=-1))
-        return (sums, v_sig, a_max)
+        xmaxs = tuple(jnp.maximum(a, jnp.max(
+            jnp.where(pair_ok, t["max"][k], NEG_BIG), axis=-1))
+            for a, k in zip(xmaxs, max_keys))
+        return (sums, v_sig, a_max, xmaxs)
 
-    sums, v_sig, a_max = _apply_offsets(grid, j_fields, acc0,
-                                        accumulate, use_scan)
+    sums, v_sig, a_max, xmaxs = _apply_offsets(grid, j_fields, acc0,
+                                               accumulate, use_scan)
     out = {k: _flat_view(grid, a) * s["mask"]
            for k, a in zip(sum_keys, sums)}
     out["v_sig"] = _flat_view(grid, v_sig)
     out["alpha_visc_max_ngb"] = _flat_view(grid, a_max)
+    for k, a in zip(max_keys, xmaxs):
+        out[k] = _flat_view(grid, a)
     return out
 
 
@@ -283,13 +294,22 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
           if "time_bin" in s else jnp.zeros_like(mask))
     big_bin = jnp.float32(1e9)
 
-    keys = ("a_hydro0", "a_hydro1", "a_hydro2", "u_dt", "h_dt")
+    # per-scheme extensions: extra (i, j) state fields appended as
+    # positional args to force_terms (e.g. Gizmo's volume/B-matrix/
+    # primitive gradients, hydro/Gizmo/hydro_iact.h:226-240), and extra
+    # summed outputs beyond the SPH five (e.g. MFV's mass flux m_dt)
+    j_extra = tuple(getattr(p.mod, "FORCE_J_EXTRA", ()))
+    extra_sum = tuple(getattr(p.mod, "FORCE_EXTRA_SUM_KEYS", ()))
+
+    keys = ("a_hydro0", "a_hydro1", "a_hydro2", "u_dt", "h_dt") + extra_sum
     acc0 = ({k: jnp.zeros_like(h) for k in keys}, g("v_sig"),
             jnp.full_like(h, big_bin))
     j_fields = {"off": off, "v": v, "m": m, "mask": mask, "h": h, "u": u,
                 "rho": rho, "P": P, "cs": cs, "f_gh": f_gh, "bal": bal,
                 "al": al, "ad": ad, "tb": tb, "hinv": hinv, "minv": minv,
                 "rhoinv": rhoinv, "pr2": pr2}
+    for k in j_extra:
+        j_fields[k] = g(k)
 
     def accumulate(acc, jf, shift):
         sums, v_sig, min_tb = acc
@@ -302,6 +322,9 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
         min_tb = jnp.minimum(min_tb, jnp.min(
             jnp.where(pair_ok & (tb_j > 0), tb_j, big_bin), axis=-1))
         dv = tuple(_bi(v[..., k]) - _bj(jf["v"][..., k]) for k in range(3))
+        extra = []
+        for k in j_extra:
+            extra += [_bi(j_fields[k]), _bj(jf[k])]
         t = p.mod.force_terms(
             p, dx, r2, hinv_i, _bj(jf["hinv"]), _bi(m), _bj(jf["m"]),
             _bi(minv), _bj(jf["minv"]), dv,
@@ -310,7 +333,7 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
             _bi(P), _bj(jf["P"]), _bi(cs), _bj(jf["cs"]),
             _bi(f_gh), _bj(jf["f_gh"]), _bi(bal), _bj(jf["bal"]),
             _bi(al), _bj(jf["al"]), _bi(ad), _bj(jf["ad"]),
-            _bi(u), _bj(jf["u"]), cosmo)
+            _bi(u), _bj(jf["u"]), *extra, cosmo=cosmo)
         sums = {k: sums[k] + jnp.sum(t["sum"][k] * w, axis=-1)
                 for k in keys}
         v_sig = jnp.maximum(v_sig, jnp.max(
@@ -320,7 +343,7 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
     sums, v_sig, min_tb = _apply_offsets(grid, j_fields, acc0, accumulate,
                                          use_scan)
     out = {k: _flat_view(grid, a) * s["mask"] for k, a in sums.items()}
-    return {
+    res = {
         "a_hydro": jnp.stack([out["a_hydro0"], out["a_hydro1"],
                               out["a_hydro2"]], axis=-1),
         "u_dt": out["u_dt"],
@@ -330,6 +353,9 @@ def force_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],
             _flat_view(grid, min_tb), jnp.float32(NBIN_SENTINEL)
         ).astype(jnp.int32),
     }
+    for k in extra_sum:
+        res[k] = out[k]
+    return res
 
 
 def timebin_loop(grid: CellGrid, s: Dict[str, jnp.ndarray],

@@ -93,7 +93,38 @@ def build_sph_params(params):
         # Gizmo: --with-riemann-solver (configure.ac:2036) -> runtime param
         common["riemann_solver"] = params.opt_string(
             "SPH", "riemann_solver", "exact")
+    if scheme_name == "planetary":
+        common["eos"] = _build_planetary_eos(params)
     return SCHEMES[scheme_name](**common), scheme_name
+
+
+def _build_planetary_eos(params):
+    """EoS: YAML section -> PlanetaryEOS (eos_init, planetary
+    equation_of_state.h:1140; material selection flags mirror the
+    reference's planetary_use_* parameters, converted to internal units
+    like convert_units_Til)."""
+    from .models.sph import planetary_eos as pe
+
+    flags = (("planetary_use_idg_def", pe.ID_IDG_DEF),
+             ("planetary_use_Til_iron", pe.ID_TIL_IRON),
+             ("planetary_use_Til_granite", pe.ID_TIL_GRANITE),
+             ("planetary_use_Til_water", pe.ID_TIL_WATER),
+             ("planetary_use_Til_basalt", pe.ID_TIL_BASALT))
+    mats = tuple(mid for name, mid in flags
+                 if params.opt_int("EoS", name, 0))
+    if not mats:
+        mats = (pe.ID_IDG_DEF,)
+    # internal -> SI factors from the InternalUnitSystem section
+    UM = params.opt_float("InternalUnitSystem", "UnitMass_in_cgs", 1e3)
+    UL = params.opt_float("InternalUnitSystem", "UnitLength_in_cgs", 1e2)
+    UV = params.opt_float("InternalUnitSystem", "UnitVelocity_in_cgs", 1e2)
+    rho_to_si = (UM * 1e-3) / (UL * 1e-2) ** 3
+    u_to_si = (UV * 1e-2) ** 2
+    return pe.PlanetaryEOS(
+        materials=mats,
+        gamma=params.opt_float("EoS", "planetary_idg_gamma", 5.0 / 3.0),
+        rho_to_si=rho_to_si, u_to_si=u_to_si,
+        P_from_si=1.0 / (rho_to_si * u_to_si))
 
 
 def _needs_xla_backend(sph) -> bool:
@@ -573,12 +604,18 @@ def main(argv=None) -> int:
             from .subgrid.chemistry import EagleChemistry
             chem = EagleChemistry.from_params(params)
             Z_ic, ef_ic = chem.particle_arrays(len(pos), gas)
+        extra = None
+        if scheme_name == "planetary":
+            # planetary ICs carry per-particle material ids (hydro_io.h)
+            mat = gas.get("MaterialIDs",
+                          np.zeros(len(pos), np.int32))
+            extra = {"mat_id": np.asarray(mat, np.int32)}
         eng.load_particles(
             pos, np.asarray(gas["Masses"], np.float32),
             np.asarray(gas["Velocities"], np.float32),
             u_ic, h0,
             pid=np.asarray(gas["ParticleIDs"]).astype(np.int32),
-            Z=Z_ic, elem_frac=ef_ic)
+            Z=Z_ic, elem_frac=ef_ic, extra_fields=extra)
 
     # --- restart resume -------------------------------------------------------
     t0 = wallclock.time()

@@ -682,13 +682,16 @@ class Engine:
 
     # --- setup ----------------------------------------------------------------
     def load_particles(self, pos, m, v, u, h, pid=None, Z=None,
-                       elem_frac=None):
+                       elem_frac=None, extra_fields=None):
         """Bucket raw particle arrays into the tiled state (IC ingestion).
 
         Uses the native (C++/OpenMP) counting sort when available — the
         analog of the reference's threadpooled space_rebuild — and falls
         back to the jitted path otherwise.  ``Z``/``elem_frac`` are the
-        optional chemistry carriers (subgrid/chemistry.py)."""
+        optional chemistry carriers (subgrid/chemistry.py);
+        ``extra_fields`` is a dict of additional (N,) per-particle arrays
+        bucketed alongside (e.g. the Planetary scheme's MaterialIDs,
+        planetary hydro_io.h)."""
         n = len(pos)
         if pid is None:
             pid = np.arange(n, dtype=np.int32)
@@ -705,6 +708,10 @@ class Engine:
             np_fields["Z"] = np.asarray(Z, np.float32)
         if elem_frac is not None:
             np_fields["elem_frac"] = np.asarray(elem_frac, np.float32)
+        int_keys = set(getattr(self.sph.mod, "EXTRA_STATE_INT_KEYS", ()))
+        for k, arr in (extra_fields or {}).items():
+            np_fields[k] = np.asarray(
+                arr, np.int32 if k in int_keys else np.float32)
         from . import native
         if self.cfg.backend == "flat":
             # column layout needs the z-subsorted jitted bucketing
@@ -743,9 +750,12 @@ class Engine:
             "min_ngb_time_bin": jnp.full((C, K), NBINS, I32),
             "drift_accum": jnp.float32(0.0),
         }
-        # scheme-specific state (e.g. PressureEnergy's smoothed pressure)
+        # scheme-specific state (e.g. PressureEnergy's smoothed pressure);
+        # keys already bucketed from extra_fields keep their loaded values
         for k in getattr(self.sph.mod, "EXTRA_STATE_KEYS", ()):
-            self.state[k] = z()
+            if k not in self.state:
+                self.state[k] = (jnp.zeros((C, K), I32)
+                                 if k in int_keys else z())
         if self.cfg.backend == "gather":
             # placeholders: _init_pass builds the real lists first thing
             self.state.update(

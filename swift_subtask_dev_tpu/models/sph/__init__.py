@@ -57,6 +57,11 @@ def _none_scheme(**kw):
     return NoneParams(**kw)
 
 
+def _planetary(**kw):
+    from .planetary import PlanetaryParams
+    return PlanetaryParams(**kw)
+
+
 def _gizmo_mfm(**kw):
     from .gizmo import GizmoMFMParams
     return GizmoMFMParams(**kw)
@@ -81,4 +86,5 @@ SCHEMES = {
     "none": _none_scheme,
     "gizmo-mfm": _gizmo_mfm,
     "gizmo-mfv": _gizmo_mfv,
+    "planetary": _planetary,
 }

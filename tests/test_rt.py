@@ -1,0 +1,170 @@
+"""Radiative transfer (rt/): M1 closure algebra, conservative GLF
+transport, and the hydrogen-only thermochemistry against the analytic
+Strömgren solution (the reference's Iliev-test regime,
+src/rt/GEAR)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from swift_subtask_dev_tpu.grid import CellGrid
+from swift_subtask_dev_tpu.grid.cellgrid import bucket_fields
+from swift_subtask_dev_tpu.ics import uniform_box_ic
+from swift_subtask_dev_tpu.models.sph.sphenix import SPHENIXParams
+from swift_subtask_dev_tpu.rt import (RTParams, glf_flux, pressure_tensor,
+                                      rt_init_state, rt_subcycles,
+                                      rt_thermochemistry,
+                                      rt_transport_loop, stromgren_radius)
+
+
+def test_m1_closure_limits():
+    E = jnp.asarray([2.0])
+    c = 3.0
+    # zero flux -> isotropic P = E/3 I
+    P = pressure_tensor(E, (jnp.zeros(1),) * 3, c)
+    for i in range(3):
+        for j in range(3):
+            want = 2.0 / 3.0 if i == j else 0.0
+            np.testing.assert_allclose(np.asarray(P[i][j]), [want],
+                                       atol=1e-6)
+    # free streaming |F| = cE -> P = E n x n
+    F = (c * E, jnp.zeros(1), jnp.zeros(1))
+    P = pressure_tensor(E, F, c)
+    np.testing.assert_allclose(np.asarray(P[0][0]), [2.0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(P[1][1]), [0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(P[2][2]), [0.0], atol=1e-5)
+
+
+def test_glf_flux_antisymmetry():
+    rng = np.random.default_rng(0)
+    c = 5.0
+    EL = jnp.asarray(rng.random(4) + 0.5, jnp.float32)
+    ER = jnp.asarray(rng.random(4) + 0.5, jnp.float32)
+    FL = tuple(jnp.asarray(rng.normal(0, 1, 4), jnp.float32)
+               for _ in range(3))
+    FR = tuple(jnp.asarray(rng.normal(0, 1, 4), jnp.float32)
+               for _ in range(3))
+    n = (jnp.float32(0.6), jnp.float32(0.8), jnp.float32(0.0))
+    f_ij = glf_flux(EL, FL, ER, FR, n, c)
+    f_ji = glf_flux(ER, FR, EL, FL, tuple(-x for x in n), c)
+    for q in range(4):
+        np.testing.assert_allclose(np.asarray(f_ij[q]),
+                                   -np.asarray(f_ji[q]), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def _static_gas(n=10, seed=4):
+    """Static uniform lattice with exact rho = m N / L^3."""
+    ic = uniform_box_ic(n=n, jitter=0.02, seed=seed)
+    N = len(ic["pos"])
+    rho0 = float(np.sum(ic["m"]))  # box volume is 1
+    p = SPHENIXParams(h_max=float(ic["h"].max() * 1.5))
+    reach = float(ic["h"].max()) * p.kernel.gamma * 1.1
+    grid = CellGrid.build_for_positions((1.0, 1.0, 1.0), reach, ic["pos"],
+                                        headroom=1.6)
+    fields = {"m": jnp.asarray(ic["m"]), "h": jnp.asarray(ic["h"]),
+              "rho": jnp.full((N,), rho0, jnp.float32)}
+    out, mask, off, n_over = bucket_fields(grid, jnp.asarray(ic["pos"]),
+                                           fields)
+    assert int(n_over) == 0
+    s = {"mask": mask, "off": off, **out}
+    return grid, s, p, rho0
+
+
+def test_transport_conserves_and_streams():
+    grid, s, p, rho0 = _static_gas(n=10)
+    rt = RTParams(ngroups=1, c_red=1.0, sigma=(0.0,), e_photon=(1.0,))
+    s = rt_init_state(s, rt)
+    # a photon blob in the box centre with free-streaming flux +x
+    from swift_subtask_dev_tpu.rt.gear import _abs_positions, _volumes
+    pos = np.asarray(_abs_positions(grid, s["off"]))
+    r2 = ((pos - 0.5) ** 2).sum(-1)
+    blob = np.exp(-r2 / (2 * 0.08 ** 2)).astype(np.float32) \
+        * np.asarray(s["mask"])
+    E = jnp.asarray(blob)[..., None]
+    F = jnp.zeros(E.shape + (3,)).at[..., 0].set(rt.c_red * E)
+    s = {**s, "rt_E": E, "rt_F": F}
+
+    V = np.asarray(_volumes(s)) * np.asarray(s["mask"])
+    tot0 = float((V * blob).sum())
+    x0 = float((V * blob * pos[..., 0]).sum()) / tot0
+
+    dt = 0.3 * float(np.asarray(s["h"]).max())  # CFL-ish
+    step = jax.jit(lambda st: rt_transport_loop(grid, st, p, rt, dt))
+    nstep = 6
+    for _ in range(nstep):
+        s = step(s)
+    E1 = np.asarray(s["rt_E"][..., 0])
+    tot1 = float((V * E1).sum())
+    # exact conservation of the total photon energy
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-4)
+    assert np.all(E1 >= 0)
+    # the blob centroid advected in +x at ~c_red
+    x1 = float((V * E1 * pos[..., 0]).sum()) / tot1
+    moved = x1 - x0
+    want = rt.c_red * dt * nstep
+    assert 0.5 * want < moved < 1.3 * want, (moved, want)
+
+
+def test_thermochemistry_equilibrium():
+    """Without radiation, x_HI relaxes toward collisional/recombination
+    equilibrium; with strong radiation it ionizes."""
+    mask = jnp.ones((1, 4), jnp.float32)
+    s = {"mask": mask, "rho": jnp.full((1, 4), 1.0),
+         "m": jnp.full((1, 4), 1.0),
+         "x_HI": jnp.full((1, 4), 0.5),
+         "rt_E": jnp.zeros((1, 4, 1)),
+         "rt_F": jnp.zeros((1, 4, 1, 3))}
+    rt = RTParams(alpha_B=1.0, chem_substeps=8)
+    out = rt_thermochemistry(s, rt, jnp.float32(0.5))
+    # pure recombination: x_HI grows
+    assert float(out["x_HI"][0, 0]) > 0.5
+    # strong radiation: x_HI drops and photons are absorbed
+    s2 = {**s, "rt_E": jnp.full((1, 4, 1), 100.0)}
+    rt2 = RTParams(alpha_B=1.0, sigma=(5.0,), e_photon=(1.0,), c_red=10.0,
+                   chem_substeps=8)
+    out2 = rt_thermochemistry(s2, rt2, jnp.float32(0.5))
+    assert float(out2["x_HI"][0, 0]) < 0.05
+    assert float(out2["rt_E"][0, 0, 0]) < 100.0
+
+
+def test_stromgren_sphere():
+    """Iliev test 1 analog: the ionization front follows
+    r(t) = r_S (1 - e^{-t/t_rec})^{1/3} (reference examples/RT tests)."""
+    grid, s, p, rho0 = _static_gas(n=12)
+    # n_H = 1 everywhere (m_p = rho0 scaling): choose alpha_B for
+    # r_S = 0.25 well inside the unit box
+    Ndot = 1.0
+    alpha_B = 3.0 * Ndot / (4.0 * np.pi * 0.25 ** 3)
+    r_S, t_rec = stromgren_radius(Ndot, 1.0, alpha_B)
+    np.testing.assert_allclose(r_S, 0.25, rtol=1e-6)
+
+    rt = RTParams(ngroups=1, c_red=40.0, sigma=(200.0,), e_photon=(1.0,),
+                  X_H=1.0, m_p=rho0, alpha_B=alpha_B, chem_substeps=4,
+                  src_h=0.06)
+    s = rt_init_state(s, rt)
+    src_pos = jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32)
+    src_L = jnp.asarray([[Ndot * 1.0]], jnp.float32)  # e_photon = 1
+
+    h_min = float(np.asarray(s["h"])[np.asarray(s["mask"]) > 0].min())
+    dt = 0.8 * h_min / rt.c_red
+    step = jax.jit(lambda st: rt_subcycles(grid, st, p, rt,
+                                           jnp.float32(dt), 1,
+                                           src_pos, src_L))
+    from swift_subtask_dev_tpu.rt.gear import _volumes
+    V = np.asarray(_volumes(s)) * np.asarray(s["mask"])
+
+    t = 0.0
+    checks = []
+    for target in (0.5 * t_rec, 1.0 * t_rec):
+        while t < target:
+            s = step(s)
+            t += dt
+        x_HI = np.asarray(s["x_HI"])
+        V_ion = float((V * (1.0 - x_HI)).sum())
+        r_front = (3.0 * V_ion / (4.0 * np.pi)) ** (1.0 / 3.0)
+        r_want = r_S * (1.0 - np.exp(-t / t_rec)) ** (1.0 / 3.0)
+        checks.append((t / t_rec, r_front, r_want))
+        assert abs(r_front - r_want) / r_want < 0.2, checks
+    # front actually advanced between the two checks
+    assert checks[1][1] > checks[0][1]

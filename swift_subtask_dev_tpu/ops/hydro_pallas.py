@@ -249,13 +249,11 @@ def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
     Gf = float(G)
     trunc = periodic_truncation and r_s > 0
 
+    H_inv = 1.0 / H
+
     def pair_fn(sf, nf, dx, r2, sc):
         ok = r2 < r_cut2
-        F = pg.softened_force_factor(r2, H)
-        P = pg.softened_pot_factor(r2, H)
-        if trunc:
-            F = F * pg.truncation_factor(r2, r_s_inv)
-            P = P * pg.pot_truncation_factor(r2, r_s_inv)
+        F, P = pg.force_pot_factors(r2, H_inv, r_s_inv, trunc)
         gm = Gf * nf("m")
         gmF = gm * F
         return ok, [-gmF * dx[0], -gmF * dx[1], -gmF * dx[2], -gm * P], []

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .grid.cellgrid import CellGrid, bucket_fields, rebucket_offsets
+from .models import mhd
 from .models.sph import sphenix
 from .models.sph.sphenix import CosmoFactors, SPHENIXParams
 from .ops import stencil
@@ -416,6 +417,7 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
          "off": s["off"] + s["v_full"] * T.dt_drift * s["mask"][..., None],
          "v": s["v"] + a_tot * T.dt_drift}
     s = p.mod.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
+    s = mhd.predict_extra(p, s, cosmo, T.dt_drift, T.dt_therm_drift)
 
     # --- rebucket (space_rebuild analog) ------------------------------------
     reach = jnp.maximum(
@@ -542,6 +544,7 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     ke = p.mod.kick_extra(p, s, cosmo, dt_t2)
     for k in getattr(p.mod, "KICK_EXTRA_KEYS", ("u_full", "u_dt")):
         s = {**s, k: jnp.where(active, ke[k], s[k])}
+    s = mhd.kick_extra(p, s, cosmo, dt_t2)  # kick.h:277 (no-op under None)
 
     # reset predicted values at the kick point (runner_time_integration:463)
     rp = p.mod.reset_predicted_values(p, s)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import mhd
+
 
 @jax.jit
 def gas_statistics(s: Dict) -> Dict[str, jnp.ndarray]:
@@ -54,6 +56,11 @@ def species_statistics(grid, s: Dict) -> Dict[str, jnp.ndarray]:
     e_kin = 0.5 * jnp.sum(m * jnp.sum(v * v, axis=-1))
     e_int = (jnp.sum(m * jnp.where(mask > 0, s["u_full"], 0.0))
              if "u_full" in s else jnp.float32(0.0))
+    # MHD diagnostics (statistics.c:248-255; zero under the None scheme)
+    e_mag = mhd.magnetic_energy(s)
+    h_mag = mhd.magnetic_helicity(s)
+    h_cross = mhd.cross_helicity(s)
+    div_b = mhd.divB_error(s)
     pot = s.get("pot", None)
     if pot is not None and "pot_mesh" in s:
         pot = pot + s["pot_mesh"]     # split-mesh runs carry the PM part
@@ -69,7 +76,11 @@ def species_statistics(grid, s: Dict) -> Dict[str, jnp.ndarray]:
         "e_kin": e_kin,
         "e_int": e_int,
         "e_pot": e_pot,
-        "e_tot": e_kin + e_int + e_pot,
+        "e_mag": e_mag,
+        "e_tot": e_kin + e_int + e_pot + e_mag,
+        "h_mag": h_mag,
+        "h_cross": h_cross,
+        "divB_err": div_b,
         "momentum": mom,
         "ang_momentum": ang,
         "com": com,
@@ -87,7 +98,8 @@ def collect_statistics(grid, species: Dict[str, Dict]
                   species_statistics(grid, s).items()}
            for name, s in species.items()}
     tot = {}
-    for k in ("total_mass", "e_kin", "e_int", "e_pot", "e_tot"):
+    for k in ("total_mass", "e_kin", "e_int", "e_pot", "e_mag", "e_tot",
+              "h_mag", "h_cross", "divB_err"):
         tot[k] = np.sum([o[k] for o in out.values()], axis=0)
     for k in ("momentum", "ang_momentum"):
         tot[k] = np.sum([o[k] for o in out.values()], axis=0)
@@ -102,8 +114,8 @@ class StatisticsWriter:
     """Append-only statistics file matching the reference's column set
     (statistics.c:690 statistics_print_to_file)."""
 
-    COLS = ("# step time mass e_tot e_kin e_int e_pot "
-            "px py pz Lx Ly Lz\n")
+    COLS = ("# step time mass e_tot e_kin e_int e_pot e_mag "
+            "px py pz Lx Ly Lz H_mag H_cross divB_err\n")
 
     def __init__(self, path: str):
         self.path = path
@@ -119,6 +131,9 @@ class StatisticsWriter:
                 f"{step} {time:.8e} {float(stats['total_mass']):.8e} "
                 f"{float(stats['e_tot']):.8e} "
                 f"{float(stats['e_kin']):.8e} {float(stats['e_int']):.8e} "
-                f"{e_pot:.8e} "
+                f"{e_pot:.8e} {float(stats.get('e_mag', 0.0)):.6e} "
                 f"{mom[0]:.6e} {mom[1]:.6e} {mom[2]:.6e} "
-                f"{ang[0]:.6e} {ang[1]:.6e} {ang[2]:.6e}\n")
+                f"{ang[0]:.6e} {ang[1]:.6e} {ang[2]:.6e} "
+                f"{float(stats.get('h_mag', 0.0)):.6e} "
+                f"{float(stats.get('h_cross', 0.0)):.6e} "
+                f"{float(stats.get('divB_err', 0.0)):.6e}\n")

@@ -42,6 +42,8 @@ def build_argparser() -> argparse.ArgumentParser:
                          "(gas -> star conversion)")
     ap.add_argument("--feedback", action="store_true",
                     help="EAGLE thermal SNII stellar feedback")
+    ap.add_argument("--sinks", action="store_true",
+                    help="sink particles (GEARSink: section; sink/GEAR)")
     ap.add_argument("--black-holes", action="store_true",
                     help="EAGLE black holes (seeding/accretion/AGN)")
     ap.add_argument("--eagle", action="store_true",
@@ -211,7 +213,13 @@ def build_subgrid(params, units, args, cosmology, sph):
         from .subgrid.black_holes import EagleBlackHoles
         bh_model = EagleBlackHoles.from_params(params, units, phys_const,
                                                G)
-    return cooling_fn, star_formation, floor, feedback, bh_model
+
+    sink_model = None
+    if getattr(args, "sinks", False):
+        from .subgrid.sinks import GEARSinks
+        sink_model = GEARSinks.from_params(params, units, phys_const)
+    return (cooling_fn, star_formation, floor, feedback, bh_model,
+            sink_model)
 
 
 def main(argv=None) -> int:
@@ -277,20 +285,22 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
-    from .io.snapshot import PTYPE_BH, PTYPE_NEUTRINO
+    from .io.snapshot import PTYPE_BH, PTYPE_NEUTRINO, PTYPE_SINK
     gas = parts.get(PTYPE_GAS)
     dm = parts.get(PTYPE_DM)
     stars_ic = parts.get(PTYPE_STARS)
     bh_ic = parts.get(PTYPE_BH)
     nu_ic = parts.get(PTYPE_NEUTRINO)
+    sink_ic = parts.get(PTYPE_SINK)
     dmo = args.self_gravity and not args.hydro
     # gas + DM (+ stars/BH) cosmological volumes run the multi-species
     # engine (engine policies hydro|self_gravity|cosmology, engine.c:2245)
     multi = (args.hydro and args.self_gravity
              and (dm is not None or stars_ic is not None
                   or bh_ic is not None or nu_ic is not None
+                  or sink_ic is not None
                   or args.star_formation or args.feedback
-                  or args.black_holes))
+                  or args.black_holes or args.sinks))
 
     # --- gravity parameter block (shared by both run modes) ------------------
     gp = None
@@ -392,8 +402,8 @@ def main(argv=None) -> int:
             if args.verbose:
                 print(f"scheme {scheme_name}: forcing --backend xla")
             args.backend = "xla"
-        cooling_fn, star_formation, floor, feedback, bh_model = \
-            build_subgrid(params, units, args, cosmology, sph)
+        (cooling_fn, star_formation, floor, feedback, bh_model,
+         sink_model) = build_subgrid(params, units, args, cosmology, sph)
 
         pos_g = np.asarray(gas["Coordinates"], np.float64)
         h0 = np.asarray(gas["SmoothingLengths"], np.float32)
@@ -404,6 +414,8 @@ def main(argv=None) -> int:
             pos_all.append(np.asarray(stars_ic["Coordinates"], np.float64))
         if nu_ic is not None:
             pos_all.append(np.asarray(nu_ic["Coordinates"], np.float64))
+        if sink_ic is not None:
+            pos_all.append(np.asarray(sink_ic["Coordinates"], np.float64))
         if sph.h_max < 1e29:
             h_sizing = float(sph.h_max)
             h0 = np.minimum(h0, sph.h_max)
@@ -413,7 +425,8 @@ def main(argv=None) -> int:
             reach = h_sizing * sph.kernel.gamma * 1.3
         use_flat = (args.backend == "flat" and star_formation is None
                     and feedback is None and bh_model is None
-                    and bh_ic is None)
+                    and bh_ic is None and sink_model is None
+                    and sink_ic is None)
         if use_flat:
             # column/z-sorted layout: gas hydro + all-species P2P gravity
             # run the flat Pallas kernels; columns must cover r_cut
@@ -467,7 +480,7 @@ def main(argv=None) -> int:
                           star_formation=star_formation,
                           entropy_floor=floor, feedback=feedback,
                           bh_model=bh_model, nu_model=nu_model,
-                          **mesh_kw)
+                          sink_model=sink_model, **mesh_kw)
         eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name in ("gadget2", "pressure-entropy"):
@@ -508,6 +521,17 @@ def main(argv=None) -> int:
                 v=(np.asarray(vel, np.float32) if vel is not None
                    and np.abs(np.asarray(vel)).max() > 0 else None),
                 pid=np.asarray(nu_ic["ParticleIDs"]).astype(np.int32))
+        if sink_ic is not None:
+            eng.load_sinks(
+                np.asarray(sink_ic["Coordinates"], np.float64),
+                np.asarray(sink_ic["Masses"], np.float32),
+                np.asarray(sink_ic["Velocities"], np.float32),
+                pid=np.asarray(sink_ic["ParticleIDs"]).astype(np.int32),
+                extra_per_cell=params.opt_int(
+                    "Scheduler", "cell_extra_sinks", 8))
+        elif sink_model is not None:
+            eng.alloc_sinks(extra_per_cell=params.opt_int(
+                "Scheduler", "cell_extra_sinks", 8))
         if bh_ic is not None:
             npt = len(bh_ic["Coordinates"])
             eng.load_bh(
@@ -650,7 +674,8 @@ def main(argv=None) -> int:
         return eng.state
 
     name2pt = {"gas": PTYPE_GAS, "dm": PTYPE_DM, "stars": PTYPE_STARS,
-               "bh": PTYPE_BH, "nu": PTYPE_NEUTRINO}
+               "bh": PTYPE_BH, "nu": PTYPE_NEUTRINO,
+               "sinks": PTYPE_SINK}
 
     def write_snap(i):
         parts_out = {}

@@ -88,24 +88,76 @@ def _convert_gas_to_stars(grid: CellGrid, gas: Dict, stars: Dict,
     return gas, stars, jnp.sum(ok), n_lost
 
 
+def _convert_gas_to_sinks(grid: CellGrid, gas: Dict, sinks: Dict,
+                          conv, T: StepTables, r_cut: float):
+    """Move forming gas particles into free sink slots of their cell
+    (cell_convert_part.c:cell_convert_part_to_sink; sink.h:51
+    sink_first_init_sink sets r_cut from the scheme property and zeroes
+    the swallow counters/angular momentum).  Same masked-scatter
+    machinery as the gas->star conversion."""
+    C = grid.C
+    K_k = sinks["mask"].shape[1]
+    n_sink = jnp.sum((sinks["mask"] > 0).astype(I32), axis=1)
+    rank = jnp.cumsum(conv.astype(I32), axis=1) - 1
+    dest_slot = n_sink[:, None] + rank
+    ok = conv & (dest_slot < K_k)
+    n_lost = jnp.sum(conv & ~ok)
+    cid = jnp.arange(C, dtype=I32)[:, None]
+    flat_dest = jnp.where(ok, cid * K_k + dest_slot, C * K_k)
+
+    def scat(arr, gas_val):
+        flat = arr.reshape((C * K_k,) + arr.shape[2:])
+        pad = jnp.zeros((1,) + flat.shape[1:], flat.dtype)
+        out = jnp.concatenate([flat, pad], 0)
+        out = out.at[flat_dest.reshape(-1)].set(
+            gas_val.reshape((C * gas_val.shape[1],) + gas_val.shape[2:]))
+        return out[:-1].reshape(arr.shape)
+
+    okf = ok.astype(F32)
+    zeros = jnp.zeros_like(gas["m"])
+    sinks = {**sinks,
+             "mask": scat(sinks["mask"], okf),
+             "off": scat(sinks["off"], gas["off"]),
+             "v_full": scat(sinks["v_full"], gas["v_full"]),
+             "m": scat(sinks["m"], gas["m"]),
+             "pid": scat(sinks["pid"], gas["pid"]),
+             "r_cut": scat(sinks["r_cut"],
+                           jnp.full_like(gas["m"], r_cut)),
+             "a_grav_mesh": scat(sinks["a_grav_mesh"],
+                                 gas["a_grav_mesh"]),
+             "time_bin": scat(sinks["time_bin"], gas["time_bin"]),
+             "swallowed_L": scat(sinks["swallowed_L"],
+                                 jnp.zeros_like(gas["v_full"])),
+             "n_gas_swallows": scat(sinks["n_gas_swallows"], zeros),
+             "n_sink_swallows": scat(sinks["n_sink_swallows"], zeros),
+             }
+    sinks = {**sinks, "drift_accum": jnp.maximum(sinks["drift_accum"],
+                                                 gas["drift_accum"])}
+    gas = {**gas, "mask": jnp.where(ok, 0.0, gas["mask"])}
+    return gas, sinks, jnp.sum(ok), n_lost
+
+
 def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                gravity_fn: Optional[Callable], eps_soft: float,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
                cooling_fn: Optional[Callable] = None,
-               sf=None, feedback=None, bh_model=None):
-    """One engine step over {'gas', 'dm', 'stars', 'bh'} species states.
+               sf=None, feedback=None, bh_model=None, sink_model=None):
+    """One engine step over {'gas', 'dm', 'stars', 'bh', 'sinks'} species.
 
     ``sf`` is an optional (EagleStarFormation, EagleEntropyFloor|None)
     pair enabling stochastic gas->star conversion (requires a 'stars'
     species for the free slots).  ``feedback`` is an optional
     EagleThermalFeedback injecting SNII energy from flagged stars.
     ``bh_model`` is an optional EagleBlackHoles driving Bondi accretion,
-    gas swallowing and AGN heating of the 'bh' species.
+    gas swallowing and AGN heating of the 'bh' species.  ``sink_model``
+    is an optional GEARSinks driving sink formation, gas accretion and
+    sink mergers of the 'sinks' species (runner_sinks.c, sink/GEAR).
     """
     gas = state.get("gas")
     dm = state.get("dm")
     stars = state.get("stars")
     bh = state.get("bh")
+    sinks = state.get("sinks")
     nu = state.get("nu")
     n_overflow = jnp.int32(0)
     n_ghost_iter = jnp.int32(0)
@@ -188,6 +240,19 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         bh = d
         bh_act = _species_active(d, T)
         n_active = n_active + jnp.sum(bh_act[2])
+    if sinks is not None:
+        d = sinks
+        d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
+             * d["mask"][..., None]}
+        # sink-gas and sink-sink pairs reach out to r_cut
+        reach_k = jnp.maximum(
+            jnp.float32(cfg.p2p_reach),
+            jnp.max(jnp.where(d["mask"] > 0, d["r_cut"], 0.0)))
+        d, nov = _rebucket_phase(grid, cfg, d, T, reach_k)
+        n_overflow = n_overflow + nov
+        sinks = d
+        sinks_act = _species_active(d, T)
+        n_active = n_active + jnp.sum(sinks_act[2])
     if nu is not None:
         d = nu
         d = {**d, "off": d["off"] + d["v_full"] * T.dt_drift
@@ -205,8 +270,10 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         pool = {"gas": (gas, gas_act if gas is not None else None),
                 "dm": (dm, dm_act if dm is not None else None),
                 "stars": (stars, stars_act if stars is not None else None),
-                "bh": (bh, bh_act if bh is not None else None)}
-        names = [n for n in ("gas", "dm", "stars", "bh")
+                "bh": (bh, bh_act if bh is not None else None),
+                "sinks": (sinks, sinks_act if sinks is not None
+                          else None)}
+        names = [n for n in ("gas", "dm", "stars", "bh", "sinks")
                  if pool[n][0] is not None]
         outs = gravity_fn([pool[n][0] for n in names])
         for n, (acc, pot) in zip(names, outs):
@@ -221,6 +288,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         dm = pool["dm"][0]
         stars = pool["stars"][0]
         bh = pool["bh"][0]
+        sinks = pool["sinks"][0]
 
     # --- black holes: density -> accretion -> swallow -> AGN -----------------
     # (runner_black_holes.c: bh_density, bh_swallow, do_gas_swallow,
@@ -272,6 +340,59 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         n_agn = jnp.sum(fb_energy > 0)
         gas = {**gas, "u_full": gas["u_full"] + du_add,
                "u": gas["u"] + du_add}
+
+    # --- sinks: swallow gas -> merge (runner_sinks.c; sink/GEAR) -------------
+    n_sink_gas_sw = jnp.int32(0)
+    n_sink_merged = jnp.int32(0)
+    n_sink_formed = jnp.int32(0)
+    if sink_model is not None and sinks is not None and gas is not None:
+        from .ops import sinks as _sk
+
+        # only ACTIVE sinks swallow this step (runner processes active
+        # cells): inactive sinks get a zero cut-off in the mark loop
+        sk_live = {**sinks, "r_cut": jnp.where(sinks_act[2],
+                                               sinks["r_cut"], 0.0)}
+        sid = _sk.sink_gas_swallow_mark_loop(grid, gas, sk_live,
+                                             use_scan=cfg.stencil_scan)
+        a_now = cosmo.a
+        gains = _sk.sink_gas_swallow_collect_loop(
+            grid, sinks, gas, sid, a=a_now, a_inv=1.0 / a_now,
+            use_scan=cfg.stencil_scan)
+        m_new = sinks["m"] + gains["dm"]
+        dp = jnp.stack([gains["dp0"], gains["dp1"], gains["dp2"]], -1)
+        dL = jnp.stack([gains["dL0"], gains["dL1"], gains["dL2"]], -1)
+        v_new = (sinks["m"][..., None] * sinks["v_full"] + dp) \
+            / jnp.maximum(m_new, 1e-30)[..., None]
+        keep_v = (gains["dm"] <= 0)[..., None]
+        sinks = {**sinks, "m": m_new,
+                 "v_full": jnp.where(keep_v, sinks["v_full"], v_new),
+                 "swallowed_L": sinks["swallowed_L"] + dL,
+                 "n_gas_swallows": sinks["n_gas_swallows"] + gains["n"]}
+        swallowed = sid >= 0
+        n_sink_gas_sw = jnp.sum(swallowed)
+        gas = {**gas, "mask": jnp.where(swallowed, 0.0, gas["mask"])}
+
+        # sink-sink mergers: lighter onto heavier; chains defer one step
+        vic = _sk.sink_merger_mark_loop(grid, sinks,
+                                        use_scan=cfg.stencil_scan)
+        not_victim = vic < 0
+        mg = _sk.sink_merger_collect_loop(grid, sinks, vic, not_victim,
+                                          use_scan=cfg.stencil_scan)
+        consumed = _sk.sink_merger_consumed_loop(
+            grid, sinks, vic, not_victim, use_scan=cfg.stencil_scan)
+        m_new = sinks["m"] + mg["dm"]
+        dp = jnp.stack([mg["dp0"], mg["dp1"], mg["dp2"]], -1)
+        dL = jnp.stack([mg["dL0"], mg["dL1"], mg["dL2"]], -1)
+        v_new = (sinks["m"][..., None] * sinks["v_full"] + dp) \
+            / jnp.maximum(m_new, 1e-30)[..., None]
+        keep_v = (mg["dm"] <= 0)[..., None]
+        sinks = {**sinks, "m": m_new,
+                 "v_full": jnp.where(keep_v, sinks["v_full"], v_new),
+                 "swallowed_L": sinks["swallowed_L"] + dL,
+                 "n_sink_swallows": sinks["n_sink_swallows"] + mg["n"],
+                 "mask": jnp.where(consumed, 0.0, sinks["mask"])}
+        n_sink_merged = jnp.sum(consumed)
+        sinks_act = _species_active(sinks, T)
 
     # --- stellar feedback (stars -> gas, EAGLE thermal) -----------------------
     n_heated = jnp.int32(0)
@@ -332,6 +453,21 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             n_overflow = n_overflow + n_lost
             sfr_total = sfr_total + jnp.sum(sfr)
 
+        # --- sink formation (runner_do_sink_formation, runner_others.c;
+        # sink.h:149 sink_is_forming) --------------------------------------
+        if sink_model is not None and sinks is not None:
+            from .ops import sinks as _sk
+            can_form = _sk.sink_formation_gate_loop(
+                grid, gas, sink_model.cut_off_radius,
+                use_scan=cfg.stencil_scan)
+            form = sink_model.formation_mask(gas, cosmo, active,
+                                             can_form)
+            form = form & (gas["mask"] > 0)  # not swallowed this step
+            gas, sinks, n_f, n_lost_k = _convert_gas_to_sinks(
+                grid, gas, sinks, form, T, sink_model.cut_off_radius)
+            n_sink_formed = n_sink_formed + n_f
+            n_overflow = n_overflow + n_lost_k
+
         mask_b = gas["mask"] > 0  # excludes converted + swallowed slots
         bins_masked = jnp.where(mask_b, jnp.clip(gas["time_bin"], 0, NBINS),
                                 NBINS + 5)
@@ -363,6 +499,16 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                 NBINS + 5)
         bin_counts = bin_counts + jnp.bincount(
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
+    if sinks is not None:
+        mask_b, tb, active = sinks_act
+        sinks, too_small = _dm_kdk(cfg, eps_soft, sinks, T, active, tb)
+        too_small_n = too_small_n + jnp.sum(too_small)
+        mask_b = sinks["mask"] > 0  # includes newly formed, minus merged
+        bins_masked = jnp.where(mask_b,
+                                jnp.clip(sinks["time_bin"], 0, NBINS),
+                                NBINS + 5)
+        bin_counts = bin_counts + jnp.bincount(
+            bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
     if nu is not None:
         mask_b, tb, active = nu_act
         nu, too_small = _dm_kdk(cfg, eps_soft, nu, T, active, tb)
@@ -381,6 +527,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         out_state["stars"] = stars
     if bh is not None:
         out_state["bh"] = bh
+    if sinks is not None:
+        out_state["sinks"] = sinks
     if nu is not None:
         out_state["nu"] = nu
     diag = {
@@ -396,6 +544,9 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_heated": n_heated,
         "n_swallowed": n_swallowed,
         "n_agn": n_agn,
+        "n_sink_formed": n_sink_formed,
+        "n_sink_gas_swallows": n_sink_gas_sw,
+        "n_sink_mergers": n_sink_merged,
     }
     return out_state, diag
 
@@ -409,6 +560,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     dm = state.get("dm")
     stars = state.get("stars")
     bh = state.get("bh")
+    sinks = state.get("sinks")
     nu = state.get("nu")
     n_ghost_iter = jnp.int32(0)
 
@@ -421,7 +573,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         # neutrinos are mesh-only sources/receivers: never in the
         # short-range pool (neutrino.h)
         pool = {"gas": gas, "dm": dm, "stars": stars, "bh": bh,
-                "nu": None}
+                "sinks": sinks, "nu": None}
         names = [n for n in _SPECIES_ORDER if pool[n] is not None]
         outs = gravity_fn([pool[n] for n in names])
         for n, (acc, pot) in zip(names, outs):
@@ -429,8 +581,9 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             if pot is not None and "pot" in sp:
                 sp = {**sp, "pot": pot}
             pool[n] = sp
-        gas, dm, stars, bh = (pool["gas"], pool["dm"], pool["stars"],
-                              pool["bh"])
+        gas, dm, stars, bh, sinks = (pool["gas"], pool["dm"],
+                                     pool["stars"], pool["bh"],
+                                     pool["sinks"])
 
     bin_counts = jnp.zeros(NBINS + 1, jnp.int32)
     too_small_n = jnp.int32(0)
@@ -466,7 +619,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
 
     for name, sp in (("dm", dm), ("stars", stars), ("bh", bh),
-                     ("nu", nu)):
+                     ("sinks", sinks), ("nu", nu)):
         if sp is None:
             continue
         mask_b = sp["mask"] > 0
@@ -493,6 +646,8 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             stars = sp
         elif name == "bh":
             bh = sp
+        elif name == "sinks":
+            sinks = sp
         else:
             nu = sp
 
@@ -505,6 +660,8 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         out_state["stars"] = stars
     if bh is not None:
         out_state["bh"] = bh
+    if sinks is not None:
+        out_state["sinks"] = sinks
     if nu is not None:
         out_state["nu"] = nu
     diag = {
@@ -524,10 +681,11 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 
 
 _JIT_MULTI_STEP = jax.jit(multi_step,
-                          static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11))
+                          static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11,
+                                          12))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
-_SPECIES_ORDER = ("gas", "dm", "stars", "bh", "nu")
+_SPECIES_ORDER = ("gas", "dm", "stars", "bh", "sinks", "nu")
 
 
 def _mesh_update_multi(mesh_fn, state, dt_close, dt_open,
@@ -590,10 +748,11 @@ class MultiEngine(Engine):
                  star_formation=None, entropy_floor=None,
                  feedback=None, mesh_fn: Optional[Callable] = None,
                  mesh_dt_scale: float = 0.0, bh_model=None,
-                 nu_model=None):
+                 nu_model=None, sink_model=None):
         if cfg.backend == "gather" or (
                 cfg.backend == "flat"
-                and (star_formation is not None or feedback is not None)):
+                and (star_formation is not None or feedback is not None
+                     or sink_model is not None)):
             # gather: the multi-species step doesn't carry candidate
             # lists.  flat: the star->gas feedback loops still run on the
             # 27-stencil, so SF/feedback runs fall back to it too.
@@ -609,6 +768,7 @@ class MultiEngine(Engine):
             if star_formation is not None else None
         self.feedback = feedback
         self.bh_model = bh_model
+        self.sink_model = sink_model
         self.nu_model = nu_model
         if nu_model is not None and mesh_fn is None:
             raise ValueError(
@@ -767,6 +927,70 @@ class MultiEngine(Engine):
         }
         self.n_particles = getattr(self, "n_particles", 0) + n
 
+    def alloc_sinks(self, extra_per_cell: int = 8):
+        """Pre-allocate empty sink slots for sink formation (the
+        space_extra_sinks analog, space.h)."""
+        C = self.grid.C
+        K_k = int(extra_per_cell)
+        z = lambda: jnp.zeros((C, K_k), F32)
+        self.state["sinks"] = {
+            "mask": z(), "off": jnp.zeros((C, K_k, 3), F32),
+            "pid": jnp.full((C, K_k), -1, I32),
+            "m": z(), "v_full": jnp.zeros((C, K_k, 3), F32),
+            "r_cut": z(),
+            "a_grav": jnp.zeros((C, K_k, 3), F32), "pot": z(),
+            "a_grav_mesh": jnp.zeros((C, K_k, 3), F32), "pot_mesh": z(),
+            "time_bin": jnp.zeros((C, K_k), I32),
+            "swallowed_L": jnp.zeros((C, K_k, 3), F32),
+            "n_gas_swallows": z(), "n_sink_swallows": z(),
+            "drift_accum": jnp.float32(0.0),
+        }
+
+    def load_sinks(self, pos, m, v, pid=None, r_cut=None,
+                   extra_per_cell: int = 8):
+        """Bucket sink particles (PartType3; sink/GEAR/sink_part.h),
+        keeping ``extra_per_cell`` free slots for in-run formation."""
+        if self.sink_model is None:
+            raise ValueError("load_sinks needs a sink_model")
+        n = len(pos)
+        if pid is None:
+            pid = np.arange(n, dtype=np.int32)
+        if r_cut is None:
+            r_cut = np.full(n, self.sink_model.cut_off_radius, np.float32)
+        fields = {
+            "pid": jnp.asarray(pid, I32),
+            "m": jnp.asarray(m, F32),
+            "v_full": jnp.asarray(v, F32),
+            "r_cut": jnp.asarray(r_cut, F32),
+        }
+        out, mask, off, n_over = bucket_fields(
+            self.grid, jnp.asarray(pos), fields)
+        if int(n_over) != 0:
+            raise RuntimeError(f"{int(n_over)} sinks overflow K")
+        C = self.grid.C
+        K0 = mask.shape[1]
+        K_k = K0 + int(extra_per_cell)
+
+        def pad(a, fill=0.0):
+            extra_shape = (C, K_k - K0) + a.shape[2:]
+            return jnp.concatenate(
+                [a, jnp.full(extra_shape, fill, a.dtype)], axis=1)
+
+        z = lambda: jnp.zeros((C, K_k), F32)
+        self.state["sinks"] = {
+            "mask": pad(mask), "off": pad(off),
+            "pid": pad(out["pid"], -1), "m": pad(out["m"]),
+            "v_full": pad(out["v_full"]), "r_cut": pad(out["r_cut"]),
+            "a_grav": jnp.zeros((C, K_k, 3), F32),
+            "a_grav_mesh": jnp.zeros((C, K_k, 3), F32),
+            "pot": z(), "pot_mesh": z(),
+            "time_bin": jnp.zeros((C, K_k), I32),
+            "swallowed_L": jnp.zeros((C, K_k, 3), F32),
+            "n_gas_swallows": z(), "n_sink_swallows": z(),
+            "drift_accum": jnp.float32(0.0),
+        }
+        self.n_particles = getattr(self, "n_particles", 0) + n
+
     def load_nu(self, pos, m, v=None, pid=None):
         """Bucket delta-f neutrino particles (PartType6).  Without
         explicit velocities, isotropic Fermi-Dirac thermal velocities are
@@ -835,7 +1059,7 @@ class MultiEngine(Engine):
         self.state, diag = _JIT_MULTI_STEP(
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
             self.cosmo, self.state, T, self.cooling_fn, self.sf,
-            self.feedback, self.bh_model)
+            self.feedback, self.bh_model, self.sink_model)
         self._post_step(diag)
         self.step_count += 1
         if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:
@@ -886,7 +1110,9 @@ class MultiEngine(Engine):
         new_grid = self._build_grid(np.concatenate(pos_all), reach)
         new_state = {}
         for name, (pos, fields) in extracted.items():
-            extra = 8 if name == "stars" and self.sf is not None else 0
+            extra = 8 if (name == "stars" and self.sf is not None) \
+                or (name == "sinks"
+                    and self.sink_model is not None) else 0
             new_state[name] = self._rebucket_species(new_grid, pos,
                                                      fields,
                                                      extra_slots=extra)

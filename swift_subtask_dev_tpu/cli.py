@@ -718,6 +718,16 @@ def main(argv=None) -> int:
             format=params.opt_string("CSDS", "format", "hdf5")),
             eng.grid)
 
+    stf = None
+    stf_p = None
+    from .io.structure_finding import (StructureFinder,
+                                       StructureFindingParams)
+    stf_p = StructureFindingParams.from_params(params,
+                                               cosmology is not None)
+    if stf_p is not None:
+        stf = StructureFinder(stf_p, eng.grid, box,
+                              cosmology is not None)
+
     lightcone = None
     if args.cosmology and params.opt_int("Lightcone0", "enabled", 0):
         lp = LightconeParams(
@@ -802,6 +812,10 @@ def main(argv=None) -> int:
                     if stats_every > 1.0 else t_now + stats_every
             else:
                 next_stat += stats_every
+        if stf is not None:
+            with timers.phase("structure_finding"):
+                stf.rebind(eng.grid)
+                stf.after_step(species_states(), t_now)
         if t_now >= next_snap:
             with timers.phase("snapshot_io"):
                 write_snap(snap_i)

@@ -3,6 +3,12 @@
 parameter-dataclass constructors.  Each scheme module exports a *Params
 dataclass whose ``mod`` property exposes the scheme's term functions
 (density/gradient/force + lifecycle hooks) consumed by the loop backends.
+
+The 14th scheme, Shadowswift (``--with-hydro=shadowfax``; the
+reference's experimental moving-mesh), does not fit the SPH term-
+function protocol — it lives in ``models/moving_mesh.py`` as the exact
+1D Voronoi algorithm (voronoi1d_algorithm.h) with its own jitted
+step/timestep drivers, validated on the reference's own 1D test regime.
 """
 
 from . import kernels, eos, sphenix

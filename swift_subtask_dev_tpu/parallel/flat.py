@@ -1,0 +1,103 @@
+"""Sharded flat (column/z-sorted Pallas) loops — explicit halo exchange.
+
+The fast single-chip engine (ops/pallas_flat.py) keeps particles in
+(x, y) columns with column-LOCAL offsets; pair math only ever uses
+offset differences plus one-edge stencil shifts.  That makes the
+multi-chip halo *translation-invariant*: a device that owns a
+contiguous x-slab of columns only needs the single boundary column
+slab of each x-neighbour, and the received columns drop into an
+extended local grid unchanged — no coordinate rebasing, no global
+wrap bookkeeping (z stays globally periodic inside the kernel; y is
+whole per device).
+
+This is the TPU-native analog of the reference's proxy layer
+(proxy.c:199-338 exchanges boundary cells between MPI ranks before
+pair tasks run): here the exchange is ONE ``jax.lax.ppermute`` of the
+first/last ``ncy`` columns per neighbour inside ``shard_map``, riding
+the ICI, followed by the unmodified Pallas kernel on the
+``(ncx/n + 2, ncy)`` extended column grid and an interior slice.
+
+Works for every flat-backend pass (density/gradient/force via
+ops/hydro_pallas with engine='flat', and the flat P2P gravity), since
+they all consume (C, K)-leading tile states.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def _extended_grid(grid, n_shards: int):
+    from ..grid.cellgrid import CellGrid
+
+    ncx, ncy, ncz = grid.cdim
+    assert ncz == 1, "sharded flat loops need a column grid"
+    if ncx % n_shards:
+        raise ValueError(
+            f"ncx={ncx} not divisible by {n_shards} shards — re-grid with "
+            "a multiple (the CLI's column builder rounds ncx for this)")
+    ncx_loc = ncx // n_shards
+    ex = grid.box[0] / ncx
+    return CellGrid(
+        box=((ncx_loc + 2) * ex, grid.box[1], grid.box[2]),
+        cdim=(ncx_loc + 2, ncy, 1), K=grid.K), ncx_loc
+
+
+def sharded_flat_loop(grid, mesh, loop_fn: Callable, s: Dict,
+                      axis: str = "x"):
+    """Run ``loop_fn(local_grid, local_state) -> dict of (C_loc, ...)``
+    over the x-sharded column state ``s``; returns global (C, ...) dicts.
+
+    ``loop_fn`` is any flat-backend pass; it sees a local CellGrid of
+    ``ncx/n + 2`` x-rows whose first/last rows are the halo slabs.
+    Periodicity across the global x boundary is inherited from the
+    ppermute ring; interior pair results are exact because every
+    27-stencil (here 9-column) neighbour of an interior column is
+    present in the extended domain.
+    """
+    import jax
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis]
+    ext_grid, ncx_loc = _extended_grid(grid, n)
+    ncy = grid.cdim[1]
+    C = grid.C
+
+    tile_keys = [k for k, v in s.items()
+                 if hasattr(v, "ndim") and v.ndim >= 2
+                 and v.shape[0] == C]
+    other = {k: s[k] for k in s if k not in tile_keys}
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    def body(*tiles):
+        local = dict(zip(tile_keys, tiles))
+        ext = {}
+        for k, a in local.items():
+            # my last slab -> right neighbour's left halo, and vice versa
+            left = jax.lax.ppermute(a[-ncy:], axis, fwd)
+            right = jax.lax.ppermute(a[:ncy], axis, bwd)
+            ext[k] = jnp.concatenate([left, a, right], axis=0)
+        out = loop_fn(ext_grid, {**ext, **other})
+        return tuple(out[k][ncy:-ncy] for k in sorted(out))
+
+    # probe output keys once with abstract eval on the full state
+    probe = jax.eval_shape(lambda st: loop_fn(grid, st), s)
+    out_keys = sorted(probe)
+
+    shard = NamedSharding(mesh, P(axis))
+    f = shard_map(body, mesh=mesh,
+                  in_specs=(P(axis),) * len(tile_keys),
+                  out_specs=(P(axis),) * len(out_keys),
+                  check_rep=False)
+    args = [jax.device_put(s[k], shard) for k in tile_keys]
+    res = f(*args)
+    return dict(zip(out_keys, res))

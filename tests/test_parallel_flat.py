@@ -1,0 +1,84 @@
+"""Sharded flat (column/z-sorted Pallas) loops: 4-device virtual CPU
+mesh vs single device.  The halo is one ppermute of boundary column
+slabs per x-neighbour (proxy.c analog); interior results must match the
+unsharded kernel to float tolerance."""
+
+import numpy as np
+import pytest
+
+from swift_subtask_dev_tpu.engine import Engine, EngineConfig
+from swift_subtask_dev_tpu.grid import CellGrid
+from swift_subtask_dev_tpu.ics import uniform_box_ic
+from swift_subtask_dev_tpu.models.sph.sphenix import (CosmoFactors,
+                                                      SPHENIXParams)
+from swift_subtask_dev_tpu.ops import hydro_pallas
+from swift_subtask_dev_tpu.parallel import make_mesh
+from swift_subtask_dev_tpu.parallel.flat import sharded_flat_loop
+
+N_DEV = 4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    if len(jax.devices()) < N_DEV:
+        pytest.skip(f"needs {N_DEV} devices "
+                    "(xla_force_host_platform_device_count)")
+    ic = uniform_box_ic(n=16, jitter=0.2, seed=9)
+    P = SPHENIXParams(h_max=float(ic["h"].max() * 3))
+    grid = CellGrid(box=ic["box"], cdim=(N_DEV, N_DEV, 1), K=640)
+    grid.validate_range(float(ic["h"].max() * P.kernel.gamma * 1.05))
+    eng = Engine(grid, P, EngineConfig(dt_max=2e-4, backend="flat"),
+                 0.0, 1.0)
+    eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
+    eng.init_particles()
+    return P, grid, dict(eng.state)
+
+
+def _cmp(a, b, tol=1e-5):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.max(np.abs(a)) + 1e-30
+    np.testing.assert_allclose(b, a, atol=tol * scale, rtol=0)
+
+
+def test_sharded_flat_density_matches(setup):
+    P, grid, s = setup
+    mesh = make_mesh(N_DEV)
+    ref = hydro_pallas.density_loop(grid, s, P, engine="flat")
+    out = sharded_flat_loop(
+        grid, mesh,
+        lambda g, st: hydro_pallas.density_loop(g, st, P, engine="flat"),
+        s)
+    assert set(out) == set(ref)
+    for k in ref:
+        _cmp(ref[k], out[k])
+
+
+def test_sharded_flat_force_matches(setup):
+    P, grid, s = setup
+    mesh = make_mesh(N_DEV)
+    cosmo = CosmoFactors.no_cosmo()
+    ref = hydro_pallas.force_loop(grid, s, P, cosmo, engine="flat")
+    out = sharded_flat_loop(
+        grid, mesh,
+        lambda g, st: hydro_pallas.force_loop(g, st, P, cosmo,
+                                              engine="flat"),
+        s)
+    for k in ("a_hydro", "u_dt", "h_dt", "v_sig"):
+        _cmp(ref[k], out[k])
+
+
+def test_sharded_flat_p2p_gravity_matches(setup):
+    P, grid, s = setup
+    mesh = make_mesh(N_DEV)
+    r_cut = 0.2
+
+    def loop(g, st):
+        acc, pot = hydro_pallas.p2p_gravity_loop(g, st, [st], 1.0, 0.05,
+                                                 0.0, r_cut)
+        return {"acc": acc, "pot": pot}
+
+    ref = loop(grid, s)
+    out = sharded_flat_loop(grid, mesh, loop, s)
+    for k in ref:
+        _cmp(ref[k], out[k])

@@ -97,7 +97,7 @@ def sharded_flat_loop(grid, mesh, loop_fn: Callable, s: Dict,
     f = shard_map(body, mesh=mesh,
                   in_specs=(P(axis),) * len(tile_keys),
                   out_specs=(P(axis),) * len(out_keys),
-                  check_rep=False)
+                  check_vma=False)
     args = [jax.device_put(s[k], shard) for k in tile_keys]
     res = f(*args)
     return dict(zip(out_keys, res))

@@ -737,7 +737,12 @@ def main(argv=None) -> int:
             radius_max=params.opt_float("Lightcone0", "radius_max", 1e30),
             radius_min=params.opt_float("Lightcone0", "radius_min", 0.0),
             basename=params.opt_string("Lightcone0", "basename",
-                                       "lightcone"))
+                                       "lightcone"),
+            nside=params.opt_int("Lightcone0", "nside", 0),
+            shell_edges=tuple(params.opt_array(
+                "Lightcone0", "shell_radii", [])),
+            map_types=tuple(params.opt_string(
+                "Lightcone0", "map_names", "TotalMass").split(",")))
         lightcone = LightconeWriter(lp, cosmology, eng.grid)
 
     cosmological = cosmology is not None

@@ -51,6 +51,11 @@ class LightconeParams:
     basename: str = "lightcone"
     use_replications: bool = True  # periodic-image crossings
     # (lightcone_replications.c replication_list_init)
+    # --- HEALPix shell maps (lightcone_map.c; nside=0 disables) -------
+    nside: int = 0
+    shell_edges: tuple = ()        # ascending comoving radii; empty ->
+    # one shell [radius_min, min(radius_max, r_lc(0))]
+    map_types: tuple = ("TotalMass",)
 
 
 def comoving_distance(cosmology, ti: int) -> float:
@@ -122,6 +127,14 @@ class LightconeWriter:
                 grid.box, params.observer_position, r_cap)
         else:
             self.replications = [(np.zeros(3), 0.0, np.inf)]
+        # HEALPix shell maps (lightcone_map.c) — crossings accumulate
+        # into (shell, pixel) mass maps alongside the particle buffer
+        self.shell_maps = None
+        if params.nside > 0:
+            from ..ops.healpix import ShellMaps
+            edges = params.shell_edges or (params.radius_min, r_cap)
+            self.shell_maps = ShellMaps(params.nside, edges,
+                                        params.map_types)
 
     def radius_at(self, ti: int) -> float:
         return comoving_distance(self.cosmology, ti)
@@ -167,6 +180,11 @@ class LightconeWriter:
                 np.asarray(state["pid"]).reshape(-1)[idx])
             self.buf["ScaleFactorCrossing"].append(
                 np.full(n, a_cross, np.float32))
+            if self.shell_maps is not None:
+                rel = pos - np.asarray(self.p.observer_position)
+                r = np.linalg.norm(rel, axis=1)
+                self.shell_maps.accumulate(
+                    rel, r, {"TotalMass": self.buf["Masses"][-1]})
             n_all += n
         self.n_total += n_all
         return n_all
@@ -185,4 +203,6 @@ class LightconeWriter:
                                      data=np.concatenate(self.buf[name]))
                 else:
                     g.create_dataset(name, shape=(0,), dtype=np.float32)
+            if self.shell_maps is not None:
+                self.shell_maps.write(f.create_group("ShellMaps"))
         return path

@@ -85,3 +85,46 @@ def test_lightcone_crossings(tmp_path):
                        * tl.MAX_NR_TIMESTEPS))
         chi_k = comoving_distance(cosmo, ti)
         assert abs(chi_k - r_k) < 0.02, (r_k, chi_k)
+
+
+def test_lightcone_shell_maps(tmp_path):
+    """Crossings accumulate into the HEALPix shell maps with the map
+    mass equal to the recorded particle mass (lightcone_map.c)."""
+    const = dataclasses.replace(COSMO_UNITS.constants(),
+                                const_speed_light_c=30.0)
+    cosmo = Cosmology(Omega_cdm=1.0, Omega_b=0.0, Omega_lambda=0.0,
+                      h=0.7, a_begin=0.25, a_end=1.0, phys_const=const)
+    obs = (0.5, 0.5, 0.5)
+    rng = np.random.default_rng(4)
+    n = 64
+    pos = np.mod(np.asarray(obs) + rng.uniform(-0.3, 0.3, (n, 3)), 1.0)
+    m = np.full(n, 2.0, np.float32)
+
+    grid = CellGrid(box=(1.0, 1.0, 1.0), cdim=(4, 4, 4), K=16)
+    H0 = float(cosmo.H(1.0))
+    t_span = 2.0 / (3.0 * H0) * (1.0 - 0.25 ** 1.5)
+    eng = DMEngine(grid, EngineConfig(dt_max=float(t_span / 64)),
+                   0.0, 0.0,
+                   gravity_fn=lambda s: (0.0 * s["a_grav"], None),
+                   eps_soft=1e-3, cosmology=cosmo)
+    eng.load_dm(pos, m, np.zeros((n, 3), np.float32))
+    eng.init_particles()
+
+    chi0 = comoving_distance(cosmo, 0)
+    lc = LightconeWriter(
+        LightconeParams(observer_position=obs, nside=2,
+                        shell_edges=(0.0, chi0 / 2, 1.5 * chi0)),
+        cosmo, grid)
+    steps = 0
+    while eng.timeline.ti_current < tl.MAX_NR_TIMESTEPS and steps < 200:
+        ti_old = eng.timeline.ti_current
+        eng.step()
+        lc.after_step(eng.state, ti_old, eng.timeline.ti_current)
+        steps += 1
+    path = lc.flush(str(tmp_path / "lc_maps.hdf5"))
+    with h5py.File(path) as f:
+        masses = np.asarray(f["PartTypeAll/Masses"])
+        maps = np.asarray(f["ShellMaps/TotalMass"])
+        assert int(f["ShellMaps"].attrs["Nside"]) == 2
+    assert len(masses) > 0
+    np.testing.assert_allclose(maps.sum(), masses.sum(), rtol=1e-6)

@@ -218,8 +218,14 @@ def build_subgrid(params, units, args, cosmology, sph):
     if getattr(args, "sinks", False):
         from .subgrid.sinks import GEARSinks
         sink_model = GEARSinks.from_params(params, units, phys_const)
+
+    enrichment = None
+    if args.feedback and params.opt_int("EAGLEFeedback",
+                                        "with_enrichment", 1):
+        from .subgrid.enrichment import EagleEnrichment
+        enrichment = EagleEnrichment.from_params(params, units)
     return (cooling_fn, star_formation, floor, feedback, bh_model,
-            sink_model)
+            sink_model, enrichment)
 
 
 def main(argv=None) -> int:
@@ -403,7 +409,8 @@ def main(argv=None) -> int:
                 print(f"scheme {scheme_name}: forcing --backend xla")
             args.backend = "xla"
         (cooling_fn, star_formation, floor, feedback, bh_model,
-         sink_model) = build_subgrid(params, units, args, cosmology, sph)
+         sink_model, enrichment) = build_subgrid(params, units, args,
+                                                 cosmology, sph)
 
         pos_g = np.asarray(gas["Coordinates"], np.float64)
         h0 = np.asarray(gas["SmoothingLengths"], np.float32)
@@ -480,7 +487,8 @@ def main(argv=None) -> int:
                           star_formation=star_formation,
                           entropy_floor=floor, feedback=feedback,
                           bh_model=bh_model, nu_model=nu_model,
-                          sink_model=sink_model, **mesh_kw)
+                          sink_model=sink_model, enrichment=enrichment,
+                          **mesh_kw)
         eng.solver_builder = lambda g: GravitySolver(gp, g)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name in ("gadget2", "pressure-entropy"):

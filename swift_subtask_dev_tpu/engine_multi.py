@@ -81,6 +81,14 @@ def _convert_gas_to_stars(grid: CellGrid, gas: Dict, stars: Dict,
              "birth_density": scat(stars["birth_density"], gas["rho"]),
              "fb_done": scat(stars["fb_done"], jnp.zeros_like(gas["m"])),
              }
+    if "m_init" in stars:
+        stars = {**stars, "m_init": scat(stars["m_init"], gas["m"])}
+    if "Z" in stars and "Z" in gas:
+        stars = {**stars, "Z": scat(stars["Z"], gas["Z"])}
+    if "elem_frac" in stars and "elem_frac" in gas:
+        stars = {**stars,
+                 "elem_frac": scat(stars["elem_frac"],
+                                   gas["elem_frac"])}
     # newborn stars carry the gas's drift since its last rebucket
     stars = {**stars, "drift_accum": jnp.maximum(stars["drift_accum"],
                                                  gas["drift_accum"])}
@@ -141,7 +149,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                gravity_fn: Optional[Callable], eps_soft: float,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
                cooling_fn: Optional[Callable] = None,
-               sf=None, feedback=None, bh_model=None, sink_model=None):
+               sf=None, feedback=None, bh_model=None, sink_model=None,
+               enrichment=None):
     """One engine step over {'gas', 'dm', 'stars', 'bh', 'sinks'} species.
 
     ``sf`` is an optional (EagleStarFormation, EagleEntropyFloor|None)
@@ -416,6 +425,55 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         stars = {**stars, "fb_done": jnp.where(
             fire, 1.0, stars["fb_done"])}
 
+    # --- stellar enrichment: AGB+SNII mass return, SNIa metals ---------------
+    # (feedback/EAGLE/enrichment.h evolve_* integrated over the stars
+    # dying this step; ejecta distributed kernel-weighted to gas)
+    m_enriched = jnp.float32(0.0)
+    if enrichment is not None and stars is not None and gas is not None \
+            and "Z" in gas and "elem_frac" in gas:
+        from .ops import stencil as _st
+        mask_s, tb_s, act_s = stars_act
+        dt_s = T.dt_alpha[tb_s]
+        age2 = T.birth_time - stars["birth_time"]
+        age1 = jnp.maximum(age2 - dt_s, 0.0)
+        live = act_s & (stars["birth_time"] > 0) & (age2 > 0)
+        m_init = stars.get("m_init", stars["m"])
+        Z_s = stars.get("Z", jnp.zeros_like(stars["m"]))
+        ef_s = stars.get("elem_frac",
+                         jnp.zeros(stars["m"].shape + (9,), F32))
+        dm_ej, dmZ_ej, delem_ej = enrichment.ejecta(
+            m_init, Z_s, ef_s, age1, age2)
+        # never eject more than the star has (evolve_* cap), nor without
+        # gas neighbours to receive it (conservation)
+        norm = _st.star_kernel_weight_loop(grid, stars, gas, p,
+                                           use_scan=cfg.stencil_scan)
+        can = live & (norm > 0)
+        cap = jnp.minimum(dm_ej, 0.9 * stars["m"])
+        scale = jnp.where(dm_ej > 0, cap / jnp.maximum(dm_ej, 1e-30),
+                          0.0)
+        dm_ej = jnp.where(can, cap, 0.0)
+        dmZ_ej = jnp.where(can, dmZ_ej * scale, 0.0)
+        delem_ej = jnp.where(can[..., None], delem_ej
+                             * scale[..., None], 0.0)
+        stars_ej = {**stars, "ej_m": dm_ej, "ej_mZ": dmZ_ej,
+                    "ej_elem": delem_ej, "ej_norm": norm}
+        rec = _st.enrichment_apply_loop(grid, gas, stars_ej, p,
+                                        use_scan=cfg.stencil_scan)
+        m_old = gas["m"]
+        m_new = m_old + rec["dm"]
+        m_inv = 1.0 / jnp.maximum(m_new, 1e-30)
+        got = rec["dm"] > 0
+        v_new = (m_old[..., None] * gas["v_full"] + rec["dp"]) \
+            * m_inv[..., None]
+        gas = {**gas, "m": m_new,
+               "v_full": jnp.where(got[..., None], v_new,
+                                   gas["v_full"]),
+               "Z": (gas["Z"] * m_old + rec["dmZ"]) * m_inv,
+               "elem_frac": (gas["elem_frac"] * m_old[..., None]
+                             + rec["delem"]) * m_inv[..., None]}
+        stars = {**stars, "m": stars["m"] - dm_ej}
+        m_enriched = jnp.sum(rec["dm"])
+
     # --- per-species KDK ------------------------------------------------------
     bin_counts = jnp.zeros(NBINS + 1, jnp.int32)
     if gas is not None:
@@ -545,6 +603,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_swallowed": n_swallowed,
         "n_agn": n_agn,
         "n_sink_formed": n_sink_formed,
+        "m_enriched": m_enriched,
         "n_sink_gas_swallows": n_sink_gas_sw,
         "n_sink_mergers": n_sink_merged,
     }
@@ -682,7 +741,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 
 _JIT_MULTI_STEP = jax.jit(multi_step,
                           static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11,
-                                          12))
+                                          12, 13))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
 _SPECIES_ORDER = ("gas", "dm", "stars", "bh", "sinks", "nu")
@@ -748,7 +807,7 @@ class MultiEngine(Engine):
                  star_formation=None, entropy_floor=None,
                  feedback=None, mesh_fn: Optional[Callable] = None,
                  mesh_dt_scale: float = 0.0, bh_model=None,
-                 nu_model=None, sink_model=None):
+                 nu_model=None, sink_model=None, enrichment=None):
         if cfg.backend == "gather" or (
                 cfg.backend == "flat"
                 and (star_formation is not None or feedback is not None
@@ -769,6 +828,7 @@ class MultiEngine(Engine):
         self.feedback = feedback
         self.bh_model = bh_model
         self.sink_model = sink_model
+        self.enrichment = enrichment
         self.nu_model = nu_model
         if nu_model is not None and mesh_fn is None:
             raise ValueError(
@@ -800,6 +860,8 @@ class MultiEngine(Engine):
             "a_grav_mesh": jnp.zeros((C, K_s, 3), F32), "pot_mesh": z(),
             "time_bin": jnp.zeros((C, K_s), I32),
             "birth_time": z(), "birth_density": z(), "fb_done": z(),
+            "m_init": z(), "Z": z(),
+            "elem_frac": jnp.zeros((C, K_s, 9), F32),
             "drift_accum": jnp.float32(0.0),
         }
 
@@ -841,6 +903,9 @@ class MultiEngine(Engine):
             "time_bin": jnp.zeros((C, K_s), I32),
             "birth_time": z * 1.0, "birth_density": z * 1.0,
             "fb_done": z * 1.0,
+            "m_init": pad(out["m"]), "Z": z * 1.0,
+            "elem_frac": jnp.zeros((C, K_s, 9), F32)
+            .at[..., 0].set(0.752).at[..., 1].set(0.248),
             "drift_accum": jnp.float32(0.0),
         }
         self.n_particles = getattr(self, "n_particles", 0) + n
@@ -1059,7 +1124,8 @@ class MultiEngine(Engine):
         self.state, diag = _JIT_MULTI_STEP(
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
             self.cosmo, self.state, T, self.cooling_fn, self.sf,
-            self.feedback, self.bh_model, self.sink_model)
+            self.feedback, self.bh_model, self.sink_model,
+            self.enrichment)
         self._post_step(diag)
         self.step_count += 1
         if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:

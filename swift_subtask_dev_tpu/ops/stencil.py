@@ -496,3 +496,99 @@ def feedback_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
     du, nev = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
     return (_flat_view(grid, du) * gas_s["mask"],
             _flat_view(grid, nev).astype(jnp.int32))
+
+
+def star_kernel_weight_loop(grid: CellGrid, star_s: Dict, gas_s: Dict,
+                            p: SPHENIXParams, use_scan: bool = False):
+    """Per-star Sigma m_j W(r_ij, h_star) over gas neighbours — the
+    enrichment normalisation (feedback_iact.h nonsym density:
+    si->feedback_data.enrichment_weight_inv denominator).  Returns
+    (C, K_star) f32 (unnormalised by h^-3: shares are ratios, so the
+    common factor cancels)."""
+    gm = lambda n: _grid_view(grid, star_s[n])
+    smask, soff = gm("mask"), gm("off")
+    h = _sanitize(smask, gm("h"))
+    hinv_i = _bi(1.0 / h)
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    acc0 = jnp.zeros(smask.shape, F32)
+    j_fields = {"off": _grid_view(grid, gas_s["off"]),
+                "m": _grid_view(grid, gas_s["m"]),
+                "mask": _grid_view(grid, gas_s["mask"])}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(soff, jf["off"], shift)
+        u2 = r2 * hinv_i ** 2
+        ok = (_bj(jf["mask"]) > 0) & (u2 < gamma2)
+        w_kern, _ = p.kernel.deval(jnp.sqrt(u2))
+        return acc + jnp.sum(
+            jnp.where(ok, _bj(jf["m"]) * w_kern, 0.0), axis=-1)
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    return _flat_view(grid, acc) * star_s["mask"]
+
+
+def enrichment_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
+                          p: SPHENIXParams, use_scan: bool = False):
+    """Distribute stellar ejecta kernel-weighted over gas neighbours
+    (feedback_iact.h runner_iact_nonsym_feedback_apply mass/metal
+    transfer): gas i receives share = m_i W(r, h_s) / norm_s of every
+    neighbour star's per-step ejecta.
+
+    star_s needs: mask/off/h, ej_m (ejected mass this step), ej_mZ
+    (metal mass), ej_elem (…, 9) element masses, v_full, and ej_norm
+    (from star_kernel_weight_loop; <=0 suppresses the star).
+    Returns dict of per-gas receives: dm, dmZ, delem (C,K,9), dp (C,K,3).
+    """
+    from ..subgrid.chemistry import N_ELEMENTS
+
+    gm = lambda n: _grid_view(grid, gas_s[n])
+    gmask, goff = gm("mask"), gm("off")
+    gmass = gm("m")
+
+    sv = lambda n: _grid_view(grid, star_s[n])
+    norm_inv_full = jnp.where(star_s["ej_norm"] > 0,
+                              1.0 / jnp.maximum(star_s["ej_norm"], 1e-30),
+                              0.0)
+    j_fields = {"off": sv("off"),
+                "h": _sanitize(sv("mask"), sv("h")),
+                "mask": sv("mask"),
+                "ej_m": _grid_view(grid, star_s["ej_m"]),
+                "ej_mZ": _grid_view(grid, star_s["ej_mZ"]),
+                "ej_elem": _grid_view(grid, star_s["ej_elem"]),
+                "v": _grid_view(grid, star_s["v_full"]),
+                "ninv": _grid_view(grid, norm_inv_full)}
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    keys = (["dm", "dmZ"] + [f"de{k}" for k in range(N_ELEMENTS)]
+            + ["dp0", "dp1", "dp2"])
+    acc0 = {k: jnp.zeros(gmask.shape, F32) for k in keys}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(goff, jf["off"], shift)
+        hinv_j = 1.0 / _bj(jf["h"])
+        u2 = r2 * hinv_j * hinv_j
+        ok = ((_bi(gmask) > 0) & (_bj(jf["mask"]) > 0) & (u2 < gamma2)
+              & (_bj(jf["ej_m"]) > 0))
+        w_kern, _ = p.kernel.deval(jnp.sqrt(u2))
+        share = jnp.where(ok, _bi(gmass) * w_kern * _bj(jf["ninv"]), 0.0)
+        out = dict(acc)
+        dm_r = share * _bj(jf["ej_m"])
+        out["dm"] = acc["dm"] + jnp.sum(dm_r, axis=-1)
+        out["dmZ"] = acc["dmZ"] + jnp.sum(share * _bj(jf["ej_mZ"]), -1)
+        for k in range(N_ELEMENTS):
+            out[f"de{k}"] = acc[f"de{k}"] + jnp.sum(
+                share * _bj(jf["ej_elem"][..., k]), axis=-1)
+        for k in range(3):
+            out[f"dp{k}"] = acc[f"dp{k}"] + jnp.sum(
+                dm_r * _bj(jf["v"][..., k]), axis=-1)
+        return out
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    flat = {k: _flat_view(grid, v) * gas_s["mask"] for k, v in
+            acc.items()}
+    return {"dm": flat["dm"], "dmZ": flat["dmZ"],
+            "delem": jnp.stack([flat[f"de{k}"]
+                                for k in range(N_ELEMENTS)], -1),
+            "dp": jnp.stack([flat["dp0"], flat["dp1"], flat["dp2"]],
+                            -1)}

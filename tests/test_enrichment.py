@@ -1,0 +1,106 @@
+"""EAGLE stellar enrichment (feedback/EAGLE/enrichment.h analog):
+IMF-integrated AGB+SNII mass return and SNIa metals, distributed
+kernel-weighted to gas with exact mass/momentum bookkeeping."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from swift_subtask_dev_tpu.engine import EngineConfig
+from swift_subtask_dev_tpu.engine_multi import MultiEngine
+from swift_subtask_dev_tpu.grid import CellGrid
+from swift_subtask_dev_tpu.ics import uniform_box_ic
+from swift_subtask_dev_tpu.models.sph.sphenix import SPHENIXParams
+from swift_subtask_dev_tpu.subgrid.enrichment import (EagleEnrichment,
+                                                      chabrier_imf)
+
+
+def test_imf_normalisation_and_return_fraction():
+    en = EagleEnrichment()
+    lg = np.asarray(en.log_m_grid)
+    m = 10.0 ** lg
+    # cumulative ejecta per Msun formed: positive, below ~0.6
+    ej_tot = en.cum_ej[-1]
+    assert 0.2 < ej_tot < 0.6, ej_tot
+    # SNII metal yield below total ejecta
+    assert 0.0 < en.cum_Z_snii[-1] < ej_tot
+    # dN/dlog m turns over near 0.08 Msun (Chabrier lognormal peak)
+    assert (chabrier_imf(0.01) * 0.01
+            < chabrier_imf(0.08) * 0.08), "no lognormal turnover"
+    assert (chabrier_imf(3.0) * 3.0
+            < chabrier_imf(0.3) * 0.3), "high-mass slope not falling"
+
+
+def test_dying_mass_inversion():
+    en = EagleEnrichment()
+    for m in (1.0, 8.0, 40.0):
+        t = 10.0 * m ** -2.5
+        np.testing.assert_allclose(float(en.dying_mass(t)), m, rtol=1e-5)
+    # young stars: nothing has died yet
+    assert float(en.dying_mass(1e-6)) == 100.0
+
+
+def test_ejecta_windows():
+    en = EagleEnrichment()
+    ef = jnp.zeros(9).at[0].set(0.75).at[1].set(0.25)
+    # age window covering the whole SNII range (lifetimes of 8..100)
+    t8 = 10.0 * 8.0 ** -2.5
+    dm, dmZ, de = en.ejecta(jnp.float32(1.0), jnp.float32(0.0), ef,
+                            jnp.float32(1e-6), jnp.float32(t8))
+    assert float(dm) > 0.05          # SNII ejecta
+    assert float(dmZ) > 0.005        # new metals
+    # element masses sum to the ejected mass
+    np.testing.assert_allclose(float(de.sum()), float(dm), rtol=0.05)
+    # oxygen dominates the SNII metal yield
+    assert float(de[4]) > float(de[8])
+    # a window before any star dies ejects nothing
+    dm0, _, _ = en.ejecta(jnp.float32(1.0), jnp.float32(0.0), ef,
+                          jnp.float32(1e-8), jnp.float32(5e-7))
+    assert float(dm0) == 0.0
+
+
+def test_engine_enrichment_conserves_and_enriches():
+    ic = uniform_box_ic(n=6, jitter=0.08, seed=13)
+    n = len(ic["pos"])
+    p = SPHENIXParams(h_max=0.18)
+    grid = CellGrid(box=(1.0, 1.0, 1.0), cdim=(3, 3, 3), K=64)
+    en = EagleEnrichment()   # internal units: Msun=1, Gyr=1
+    eng = MultiEngine(grid, p, EngineConfig(dt_max=5e-4), 0.0, 1.0,
+                      enrichment=en)
+    Z0 = np.zeros(n, np.float32)
+    ef0 = np.tile(np.array([0.752, 0.248] + [0.0] * 7, np.float32),
+                  (n, 1))
+    eng.load_gas(ic["pos"], ic["m"], ic["v"], ic["u"],
+                 np.minimum(ic["h"], 0.18), Z=Z0, elem_frac=ef0)
+    eng.load_stars(np.array([[0.5, 0.5, 0.5]]), np.array([0.05]),
+                   np.zeros((1, 3)), h=np.array([0.15]))
+    # make the star eligible: born just after t=0 (loaded stars carry
+    # birth_time=0 and never enrich, matching the feedback gate)
+    st = eng.state["stars"]
+    eng.state["stars"] = {**st, "birth_time": jnp.where(
+        st["mask"] > 0, 1e-9, st["birth_time"])}
+    eng.init_particles()
+    m_gas0 = float(np.sum(ic["m"]))
+    m_star0 = 0.05
+
+    enriched = 0.0
+    for _ in range(8):
+        diag = eng.step()
+        enriched += float(diag["m_enriched"])
+    assert enriched > 0, "no enrichment despite an ageing star"
+
+    gas, stars = eng.state["gas"], eng.state["stars"]
+    gmask = np.asarray(gas["mask"]) > 0
+    smask = np.asarray(stars["mask"]) > 0
+    m_gas1 = np.asarray(gas["m"])[gmask].sum()
+    m_star1 = np.asarray(stars["m"])[smask].sum()
+    # total conserved; mass moved star -> gas
+    np.testing.assert_allclose(m_gas1 + m_star1, m_gas0 + m_star0,
+                               rtol=1e-5)
+    assert m_star1 < m_star0
+    np.testing.assert_allclose(m_gas1 - m_gas0, enriched, rtol=1e-4)
+    # gas metallicity rose where ejecta landed; element fractions stay
+    # normalised
+    Z1 = np.asarray(gas["Z"])[gmask]
+    assert Z1.max() > 0
+    ef1 = np.asarray(gas["elem_frac"])[gmask]
+    np.testing.assert_allclose(ef1.sum(axis=1), 1.0, atol=5e-3)

@@ -9,10 +9,10 @@ for 376^3 particles on 256 cores = 6.9e4 particle-steps/s/core, i.e.
 4.4e6 per 64-core node.  vs_baseline is ours / one 64-core node.
 
 Scope (round 3+): full SPHENIX hydro (density+ghost+gradient+force, KDK)
-PLUS self-gravity — flat-column Pallas P2P short range + PM mesh long
-range, recomputed EVERY step (the reference amortises the mesh over its
-own longer timestep, so this is, if anything, pessimistic) — the honest
-apples comparison to SWIFT's all-active SPH+self-gravity step.
+PLUS self-gravity — flat-column Pallas P2P short range every step, and
+the PM mesh on its own split timestep (Engine._mesh_boundary), exactly
+how the production CLI runs it and how the reference amortises its mesh
+(engine.c:2406 separate ti_mesh interval).
 """
 
 import json
@@ -55,7 +55,9 @@ def main():
                               with_self_gravity=True, eps_soft=gp.eps,
                               eta_grav=gp.eta,
                               p2p_reach=solver.pm.r_cut),
-                 0.0, 1.0, gravity_fn=solver.gas_gravity_fn())
+                 0.0, 1.0, gravity_fn=solver.gas_short_range_fn(),
+                 mesh_fn=solver.gas_mesh_fn(),
+                 mesh_dt_scale=solver.pm.r_s)
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 

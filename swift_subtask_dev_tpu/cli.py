@@ -346,6 +346,9 @@ def main(argv=None) -> int:
         max_run_time_hours=params.opt_float("Restarts", "max_run_time", 0.0)
         or None,
         restart_dir=params.opt_string("Restarts", "subdir", "restart"))
+    resubmit_on = params.opt_int("Restarts", "resubmit_on_exit", 0)
+    resubmit_cmd = params.opt_string("Restarts", "resubmit_command",
+                                     "./resub.sh")
 
     if dmo:
         # ---------------- gravity-only (EAGLE_DMO-style) run ------------------
@@ -852,6 +855,13 @@ def main(argv=None) -> int:
                 stopped = True
 
     write_snap(snap_i)
+    # queue-chained jobs: resubmit after a clean max_run_time stop
+    # (Restarts:resubmit_on_exit + resubmit_command; swift.c:1873)
+    if (stopped and resubmit_on
+            and getattr(policy, "stop_reason", "") == "maxtime"):
+        rc = policy.resubmit(resubmit_cmd)
+        print(f"resubmitted via '{resubmit_cmd}' (rc={rc})",
+              file=sys.stderr)
     if lightcone is not None:
         lightcone.flush()
     if csds is not None:

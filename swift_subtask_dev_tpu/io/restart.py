@@ -92,10 +92,21 @@ class RestartPolicy:
 
     def should_stop(self) -> bool:
         if stop_file_present(self.restart_dir):
+            self.stop_reason = "stopfile"
             return True
-        if self.max_run_s is not None:
-            return wallclock.time() - self.t_start >= self.max_run_s
+        if self.max_run_s is not None and \
+                wallclock.time() - self.t_start >= self.max_run_s:
+            self.stop_reason = "maxtime"
+            return True
         return False
+
+    def resubmit(self, command: str) -> int:
+        """Re-queue the job after a max_run_time stop — the analog of
+        restart_resubmit (restart.c; swift.c:1873 runs it only when the
+        stop came from the run-time limit, not the stop file).  Returns
+        the command's exit code."""
+        import subprocess
+        return subprocess.call(command, shell=True)
 
 
 def load_checkpoint(path: str) -> Tuple[Dict, Dict]:

@@ -46,3 +46,21 @@ def test_restart_bitwise(tmp_path):
     np.testing.assert_array_equal(rho_a, rho_b)
     np.testing.assert_array_equal(v_a, v_b)
     assert eng.timeline.ti_current == eng2.timeline.ti_current
+
+
+def test_resubmit_hook(tmp_path):
+    """Restarts:resubmit_on_exit analog: the policy resubmits only after
+    a max_run_time stop (restart_resubmit, swift.c:1873)."""
+    from swift_subtask_dev_tpu.io import restart as rst
+    pol = rst.RestartPolicy(delta_hours=100.0, max_run_time_hours=1e-9,
+                            restart_dir=str(tmp_path))
+    assert pol.should_stop()
+    assert pol.stop_reason == "maxtime"
+    marker = tmp_path / "resubmitted"
+    rc = pol.resubmit(f"touch {marker}")
+    assert rc == 0 and marker.exists()
+    # stop-file stops carry a different reason
+    pol2 = rst.RestartPolicy(delta_hours=100.0,
+                             restart_dir=str(tmp_path))
+    (tmp_path / "stop").write_text("")
+    assert pol2.should_stop() and pol2.stop_reason == "stopfile"

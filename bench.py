@@ -16,11 +16,25 @@ how the production CLI runs it and how the reference amortises its mesh
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
+
+# Sweep knobs (env vars so the driver's invocation stays unchanged):
+#   BENCH_N1        half-cube side; particles = 2*n1^3      (default 36)
+#   BENCH_MESH_N    PM mesh size; larger -> smaller r_cut -> narrower
+#                   columns (NOTES_ROUND4 candidate-slot algebra)
+#   BENCH_JB        flat-engine j-block rows (pallas_flat.JB)
+#   BENCH_PER_LAUNCH  steps fused per device launch
+#   BENCH_SLACK     hydro reach slack factor (column width driver)
+_N1 = int(os.environ.get("BENCH_N1", "36"))
+_MESH_N = int(os.environ.get("BENCH_MESH_N", "64"))
+_JB = int(os.environ.get("BENCH_JB", "0"))
+_PER_LAUNCH = int(os.environ.get("BENCH_PER_LAUNCH", "16"))
+_SLACK = float(os.environ.get("BENCH_SLACK", "1.25"))
 
 
 def main():
@@ -34,16 +48,20 @@ def main():
     from swift_subtask_dev_tpu.models.sph.sphenix import SPHENIXParams
     from swift_subtask_dev_tpu.ics import uniform_box_ic
 
+    if _JB:
+        from swift_subtask_dev_tpu.ops import pallas_flat
+        pallas_flat.JB = _JB
+
     # Uniform jittered box — all particles active every step.
-    n1 = 36                      # 2*n1^3 = 93k particles
+    n1 = _N1                     # 2*n1^3 = 93k particles at 36
     ic = uniform_box_ic(n=n1, jitter=0.2, seed=3)
     n_parts = len(ic["pos"])
 
     P = SPHENIXParams(h_max=float(ic["h"].max() * 3))
     # gravity: P3M split with the columns covering r_cut
-    gp = GravityParams(G=1.0, eps=0.5 / n1, mesh_N=64)
+    gp = GravityParams(G=1.0, eps=0.5 / n1, mesh_N=_MESH_N)
     r_cut = gp.r_cut_ratio * gp.a_smooth * 1.0 / gp.mesh_N
-    hydro_reach = float(ic["h"].max() * P.kernel.gamma * 1.25)
+    hydro_reach = float(ic["h"].max() * P.kernel.gamma * _SLACK)
     # column/z-sorted layout for the flat Pallas engine (the fast path)
     grid = CellGrid.build_columns(
         ic["box"], interaction_range=max(hydro_reach, r_cut * 1.0001),
@@ -62,11 +80,11 @@ def main():
     eng.init_particles()
 
     # warm-up (compile the batched step)
-    eng.run_fixed_dt(16, per_launch=16)
+    eng.run_fixed_dt(16, per_launch=_PER_LAUNCH)
 
     n_steps = 64
     t0 = time.time()
-    eng.run_fixed_dt(n_steps, per_launch=16)
+    eng.run_fixed_dt(n_steps, per_launch=_PER_LAUNCH)
     jax.block_until_ready(eng.state["rho"])
     elapsed = time.time() - t0
 

@@ -176,6 +176,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     h_max_active = jnp.float32(0.0)
     n_converted = jnp.int32(0)
     sfr_total = jnp.float32(0.0)
+    Z_smooth = None
 
     # --- drift + rebucket + SPH loops (gas) ---------------------------------
     if gas is not None:
@@ -199,6 +200,14 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         mask_b, tb, active = _species_active(s, T)
         s, n_ghost_iter = _gas_loops(grid, p, cfg, cosmo, s, active,
                                      T.dt_alpha)
+        # smoothed chemistry (chemistry/EAGLE/chemistry_iact.h): cooling
+        # and star formation consume the kernel-smoothed metallicity,
+        # not the raw particle carrier
+        if "Z" in s and "elem_frac" in s and (cooling_fn is not None
+                                              or sf is not None):
+            from .ops import stencil as _st
+            Z_smooth, _ = _st.chemistry_smooth_loop(
+                grid, s, p, use_scan=cfg.stencil_scan)
         gas = s
         gas_act = (mask_b, tb, active)
         n_active = n_active + jnp.sum(active)
@@ -479,7 +488,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     if gas is not None:
         mask_b, tb, active = gas_act
         if cooling_fn is not None:
-            upd = cooling_fn(gas, cosmo, T.dt_therm_full[tb])
+            gas_ch = gas if Z_smooth is None else {**gas, "Z": Z_smooth}
+            upd = cooling_fn(gas_ch, cosmo, T.dt_therm_full[tb])
             for k, v in upd.items():
                 gas = {**gas, k: jnp.where(active, v, gas[k])}
         gas, too_small, woken = _gas_kdk(grid, p, cfg, cosmo, gas, T,
@@ -503,8 +513,10 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         if sf is not None and stars is not None:
             sf_model, sf_floor = sf
             dt_star = T.dt_alpha[tb]
+            gas_ch = gas if Z_smooth is None else {**gas, "Z": Z_smooth}
             conv, sfr = sf_model.conversion_mask(
-                gas, cosmo, dt_star, T.ti_lo, T.ti_hi, sf_floor, active)
+                gas_ch, cosmo, dt_star, T.ti_lo, T.ti_hi, sf_floor,
+                active)
             gas, stars, n_c, n_lost = _convert_gas_to_stars(
                 grid, gas, stars, conv, T)
             n_converted = n_converted + n_c

@@ -218,7 +218,14 @@ def force_terms(p: SPHENIXParams, dx, r2, hinv_i, hinv_j, m_i, m_j,
     f_ij = 1.0 - f_i * minv_j
     f_ji = 1.0 - f_j * minv_i
 
-    rho_ij_inv = 1.0 / (rho_i + rho_j)
+    # one fused reciprocal for BOTH per-pair denominators (rho_i+rho_j
+    # and P_i+P_j): 1/(ab) * b = 1/a — trades a second divide for two
+    # multiplies (the ops/p2p_gravity.py force_pot_factors trick)
+    rho_sum = rho_i + rho_j
+    P_sum = P_i + P_j + 1e-30
+    inv_rhoP = 1.0 / (rho_sum * P_sum)
+    rho_ij_inv = inv_rhoP * P_sum
+    P_sum_inv = inv_rhoP * rho_sum
     alpha = alpha_i + alpha_j
     visc = -0.25 * alpha * v_sig * mu_ij * (balsara_i + balsara_j) \
         * rho_ij_inv
@@ -232,8 +239,7 @@ def force_terms(p: SPHENIXParams, dx, r2, hinv_i, hinv_j, m_i, m_j,
     sph_du_term_i = P_over_rho2_i * dvdr * r_inv * wi_dr
     visc_du_term = 0.5 * visc_acc_term * dvdr_Hubble
 
-    alpha_diff = (P_i * alpha_diff_i + P_j * alpha_diff_j) \
-        / (P_i + P_j + 1e-30)
+    alpha_diff = (P_i * alpha_diff_i + P_j * alpha_diff_j) * P_sum_inv
     v_diff = alpha_diff * 0.5 * (
         jnp.sqrt(2.0 * jnp.abs(P_i - P_j) * rho_ij_inv)
         + jnp.abs(cosmo.fac_mu * r_inv * dvdr_Hubble))

@@ -592,3 +592,60 @@ def enrichment_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
                                 for k in range(N_ELEMENTS)], -1),
             "dp": jnp.stack([flat["dp0"], flat["dp1"], flat["dp2"]],
                             -1)}
+
+
+def chemistry_smooth_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                          use_scan: bool = False):
+    """Kernel-smoothed metal mass fractions over gas neighbours
+    (chemistry/EAGLE/chemistry_iact.h runner_iact_nonsym_chemistry +
+    chemistry_end_density): for the total Z and each element k,
+
+        Z_sm_i = (sum_j m_j Z_j W(r_ij, h_i) + m_i Z_i W(0)) h_i^-3 / rho_i
+
+    — the kernel-weighted metal density over the SPH density.  The
+    reference accumulates these inside its density loop; here it is a
+    separate pass run after the ghost (h and rho are final), which
+    yields exactly the end-of-density result without threading ten more
+    channels through every backend's density loop.
+
+    Needs s: mask/off/m/h/rho/Z/elem_frac.  Returns
+    (Z_smooth (C, K), elem_frac_smooth (C, K, 9)).
+    """
+    from ..subgrid.chemistry import N_ELEMENTS
+
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off, m = g("mask"), g("off"), g("m")
+    h = _sanitize(mask, g("h"))
+    hinv_i = _bi(1.0 / h)
+    gamma2 = jnp.float32(p.kernel.gamma2)
+
+    keys = ("mZ",) + tuple(f"me{k}" for k in range(N_ELEMENTS))
+    acc0 = {k: jnp.zeros(mask.shape, F32) for k in keys}
+    j_fields = {"off": off, "m": m, "mask": mask, "Z": g("Z"),
+                "ef": g("elem_frac")}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
+        u2 = r2 * hinv_i * hinv_i
+        ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (u2 < gamma2)
+        w_kern, _ = p.kernel.deval(jnp.sqrt(u2))
+        mw = jnp.where(ok, _bj(jf["m"]) * w_kern, 0.0)
+        out = dict(acc)
+        out["mZ"] = acc["mZ"] + jnp.sum(mw * _bj(jf["Z"]), axis=-1)
+        for k in range(N_ELEMENTS):
+            out[f"me{k}"] = acc[f"me{k}"] + jnp.sum(
+                mw * _bj(jf["ef"][..., k]), axis=-1)
+        return out
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    flat = {k: _flat_view(grid, v) for k, v in acc.items()}
+
+    kroot = jnp.float32(p.kernel.root)
+    h_flat = jnp.where(s["mask"] > 0, s["h"], 1.0)
+    h_inv_dim = (1.0 / h_flat) ** 3
+    fac = h_inv_dim / jnp.maximum(s["rho"], 1e-30) * s["mask"]
+    Z_sm = (flat["mZ"] + s["m"] * s["Z"] * kroot) * fac
+    ef_sm = jnp.stack(
+        [(flat[f"me{k}"] + s["m"] * s["elem_frac"][..., k] * kroot) * fac
+         for k in range(N_ELEMENTS)], axis=-1)
+    return Z_sm, ef_sm

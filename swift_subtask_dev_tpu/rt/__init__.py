@@ -13,3 +13,5 @@ from .m1 import glf_flux, hyperbolic_flux, pressure_tensor  # noqa: F401
 from .gear import (RTParams, rt_init_state, rt_subcycles,  # noqa: F401
                    rt_transport_loop, rt_inject, rt_thermochemistry,
                    stromgren_radius)
+from .helium import (HeliumNetwork, he_init_state,  # noqa: F401
+                     he_thermochemistry)

@@ -46,11 +46,35 @@ F32 = jnp.float32
 # element order: H, He, C, N, O, Ne, Mg, Si, Fe (chemistry.py)
 _SNII_METALS = np.array([0.0, 0.0, 0.01, 0.005, 0.5,
                          0.15, 0.1, 0.15, 0.085])   # fractions of Z yield
-_AGB_METALS = np.array([0.0, 0.0, 0.7, 0.25, 0.05,
-                        0.0, 0.0, 0.0, 0.0])
+# AGB composition shifts with initial Z (Marigo 2001 tables: primary C at
+# low Z, secondary N at high Z) — lerped in log Z between these ends
+_AGB_METALS_LO_Z = np.array([0.0, 0.0, 0.85, 0.10, 0.05,
+                             0.0, 0.0, 0.0, 0.0])
+_AGB_METALS_HI_Z = np.array([0.0, 0.0, 0.40, 0.55, 0.05,
+                             0.0, 0.0, 0.0, 0.0])
+_AGB_METALS = _AGB_METALS_LO_Z  # backward-compat alias
 _SNIA_EJECTA = np.array([0.0, 0.0, 0.002, 1e-5, 0.14,
                          0.005, 0.01, 0.15, 0.74]) * 1.4 / 1.047
 # (normalised so one event ejects 1.4 Msun of metals)
+
+# Metallicity bins of the synthesized yield tables — the reference's
+# Portinari SNII / Marigo AGB table Z axes (yield_tables.h:
+# eagle_feedback_N_metallicities; enrichment.h determine_bin_yield
+# interpolates between bins in log Z).  Z-dependent forms:
+#   SNII metal yield fraction falls mildly with Z (mass loss removes the
+#   envelope before core collapse): y = 0.10 (1 - 6 Z).
+#   AGB metal yield rises with Z (secondary N production):
+#   y = 0.005 + 0.35 Z.
+_Z_BINS = np.array([0.0004, 0.004, 0.008, 0.019, 0.05])
+_N_ZBINS = len(_Z_BINS)
+
+
+def _snii_yield_frac(Z):
+    return 0.10 * (1.0 - 6.0 * Z)
+
+
+def _agb_yield_frac(Z):
+    return 0.005 + 0.35 * Z
 
 
 def chabrier_imf(m):
@@ -110,10 +134,15 @@ class EagleEnrichment:
         object.__setattr__(self, "cum_num", tuple(cum(dndlg)))
         object.__setattr__(self, "cum_ej", tuple(
             cum(ej * dndlg * (agb_w | snii_w))))
+        # metal yields on the (Z bin, mass) grid — tuple of per-Z-bin
+        # cumulative tables, interpolated in log Z at evaluation time
+        # (yield_tables.h Portinari/Marigo Z axes)
         object.__setattr__(self, "cum_Z_snii", tuple(
-            cum(0.10 * m * dndlg * snii_w)))
+            tuple(cum(_snii_yield_frac(Zb) * m * dndlg * snii_w))
+            for Zb in _Z_BINS))
         object.__setattr__(self, "cum_Z_agb", tuple(
-            cum(0.01 * m * dndlg * agb_w)))
+            tuple(cum(_agb_yield_frac(Zb) * m * dndlg * agb_w))
+            for Zb in _Z_BINS))
 
     @staticmethod
     def from_params(params, units) -> "EagleEnrichment":
@@ -132,9 +161,19 @@ class EagleEnrichment:
             SNII_max=params.opt_float(sec, "SNII_max_mass_Msun", 100.0))
 
     # --- device pieces ----------------------------------------------------
-    def dying_mass(self, age_Gyr):
-        """m(t): inverse of t(m) = 10 m^-2.5 Gyr (imf.h dying_mass)."""
+    def dying_mass(self, age_Gyr, Z=None):
+        """m(t): inverse of t(m, Z) = 10 m^-2.5 f_L(Z) Gyr.
+
+        The lifetime's metallicity factor f_L (Portinari tables: metal-
+        rich stars of the same mass live ~20% longer across the full Z
+        range) is normalised to 1 at the solar table bin, so the Z-free
+        call is the solar-metallicity inversion (imf.h dying_mass_msun
+        interpolates the lifetime table at the star's own Z)."""
         t = jnp.maximum(age_Gyr, 1e-6)
+        if Z is not None:
+            f_L = jnp.clip(1.0 + 0.04 * jnp.log(
+                jnp.maximum(Z, 1e-8) / 0.019), 0.75, 1.10)
+            t = t / f_L
         return jnp.clip((t / 10.0) ** (-1.0 / 2.5), 0.1, 100.0)
 
     def _interp(self, table, m):
@@ -144,6 +183,25 @@ class EagleEnrichment:
     def window(self, table, m_lo, m_hi):
         return jnp.maximum(self._interp(table, m_hi)
                            - self._interp(table, m_lo), 0.0)
+
+    def _z_weights(self, Z):
+        """Bracketing Z-bin index + log-Z fraction (determine_bin_yield,
+        feedback/EAGLE/enrichment.h)."""
+        zgrid = jnp.log(jnp.asarray(_Z_BINS, jnp.float32))
+        lz = jnp.log(jnp.clip(Z, _Z_BINS[0], _Z_BINS[-1]))
+        zi = jnp.clip(jnp.searchsorted(zgrid, lz) - 1, 0, _N_ZBINS - 2)
+        zf = (lz - zgrid[zi]) / (zgrid[zi + 1] - zgrid[zi])
+        return zi, jnp.clip(zf, 0.0, 1.0)
+
+    def window_z(self, tables, m_lo, m_hi, Z):
+        """Yield window interpolated at the star's metallicity: evaluate
+        the mass window in every Z bin, then lerp between the two
+        bracketing bins in log Z."""
+        v = jnp.stack([self.window(t, m_lo, m_hi) for t in tables])
+        zi, zf = self._z_weights(Z)
+        lo = jnp.take_along_axis(v, zi[None], axis=0)[0]
+        hi = jnp.take_along_axis(v, (zi + 1)[None], axis=0)[0]
+        return lo * (1.0 - zf) + hi * zf
 
     def num_SNIa(self, t1_Gyr, t2_Gyr):
         """SNIa per Msun formed in the age interval (enrichment.h:165)."""
@@ -162,13 +220,13 @@ class EagleEnrichment:
         """
         t1_G = t1 / self.Gyr
         t2_G = t2 / self.Gyr
-        m_hi = self.dying_mass(t1_G)
-        m_lo = self.dying_mass(t2_G)
+        m_hi = self.dying_mass(t1_G, Z_star)
+        m_lo = self.dying_mass(t2_G, Z_star)
         M_msun = m_init / self.Msun     # stellar mass in Msun
 
         ej = self.window(self.cum_ej, m_lo, m_hi)       # per Msun formed
-        Z_snii = self.window(self.cum_Z_snii, m_lo, m_hi)
-        Z_agb = self.window(self.cum_Z_agb, m_lo, m_hi)
+        Z_snii = self.window_z(self.cum_Z_snii, m_lo, m_hi, Z_star)
+        Z_agb = self.window_z(self.cum_Z_agb, m_lo, m_hi, Z_star)
         n_1a = self.num_SNIa(t1_G, t2_G)
 
         dm_msun = ej * M_msun + n_1a * M_msun * 1.4
@@ -178,7 +236,13 @@ class EagleEnrichment:
         mz_1a = n_1a * M_msun * jnp.float32(_SNIA_EJECTA.sum())
 
         snii_v = jnp.asarray(_SNII_METALS, F32)
-        agb_v = jnp.asarray(_AGB_METALS, F32)
+        # AGB composition lerps C -> N with log Z (Marigo secondary N)
+        lz0, lz1 = np.log(_Z_BINS[0]), np.log(_Z_BINS[-1])
+        zfrac = jnp.clip(
+            (jnp.log(jnp.clip(Z_star, _Z_BINS[0], _Z_BINS[-1])) - lz0)
+            / (lz1 - lz0), 0.0, 1.0)[..., None]
+        agb_v = ((1.0 - zfrac) * jnp.asarray(_AGB_METALS_LO_Z, F32)
+                 + zfrac * jnp.asarray(_AGB_METALS_HI_Z, F32))
         onea_v = jnp.asarray(_SNIA_EJECTA / max(_SNIA_EJECTA.sum(),
                                                 1e-30), F32)
         new_metals = (mz_snii[..., None] * snii_v

@@ -21,8 +21,9 @@ def test_imf_normalisation_and_return_fraction():
     # cumulative ejecta per Msun formed: positive, below ~0.6
     ej_tot = en.cum_ej[-1]
     assert 0.2 < ej_tot < 0.6, ej_tot
-    # SNII metal yield below total ejecta
-    assert 0.0 < en.cum_Z_snii[-1] < ej_tot
+    # SNII metal yield below total ejecta (every Z-bin table)
+    for tab in en.cum_Z_snii:
+        assert 0.0 < tab[-1] < ej_tot
     # dN/dlog m turns over near 0.08 Msun (Chabrier lognormal peak)
     assert (chabrier_imf(0.01) * 0.01
             < chabrier_imf(0.08) * 0.08), "no lognormal turnover"
@@ -56,6 +57,42 @@ def test_ejecta_windows():
     dm0, _, _ = en.ejecta(jnp.float32(1.0), jnp.float32(0.0), ef,
                           jnp.float32(1e-8), jnp.float32(5e-7))
     assert float(dm0) == 0.0
+
+
+def test_yields_depend_on_metallicity():
+    """The synthesized tables carry the reference's Z axis
+    (yield_tables.h): SNII metal yield falls with Z, AGB rises, the AGB
+    N/C ratio rises, and metal-rich stars of the same mass live longer
+    (Portinari lifetime factor)."""
+    en = EagleEnrichment()
+    ef = jnp.zeros(9).at[0].set(0.75).at[1].set(0.25)
+    t8 = 10.0 * 8.0 ** -2.5
+
+    def mz_snii(Z):
+        m_hi = en.dying_mass(jnp.float32(1e-6), jnp.float32(Z))
+        m_lo = en.dying_mass(jnp.float32(t8), jnp.float32(Z))
+        return float(en.window_z(en.cum_Z_snii, m_lo, m_hi,
+                                 jnp.float32(Z)))
+
+    assert mz_snii(0.0004) > mz_snii(0.04)
+
+    # AGB window: ages past the 8-Msun lifetime up to ~1 Msun's
+    t1 = 10.0 * 1.0 ** -2.5
+    def agb(Z):
+        Zj = jnp.float32(Z)
+        _, dmZ, de = en.ejecta(jnp.float32(1.0), Zj, ef,
+                               jnp.float32(t8 * 1.3), jnp.float32(t1))
+        return float(dmZ), float(de[3]) / max(float(de[2]), 1e-30)
+
+    mz_lo, nc_lo = agb(0.0004)
+    mz_hi, nc_hi = agb(0.019)
+    assert mz_hi > mz_lo          # secondary production rises with Z
+    assert nc_hi > nc_lo          # N/C ratio rises with Z
+
+    # lifetimes: metal-rich stars die LATER -> at fixed age the dying
+    # mass is larger
+    assert float(en.dying_mass(jnp.float32(1.0), jnp.float32(0.04))) \
+        > float(en.dying_mass(jnp.float32(1.0), jnp.float32(0.0004)))
 
 
 def test_engine_enrichment_conserves_and_enriches():

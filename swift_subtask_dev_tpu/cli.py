@@ -64,6 +64,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="neighbour-loop backend; default 'flat' (the "
                          "column/z-sorted Pallas engine — the fast path; "
                          "self-gravity runs fall back to 'xla')")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="run the flat-backend pair passes sharded over N "
+                         "devices (x-slab shard_map with ppermute column "
+                         "halos — the MPI-rank analog, proxy.c); the "
+                         "column grid is built cost-balanced for N slabs")
     ap.add_argument("-v", "--verbose", action="store_true")
     return ap
 
@@ -591,18 +596,35 @@ def main(argv=None) -> int:
                 r_cut = (gp.r_cut_ratio * gp.a_smooth
                          * float(box[0]) / gp.mesh_N)
                 reach_grid = max(reach, r_cut * 1.0001)
-            grid = CellGrid.build_columns(tuple(box), reach_grid, pos)
+            grid = CellGrid.build_columns(tuple(box), reach_grid, pos,
+                                          n_shards=max(args.shards, 0))
         else:
             grid = CellGrid.build_for_positions(tuple(box), reach, pos,
                                                 headroom=1.6)
         if args.verbose:
             print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
 
+        shard_n = 0
+        if args.shards > 0:
+            if args.backend != "flat":
+                print("--shards needs --backend flat", file=sys.stderr)
+                return 1
+            import jax
+            if len(jax.devices()) < args.shards:
+                print(f"--shards {args.shards}: only "
+                      f"{len(jax.devices())} devices visible",
+                      file=sys.stderr)
+                return 1
+            shard_n = args.shards
         gravity_fn = None
         cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
                            with_self_gravity=args.self_gravity,
                            with_timestep_limiter=args.limiter,
-                           backend=args.backend)
+                           backend=args.backend, shard_n=shard_n,
+                           # collectives can't live inside while_loop
+                           ghost_unroll=(shard_n > 0),
+                           max_ghost_iterations=(
+                               8 if shard_n > 0 else 30))
         mesh_fn = None
         mesh_dt_scale = 0.0
         if args.self_gravity:

@@ -97,6 +97,11 @@ class EngineConfig:
     rebucket_safety: float = 0.9  # fraction of the safe margin to use
     p2p_reach: float = 0.0    # P2P gravity r_cut (coverage margin term);
     # set by callers that wire a stencil-based gravity_fn
+    shard_n: int = 0          # >0 with backend='flat': run the pair passes
+    # under shard_map over an n-device x-slab mesh with explicit ppermute
+    # column-slab halos (parallel/flat.py shard_flat_call — the proxy.c
+    # analog), while the rebucket/KDK stay under GSPMD.  Use with
+    # ghost_unroll=True (collectives inside while_loop are avoided).
     eta_grav: float = 0.025   # Gravity:eta
     eps_soft: float = 1e-3    # Gravity:eps — gas gravity softening used by
     # the dt_grav = sqrt(2 eta eps/|a|) criterion (timestep.h:141); a
@@ -169,6 +174,8 @@ def _loops(cfg: EngineConfig):
     if cfg.backend == "gather":
         return gather_pairs
     if cfg.backend == "flat":
+        if cfg.shard_n > 0:
+            return _ShardedFlat(cfg.shard_n)
         return _FlatPallas           # column/z-sorted engine (pallas_flat)
     if cfg.backend == "pallas":
         return hydro_pallas          # packed-j engine (pallas_packed.py)
@@ -193,6 +200,36 @@ class _FlatPallas:
     @staticmethod
     def force_loop(grid, s, p, cosmo):
         return hydro_pallas.force_loop(grid, s, p, cosmo, engine="flat")
+
+
+class _ShardedFlat:
+    """Flat pair passes under shard_map with ppermute column-slab halos
+    (parallel/flat.py shard_flat_call); everything else stays GSPMD."""
+
+    def __init__(self, n: int, axis: str = "x"):
+        self.n = n
+        self.axis = axis
+
+    def density_loop(self, grid, s, p):
+        from .parallel.flat import shard_flat_call
+        return shard_flat_call(
+            grid, self.n, self.axis,
+            lambda g, st: hydro_pallas.density_loop(g, st, p,
+                                                    engine="flat"), s)
+
+    def gradient_loop(self, grid, s, p, cosmo):
+        from .parallel.flat import shard_flat_call
+        return shard_flat_call(
+            grid, self.n, self.axis,
+            lambda g, st: hydro_pallas.gradient_loop(g, st, p, cosmo,
+                                                     engine="flat"), s)
+
+    def force_loop(self, grid, s, p, cosmo):
+        from .parallel.flat import shard_flat_call
+        return shard_flat_call(
+            grid, self.n, self.axis,
+            lambda g, st: hydro_pallas.force_loop(g, st, p, cosmo,
+                                                  engine="flat"), s)
 
 
 class _RingPallas:
@@ -1079,7 +1116,10 @@ class Engine:
 
     def _build_grid(self, pos_all, reach: float) -> CellGrid:
         if self.cfg.backend == "flat":
-            return CellGrid.build_columns(self.grid.box, reach, pos_all)
+            # preserve x-slab divisibility (and re-balance the slabs)
+            # across auto-regrids when the pair passes run sharded
+            return CellGrid.build_columns(self.grid.box, reach, pos_all,
+                                          n_shards=self.cfg.shard_n)
         return CellGrid.build_for_positions(self.grid.box, reach, pos_all,
                                             headroom=1.6)
 

@@ -132,12 +132,21 @@ class CellGrid:
     @staticmethod
     def build_columns(box, interaction_range: float, pos,
                       headroom: float = 1.4, w_align: int = 128,
-                      max_cdim: int = 512) -> "CellGrid":
+                      max_cdim: int = 512, n_shards: int = 0) -> "CellGrid":
         """Column grid for the flat (z-sorted) backend: cdim=(ncx, ncy, 1).
 
         Column cross-section >= interaction_range (so 9 neighbour columns
         cover all pairs); W sized from the actual fullest column, aligned
         to the kernel's 128-lane i-tiles.
+
+        With ``n_shards > 0`` the x-resolution is chosen **cost-balanced**
+        for an n-device x-slab decomposition — the TPU analog of the
+        reference's METIS repartition (partition.c:1033): shard_map demands
+        equal column counts per device, so the only load-balance knob is
+        WHERE the slab boundaries fall.  Among all feasible ncx that are
+        multiples of n_shards, pick the one minimizing the fullest slab's
+        particle count (ties -> larger ncx: narrower columns mean fewer
+        candidate slots in the pair kernel).
         """
         box = tuple(float(b) for b in box)
         pos = np.asarray(pos, np.float64)
@@ -145,6 +154,23 @@ class CellGrid:
         for b in box[:2]:
             n = int(math.floor(b / max(interaction_range, 1e-30)))
             cd.append(int(np.clip(n, 3, max_cdim)))
+        if n_shards > 0:
+            nx_max = int(math.floor(box[0] / max(interaction_range, 1e-30)))
+            nx_max = min(nx_max, max_cdim)
+            cands = [n for n in range(n_shards, nx_max + 1, n_shards)
+                     if n >= 3]
+            if not cands:
+                raise ValueError(
+                    f"box_x={box[0]} cannot fit {n_shards} x-slabs of "
+                    f">= interaction_range={interaction_range} columns")
+            x = np.mod(pos[:, 0], box[0])
+
+            def worst_slab(nx):
+                ix = np.clip((x / (box[0] / nx)).astype(np.int64), 0, nx - 1)
+                per_row = np.bincount(ix, minlength=nx)
+                return per_row.reshape(n_shards, -1).sum(axis=1).max()
+
+            cd[0] = max(cands, key=lambda n: (-worst_slab(n), n))
         edge = np.asarray([box[0] / cd[0], box[1] / cd[1]])
         ij = np.floor(np.mod(pos[:, :2], box[:2]) / edge).astype(np.int64)
         ij = np.clip(ij, 0, np.asarray(cd) - 1)

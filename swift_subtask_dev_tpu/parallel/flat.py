@@ -101,3 +101,60 @@ def sharded_flat_loop(grid, mesh, loop_fn: Callable, s: Dict,
     args = [jax.device_put(s[k], shard) for k in tile_keys]
     res = f(*args)
     return dict(zip(out_keys, res))
+
+
+def shard_flat_call(grid, n: int, axis: str, loop_fn: Callable, s: Dict):
+    """In-jit variant of ``sharded_flat_loop`` — the ENGINE-level sharded
+    flat backend.  Same ppermute column-slab halo exchange, but callable
+    on traced tiles inside a jitted engine step: the mesh is built from
+    the first ``n`` devices at trace time, tile inputs are demanded in
+    x-slab layout by ``in_specs`` (GSPMD inserts any resharding), and
+    non-tile state entries ride along replicated.
+
+    This is what lets the full hydro_step (rebucket under GSPMD, pair
+    passes under shard_map) run multi-chip without a host round-trip at
+    the rebucket/loop boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:n]), (axis,))
+    ext_grid, ncx_loc = _extended_grid(grid, n)
+    ncy = grid.cdim[1]
+    C = grid.C
+
+    tile_keys = [k for k, v in s.items()
+                 if hasattr(v, "ndim") and v.ndim >= 2
+                 and v.shape[0] == C]
+    other_keys = [k for k in s if k not in tile_keys]
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    # output keys via abstract eval (works on tracers too)
+    probe = jax.eval_shape(lambda st: loop_fn(grid, st), s)
+    out_keys = sorted(probe)
+
+    def body(tiles, others):
+        local = dict(zip(tile_keys, tiles))
+        ext = {}
+        for k, a in local.items():
+            left = jax.lax.ppermute(a[-ncy:], axis, fwd)
+            right = jax.lax.ppermute(a[:ncy], axis, bwd)
+            ext[k] = jnp.concatenate([left, a, right], axis=0)
+        out = loop_fn(ext_grid, {**ext, **dict(zip(other_keys, others))})
+        return tuple(out[k][ncy:-ncy] for k in out_keys)
+
+    f = shard_map(body, mesh=mesh,
+                  in_specs=((P(axis),) * len(tile_keys),
+                            (P(),) * len(other_keys)),
+                  out_specs=(P(axis),) * len(out_keys),
+                  check_vma=False)
+    res = f(tuple(s[k] for k in tile_keys),
+            tuple(s[k] for k in other_keys))
+    return dict(zip(out_keys, res))

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from swift_subtask_dev_tpu.grid import (
     CellGrid, bucket_fields, rebucket_offsets, global_positions)
@@ -98,3 +99,31 @@ def test_build_heuristic():
     assert all(c <= 10 for c in grid.cdim)
     assert grid.K % 8 == 0
     assert grid.K * grid.C >= 10000
+
+
+def test_build_columns_cost_balanced():
+    """n_shards>0 picks an ncx multiple of n_shards minimizing the fullest
+    x-slab (partition.c METIS-repartition analog for equal-shard slabs)."""
+    rng = np.random.default_rng(17)
+    # skewed distribution: 80% of particles in the left third of the box
+    n = 20000
+    x = np.where(rng.uniform(size=n) < 0.8,
+                 rng.uniform(0.0, 0.33, n), rng.uniform(0.33, 1.0, n))
+    pos = np.stack([x, rng.uniform(size=n), rng.uniform(size=n)], axis=1)
+    g = CellGrid.build_columns((1.0, 1.0, 1.0), interaction_range=0.02,
+                               pos=pos, n_shards=4)
+    assert g.cdim[0] % 4 == 0 and g.cdim[2] == 1
+
+    def worst(nx):
+        ix = np.clip((pos[:, 0] * nx).astype(int), 0, nx - 1)
+        return np.bincount(ix, minlength=nx).reshape(4, -1).sum(1).max()
+
+    # chosen ncx is at least as balanced as every other feasible multiple
+    best = min(worst(nx) for nx in range(4, 51, 4) if nx >= 3)
+    assert worst(g.cdim[0]) == best
+
+
+def test_build_columns_shards_infeasible():
+    with pytest.raises(ValueError):
+        CellGrid.build_columns((1.0, 1.0, 1.0), interaction_range=0.4,
+                               pos=np.zeros((10, 3)), n_shards=4)

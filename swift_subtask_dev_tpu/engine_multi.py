@@ -820,13 +820,14 @@ class MultiEngine(Engine):
                  feedback=None, mesh_fn: Optional[Callable] = None,
                  mesh_dt_scale: float = 0.0, bh_model=None,
                  nu_model=None, sink_model=None, enrichment=None):
-        if cfg.backend == "gather" or (
-                cfg.backend == "flat"
-                and (star_formation is not None or feedback is not None
-                     or sink_model is not None)):
+        if cfg.backend == "gather":
             # gather: the multi-species step doesn't carry candidate
-            # lists.  flat: the star->gas feedback loops still run on the
-            # 27-stencil, so SF/feedback runs fall back to it too.
+            # lists.  (flat + SF/feedback/sinks is supported: gas-gas
+            # loops ride the flat Pallas engine while the cross-species
+            # star/BH/sink loops run the 27-stencil over the SAME column
+            # grid — with ncz=1 the z-rolls become genuine periodic
+            # z-images because the stencil shift is folded into the j
+            # offsets, so pair enumeration stays exact.)
             import dataclasses
             cfg = dataclasses.replace(cfg, backend="xla")
         super().__init__(grid, sph, cfg, time_begin, time_end,

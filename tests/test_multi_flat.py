@@ -82,3 +82,83 @@ def test_multi_flat_matches_xla():
     assert du / np.abs(a["gas"]["u"]).max() < 2e-3
     drho = np.abs(a["gas"]["rho"] - b["gas"]["rho"]).max()
     assert drho / np.abs(a["gas"]["rho"]).max() < 1e-3
+
+
+def _run_sf_fb(backend, n_steps=4):
+    """Gas + a seeded star, EAGLE SF + thermal feedback enabled."""
+    from swift_subtask_dev_tpu.subgrid.star_formation import (
+        EagleStarFormation)
+    from swift_subtask_dev_tpu.subgrid.feedback import EagleThermalFeedback
+
+    ic = uniform_box_ic(n=8, jitter=0.05, seed=9)
+    sph = SPHENIXParams(h_max=float(ic["h"].max() * 3))
+    box = (1.0, 1.0, 1.0)
+    reach = float(ic["h"].max()) * sph.kernel.gamma * 1.3
+    if backend == "flat":
+        grid = CellGrid.build_columns(box, reach, ic["pos"])
+    else:
+        grid = CellGrid.build_for_positions(box, reach, ic["pos"],
+                                            headroom=1.6)
+    sf = EagleStarFormation(sf_norm=30.0, sf_power=0.0,
+                            density_threshold=0.0)
+    fb = EagleThermalFeedback(delta_u=20.0, e_per_mass=40.0,
+                              snii_delay=0.0)
+    cfg = EngineConfig(dt_min=1e-12, dt_max=2e-4, backend=backend)
+    eng = MultiEngine(grid, sph, cfg, 0.0, 1.0,
+                      star_formation=sf, feedback=fb)
+    # the fallback must be gone: flat stays flat with SF+feedback on
+    assert eng.cfg.backend == backend
+    eng.load_gas(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
+    eng.alloc_stars(extra_per_cell=16)
+    eng.load_stars(np.asarray([[0.5, 0.5, 0.5]]),
+                   np.asarray([1.0], np.float32),
+                   np.zeros((1, 3), np.float32),
+                   h=np.asarray([float(ic["h"].max())], np.float32),
+                   pid=np.asarray([10_000_000], np.int64))
+    st = eng.state["stars"]
+    eng.state["stars"] = {**st, "birth_time": st["birth_time"]
+                          + 1e-12 * (np.asarray(st["mask"]) > 0)}
+    eng.init_particles()
+    n_conv = n_heat = 0
+    for _ in range(n_steps):
+        diag = eng.step()
+        n_conv += int(diag["n_converted"])
+        n_heat += int(diag["n_heated"])
+
+    out = {"n_conv": n_conv, "n_heat": n_heat}
+    from swift_subtask_dev_tpu.grid.cellgrid import global_positions
+    for name in ("gas", "stars"):
+        sp = eng.state[name]
+        mask = np.asarray(sp["mask"]) > 0
+        pid = np.asarray(sp["pid"])[mask]
+        order = np.argsort(pid)
+        out[name] = {
+            "pid": pid[order],
+            "pos": global_positions(eng.grid,
+                                    np.asarray(sp["off"]))[mask][order],
+            "m": np.asarray(sp["m"])[mask][order],
+        }
+        if "u_full" in sp:
+            out[name]["u"] = np.asarray(sp["u_full"])[mask][order]
+    return out
+
+
+def test_multi_flat_sf_feedback_matches_xla():
+    """SF + feedback no longer force the xla fallback: the flat backend
+    (gas-gas loops on the column Pallas engine, star->gas loops on the
+    27-stencil over the same column grid) reproduces the xla engine —
+    including the layout-independent stochastic draws (threefry on
+    (pid, ti); _pair_hash_uniform on (pid_i, pid_j, ti))."""
+    a = _run_sf_fb("xla")
+    b = _run_sf_fb("flat")
+    # identical stochastic outcomes: same conversions, same heating events
+    assert a["n_conv"] == b["n_conv"] and a["n_conv"] > 0
+    assert a["n_heat"] == b["n_heat"] and a["n_heat"] > 0
+    for name in ("gas", "stars"):
+        np.testing.assert_array_equal(a[name]["pid"], b[name]["pid"])
+        np.testing.assert_allclose(a[name]["m"], b[name]["m"], rtol=1e-6)
+        dx = np.abs(a[name]["pos"] - b[name]["pos"]).max()
+        assert dx < 1e-5, (name, dx)
+    # heated-energy field: tolerance covers f32 pair-ordering noise
+    du = np.abs(a["gas"]["u"] - b["gas"]["u"]).max()
+    assert du / np.abs(a["gas"]["u"]).max() < 2e-3

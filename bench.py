@@ -79,13 +79,15 @@ def main():
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 
-    # warm-up (compile the batched step)
+    # warm-up (compile the batched step); sync via host transfer —
+    # block_until_ready is a NO-OP through the axon tunnel
     eng.run_fixed_dt(16, per_launch=_PER_LAUNCH)
+    np.asarray(eng.state["rho"])
 
     n_steps = 64
     t0 = time.time()
     eng.run_fixed_dt(n_steps, per_launch=_PER_LAUNCH)
-    jax.block_until_ready(eng.state["rho"])
+    np.asarray(eng.state["rho"])
     elapsed = time.time() - t0
 
     rate = n_steps * n_parts / elapsed

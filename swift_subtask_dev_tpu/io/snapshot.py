@@ -360,7 +360,14 @@ def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
     for key, name in (("u_full", "InternalEnergies"),
                       ("h", "SmoothingLengths"),
                       ("rho", "Densities"),
-                      ("pot", "Potentials")):
+                      ("pot", "Potentials"),
+                      # chemistry carriers (chemistry_io.h:
+                      # chemistry_write_particles)
+                      ("Z", "Metallicities"),
+                      ("elem_frac", "ElementMassFractions"),
+                      ("birth_time", "BirthTimes"),
+                      ("birth_density", "BirthDensities"),
+                      ("m_subgrid", "SubgridMasses")):
         if key in state:
             out[name] = flat(key)
     return out

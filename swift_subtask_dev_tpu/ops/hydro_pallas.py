@@ -239,7 +239,21 @@ def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
         f["m"] = s["m"]
         return f
 
-    fi = grav_fields(s_i)
+    def pad_lanes(f):
+        """Pad tile capacity to the kernel's 128-lane i-tiles.  Species
+        tiles carry their own K (stars/BH/sink slots + SF headroom are
+        not lane-aligned); padded slots have mask 0 so they contribute
+        nothing, and the i-side pad is trimmed from the sums below."""
+        W = f["mask"].shape[1]
+        pad = (-W) % pallas_flat.LANES
+        if pad == 0:
+            return f
+        return {k: jnp.concatenate(
+            [v, jnp.zeros((v.shape[0], pad) + v.shape[2:], v.dtype)],
+            axis=1) for k, v in f.items()}
+
+    W_i = s_i["mask"].shape[1]
+    fi = pad_lanes(grav_fields(s_i))
     order = list(fi)
     # python-float literals: the Pallas kernel must not close over traced
     # scalars (Mosaic folds these at trace time)
@@ -261,16 +275,16 @@ def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
     acc0 = acc1 = acc2 = pot = 0.0
     for s_j in species_j:
         same = s_j is s_i
-        kw = {} if same else dict(fields_j=grav_fields(s_j),
+        kw = {} if same else dict(fields_j=pad_lanes(grav_fields(s_j)),
                                   field_order_j=order)
         sums, _ = pallas_flat.pair_apply(
             grid, fi, order, pair_fn, n_sum=4, n_max=0,
             shifts_scale=grid.edge, interpret=interpret,
             range_scale=1.0, **kw)
-        acc0 = acc0 + sums[0]
-        acc1 = acc1 + sums[1]
-        acc2 = acc2 + sums[2]
-        pot = pot + sums[3]
+        acc0 = acc0 + sums[0][:, :W_i]
+        acc1 = acc1 + sums[1][:, :W_i]
+        acc2 = acc2 + sums[2][:, :W_i]
+        pot = pot + sums[3][:, :W_i]
     m = s_i["mask"]
     return (jnp.stack([acc0 * m, acc1 * m, acc2 * m], -1), pot * m)
 

@@ -367,7 +367,8 @@ def main(argv=None) -> int:
         r_cut = gp.r_cut_ratio * gp.a_smooth * float(box[0]) / mesh_N
         if args.backend == "flat":
             # column layout: the flat Pallas P2P kernel drives the DMO run
-            grid = CellGrid.build_columns(tuple(box), r_cut * 1.0001, pos)
+            grid = CellGrid.build_columns(tuple(box), r_cut * 1.0001, pos,
+                                          n_shards=max(args.shards, 0))
         else:
             grid = CellGrid.build_for_positions(tuple(box), r_cut * 1.05,
                                                 pos, headroom=1.6)
@@ -375,10 +376,26 @@ def main(argv=None) -> int:
             print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
         solver = GravitySolver(gp, grid)
 
+        shard_n = 0
+        if args.shards > 0:
+            if args.backend != "flat":
+                print("--shards needs --backend flat", file=sys.stderr)
+                return 1
+            import jax
+            if len(jax.devices()) < args.shards:
+                print(f"--shards {args.shards}: only "
+                      f"{len(jax.devices())} devices visible",
+                      file=sys.stderr)
+                return 1
+            shard_n = args.shards
+
         if params.opt_int("Gravity", "split_mesh_kicks", 1):
-            def gfn(s):
-                [(acc, pot)] = solver.short_range_accelerations([s])
-                return acc, pot
+            if shard_n > 0:
+                gfn = solver.gas_short_range_sharded_fn(shard_n)
+            else:
+                def gfn(s):
+                    [(acc, pot)] = solver.short_range_accelerations([s])
+                    return acc, pot
 
             def mfn(s):
                 [(acc, pot)] = solver.mesh_accelerations([s])
@@ -393,6 +410,7 @@ def main(argv=None) -> int:
         eng = DMEngine(grid, EngineConfig(dt_min=dt_min, dt_max=dt_max,
                                           eta_grav=gp.eta,
                                           p2p_reach=solver.pm.r_cut,
+                                          shard_n=shard_n,
                                           backend=("flat" if args.backend
                                                    == "flat" else "xla")),
                        t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
@@ -438,18 +456,19 @@ def main(argv=None) -> int:
         else:
             h_sizing = float(h0.max())
             reach = h_sizing * sph.kernel.gamma * 1.3
-        use_flat = (args.backend == "flat" and star_formation is None
-                    and feedback is None and bh_model is None
-                    and bh_ic is None and sink_model is None
-                    and sink_ic is None)
+        # flat works with the full subgrid stack: gas-gas hydro and the
+        # all-species P2P gravity ride the flat Pallas kernels, while the
+        # cross-species star/BH/sink loops run the 27-stencil over the
+        # SAME column grid (exact: folded shifts make ncz=1 rolls genuine
+        # periodic z-images)
+        use_flat = args.backend == "flat"
         if use_flat:
-            # column/z-sorted layout: gas hydro + all-species P2P gravity
-            # run the flat Pallas kernels; columns must cover r_cut
+            # column/z-sorted layout: columns must cover r_cut
             r_cut = (gp.r_cut_ratio * gp.a_smooth
                      * float(box[0]) / gp.mesh_N)
             grid = CellGrid.build_columns(
                 tuple(box), max(reach, r_cut * 1.0001),
-                np.concatenate(pos_all))
+                np.concatenate(pos_all), n_shards=max(args.shards, 0))
             solver = GravitySolver(gp, grid)
         else:
             grid = CellGrid.build_for_positions(
@@ -467,15 +486,35 @@ def main(argv=None) -> int:
                 solver = GravitySolver(gp, grid)
         if args.verbose:
             print(f"grid: cdim={grid.cdim} K={grid.K} C={grid.C}")
+        shard_n = 0
+        if args.shards > 0:
+            if not use_flat:
+                print("--shards needs --backend flat", file=sys.stderr)
+                return 1
+            import jax
+            if len(jax.devices()) < args.shards:
+                print(f"--shards {args.shards}: only "
+                      f"{len(jax.devices())} devices visible",
+                      file=sys.stderr)
+                return 1
+            shard_n = args.shards
         cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
                            with_self_gravity=True,
                            with_timestep_limiter=args.limiter,
                            eta_grav=gp.eta, eps_soft=gp.eps,
                            p2p_reach=solver.pm.r_cut,
-                           backend="flat" if use_flat else "xla")
+                           backend="flat" if use_flat else "xla",
+                           shard_n=shard_n,
+                           # collectives can't live inside while_loop
+                           ghost_unroll=(shard_n > 0),
+                           max_ghost_iterations=(
+                               8 if shard_n > 0 else 30))
         mesh_kw = {}
         if params.opt_int("Gravity", "split_mesh_kicks", 1):
-            gravity_fn = solver.short_range_accelerations
+            if shard_n > 0:
+                gravity_fn = solver.short_range_sharded_fn(shard_n)
+            else:
+                gravity_fn = solver.short_range_accelerations
             mesh_kw = dict(mesh_fn=solver.mesh_accelerations,
                            mesh_dt_scale=solver.pm.r_s)
         else:
@@ -634,7 +673,10 @@ def main(argv=None) -> int:
             if params.opt_int("Gravity", "split_mesh_kicks", 1):
                 # reference default: the PM field lives on its own
                 # timestep (kick.h:255, engine.c:2406)
-                gravity_fn = solver.gas_short_range_fn()
+                if shard_n > 0:
+                    gravity_fn = solver.gas_short_range_sharded_fn(shard_n)
+                else:
+                    gravity_fn = solver.gas_short_range_fn()
                 mesh_fn = solver.gas_mesh_fn()
                 mesh_dt_scale = solver.pm.r_s
             else:

@@ -643,7 +643,17 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             sub.update(nbr_idx=s["nbr_idx"], nbr_code=s["nbr_code"])
             mnb = gather_pairs.timebin_loop(grid, sub, p)
         elif cfg.backend == "flat":
-            mnb = hydro_pallas.timebin_loop(grid, sub, p, engine="flat")
+            if cfg.shard_n > 0:
+                # pallas_call can't be GSPMD-partitioned: ride the same
+                # shard_map + ppermute halo as the other flat passes
+                from .parallel.flat import shard_flat_call
+                mnb = shard_flat_call(
+                    grid, cfg.shard_n, "x",
+                    lambda g, st: {"mnb": hydro_pallas.timebin_loop(
+                        g, st, p, engine="flat")}, sub)["mnb"]
+            else:
+                mnb = hydro_pallas.timebin_loop(grid, sub, p,
+                                                engine="flat")
         else:
             mnb = stencil.timebin_loop(grid, sub, p,
                                        use_scan=cfg.stencil_scan)
@@ -1153,7 +1163,11 @@ class Engine:
 
     def _bind_solver(self, solver):
         if self.mesh_fn is not None:
-            self.gravity_fn = solver.gas_short_range_fn()
+            if self.cfg.shard_n > 0 and self.cfg.backend == "flat":
+                self.gravity_fn = solver.gas_short_range_sharded_fn(
+                    self.cfg.shard_n)
+            else:
+                self.gravity_fn = solver.gas_short_range_fn()
             self.mesh_fn = solver.gas_mesh_fn()
             self.mesh_dt_scale = solver.pm.r_s
         else:

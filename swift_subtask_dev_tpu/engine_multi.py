@@ -1202,7 +1202,11 @@ class MultiEngine(Engine):
 
     def _bind_solver(self, solver):
         if self.mesh_fn is not None:
-            self.gravity_fn = solver.short_range_accelerations
+            if self.cfg.shard_n > 0 and self.cfg.backend == "flat":
+                self.gravity_fn = solver.short_range_sharded_fn(
+                    self.cfg.shard_n)
+            else:
+                self.gravity_fn = solver.short_range_accelerations
             self.mesh_fn = solver.mesh_accelerations
             self.mesh_dt_scale = solver.pm.r_s
         else:

@@ -157,6 +157,68 @@ class GravitySolver:
             return acc, pot
         return fn
 
+    def short_range_sharded_fn(self, shard_n: int, axis: str = "x"):
+        """Multi-species near-field gravity with every flat P2P pass
+        under shard_map (parallel/flat.py shard_flat_multi_call): all
+        species' boundary column slabs ride one ppermute ring, then the
+        unmodified flat kernel runs per (receiver, source) pair on the
+        extended grid.  Drop-in for ``short_range_accelerations`` in a
+        sharded MultiEngine."""
+        if not self.flat:
+            raise ValueError("sharded short-range gravity needs the "
+                             "flat/column solver (build_columns grid)")
+        gp = self.gp
+        r_s = self.pm.r_s if gp.periodic else 0.0
+        r_cut = self.pm.r_cut
+
+        def fn(species):
+            from ..ops import hydro_pallas
+            from ..parallel.flat import shard_flat_multi_call
+            subs = [{k: s[k] for k in ("off", "m", "mask")}
+                    for s in species]
+
+            def loop(g, ss):
+                outs = []
+                for st in ss:
+                    acc, pot = hydro_pallas.p2p_gravity_loop(
+                        g, st, ss, gp.G, gp.H_soft, r_s, r_cut,
+                        periodic_truncation=gp.periodic)
+                    outs.append({"acc": acc, "pot": pot})
+                return outs
+
+            outs = shard_flat_multi_call(self.grid, shard_n, axis, loop,
+                                         subs)
+            return [(o["acc"], o["pot"]) for o in outs]
+        return fn
+
+    def gas_short_range_sharded_fn(self, shard_n: int, axis: str = "x"):
+        """Near-field gravity_fn with the flat P2P pass under shard_map:
+        same ppermute column-slab halo as the sharded hydro loops
+        (parallel/flat.py shard_flat_call — proxy.c analog).  Requires
+        the flat/column solver; r_cut <= column edge guarantees the
+        one-slab halo covers every short-range pair."""
+        if not self.flat:
+            raise ValueError("sharded short-range gravity needs the "
+                             "flat/column solver (build_columns grid)")
+        gp = self.gp
+        r_s = self.pm.r_s if gp.periodic else 0.0
+        r_cut = self.pm.r_cut
+
+        def fn(s: Dict):
+            from ..ops import hydro_pallas
+            from ..parallel.flat import shard_flat_call
+            sub = {k: s[k] for k in ("off", "m", "mask")}
+
+            def loop(g, st):
+                acc, pot = hydro_pallas.p2p_gravity_loop(
+                    g, st, [st], gp.G, gp.H_soft, r_s, r_cut,
+                    periodic_truncation=gp.periodic)
+                return {"acc": acc, "pot": pot}
+
+            out = shard_flat_call(self.grid, shard_n, axis, loop, sub)
+            return out["acc"], out["pot"]
+        return fn
+
     def gas_mesh_fn(self):
         """mesh_fn hook: (acc_mesh, pot_mesh) for the gas state."""
         def fn(s: Dict):

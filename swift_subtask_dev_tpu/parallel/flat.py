@@ -158,3 +158,62 @@ def shard_flat_call(grid, n: int, axis: str, loop_fn: Callable, s: Dict):
     res = f(tuple(s[k] for k in tile_keys),
             tuple(s[k] for k in other_keys))
     return dict(zip(out_keys, res))
+
+
+def shard_flat_multi_call(grid, n: int, axis: str, loop_fn: Callable,
+                          states):
+    """Multi-species ``shard_flat_call``: halo-exchange the boundary
+    column slabs of EVERY species' tile fields, then run
+    ``loop_fn(ext_grid, ext_states) -> [dict, ...]`` under shard_map.
+
+    This is what the joint short-range gravity needs (every species
+    sources every species): one ppermute ring per species per side, all
+    riding the same x-slab mesh.  Species tiles may have different
+    capacities (gas K vs star K) — only the leading (C, ...) layout
+    must match the column grid.
+    """
+    import jax
+    import jax.numpy as jnp
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:n]), (axis,))
+    ext_grid, _ = _extended_grid(grid, n)
+    ncy = grid.cdim[1]
+    C = grid.C
+
+    def is_tile(v):
+        return hasattr(v, "ndim") and v.ndim >= 2 and v.shape[0] == C
+
+    tile_keys = [[k for k, v in st.items() if is_tile(v)]
+                 for st in states]
+    in_specs = [{k: (P(axis) if k in tks else P()) for k in st}
+                for st, tks in zip(states, tile_keys)]
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    probe = jax.eval_shape(lambda ss: loop_fn(grid, ss), states)
+    out_keys = [sorted(d) for d in probe]
+
+    def body(ss):
+        ext_states = []
+        for st, tks in zip(ss, tile_keys):
+            e = dict(st)
+            for k in tks:
+                a = st[k]
+                left = jax.lax.ppermute(a[-ncy:], axis, fwd)
+                right = jax.lax.ppermute(a[:ncy], axis, bwd)
+                e[k] = jnp.concatenate([left, a, right], axis=0)
+            ext_states.append(e)
+        outs = loop_fn(ext_grid, ext_states)
+        return [{k: out[k][ncy:-ncy] for k in ks}
+                for out, ks in zip(outs, out_keys)]
+
+    f = shard_map(body, mesh=mesh, in_specs=(in_specs,),
+                  out_specs=[{k: P(axis) for k in ks} for ks in out_keys],
+                  check_vma=False)
+    return f(list(states))

@@ -162,3 +162,69 @@ def test_multi_flat_sf_feedback_matches_xla():
     # heated-energy field: tolerance covers f32 pair-ordering noise
     du = np.abs(a["gas"]["u"] - b["gas"]["u"]).max()
     assert du / np.abs(a["gas"]["u"]).max() < 2e-3
+
+
+def _run_sharded(shard_n, n_steps=3):
+    """Gas+DM flat run with the pair passes + joint P2P gravity under
+    shard_map when shard_n>0 (ghost unrolled in both for parity)."""
+    import jax
+    # n=12: reach small enough that >=4 columns fit in x (4 shards)
+    ic = uniform_box_ic(n=12, jitter=0.05)
+    n = len(ic["pos"])
+    rng = np.random.default_rng(2)
+    pos_dm = rng.uniform(0, 1, (n, 3))
+    gp = GravityParams(G=1.0, eps=0.02, mesh_N=32)
+    sph = SPHENIXParams()
+    box = (1.0, 1.0, 1.0)
+    r_cut = gp.r_cut_ratio * gp.a_smooth * 1.0 / gp.mesh_N
+    reach = max(float(ic["h"].max()) * sph.kernel.gamma * 1.2,
+                r_cut * 1.0001)
+    pos_all = np.concatenate([ic["pos"], pos_dm])
+    grid = CellGrid.build_columns(box, reach, pos_all, n_shards=4)
+    solver = GravitySolver(gp, grid)
+    cfg = EngineConfig(dt_min=1e-12, dt_max=2e-3, with_self_gravity=True,
+                       eta_grav=gp.eta, eps_soft=gp.eps,
+                       p2p_reach=solver.pm.r_cut, backend="flat",
+                       shard_n=shard_n, ghost_unroll=True,
+                       max_ghost_iterations=4)
+    gfn = (solver.short_range_sharded_fn(shard_n) if shard_n
+           else solver.short_range_accelerations)
+    eng = MultiEngine(grid, sph, cfg, 0.0, 1.0,
+                      gravity_fn=gfn, eps_soft=gp.eps,
+                      mesh_fn=solver.mesh_accelerations,
+                      mesh_dt_scale=solver.pm.r_s)
+    eng.load_gas(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
+    eng.load_dm(pos_dm, np.full(n, 2.0 / n, np.float32),
+                np.zeros((n, 3), np.float32))
+    eng.init_particles()
+    for _ in range(n_steps):
+        eng.step()
+    out = {}
+    from swift_subtask_dev_tpu.grid.cellgrid import global_positions
+    for name, sp in eng.state.items():
+        mask = np.asarray(sp["mask"]) > 0
+        pid = np.asarray(sp["pid"])[mask]
+        order = np.argsort(pid)
+        out[name] = {
+            "pos": global_positions(eng.grid,
+                                    np.asarray(sp["off"]))[mask][order],
+            "v": np.asarray(sp["v_full"])[mask][order],
+            "a": np.asarray(sp["a_grav"])[mask][order],
+        }
+    return out
+
+
+def test_multi_sharded_flat_matches_unsharded():
+    """MultiEngine with shard_n=4: gas-gas loops AND the joint
+    multi-species P2P short-range gravity under shard_map (ppermute
+    column-slab halos for every species) vs the unsharded flat run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    a = _run_sharded(0)
+    b = _run_sharded(4)
+    for name in ("gas", "dm"):
+        for k in ("pos", "v", "a"):
+            da = np.abs(a[name][k] - b[name][k]).max()
+            scale = max(np.abs(a[name][k]).max(), 1e-10)
+            assert da / scale < 2e-4, (name, k, da, scale)

@@ -388,6 +388,7 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
             shard_n = args.shards
+            solver.fft_shard_n = shard_n   # distributed slab-FFT mesh
 
         if params.opt_int("Gravity", "split_mesh_kicks", 1):
             if shard_n > 0:
@@ -418,7 +419,8 @@ def main(argv=None) -> int:
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
-        eng.solver_builder = lambda g: GravitySolver(gp, g)
+        eng.solver_builder = lambda g: GravitySolver(gp, g,
+                                             fft_shard_n=shard_n)
     elif multi:
         # -------- gas + DM (+ stars) cosmological volume (MultiEngine) -------
         from .engine_multi import MultiEngine
@@ -498,6 +500,7 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
             shard_n = args.shards
+            solver.fft_shard_n = shard_n   # distributed slab-FFT mesh
         cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
                            with_self_gravity=True,
                            with_timestep_limiter=args.limiter,
@@ -536,7 +539,8 @@ def main(argv=None) -> int:
                           bh_model=bh_model, nu_model=nu_model,
                           sink_model=sink_model, enrichment=enrichment,
                           **mesh_kw)
-        eng.solver_builder = lambda g: GravitySolver(gp, g)
+        eng.solver_builder = lambda g: GravitySolver(gp, g,
+                                             fft_shard_n=shard_n)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name in ("gadget2", "pressure-entropy"):
             from .models.sph.gadget2 import entropy_from_internal_energy
@@ -667,7 +671,7 @@ def main(argv=None) -> int:
         mesh_fn = None
         mesh_dt_scale = 0.0
         if args.self_gravity:
-            solver = GravitySolver(gp, grid)
+            solver = GravitySolver(gp, grid, fft_shard_n=shard_n)
             cfg = dataclasses.replace(cfg, p2p_reach=solver.pm.r_cut,
                                       eps_soft=gp.eps, eta_grav=gp.eta)
             if params.opt_int("Gravity", "split_mesh_kicks", 1):
@@ -687,7 +691,8 @@ def main(argv=None) -> int:
                      cooling_fn=cooling_fn,
                      mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
         if args.self_gravity:
-            eng.solver_builder = lambda g: GravitySolver(gp, g)
+            eng.solver_builder = lambda g: GravitySolver(gp, g,
+                                             fft_shard_n=shard_n)
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name in ("gadget2", "pressure-entropy"):
             # the entropy schemes evolve A = P/rho^gamma in the u slots;

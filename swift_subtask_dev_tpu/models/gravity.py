@@ -54,9 +54,14 @@ class GravityParams:
 class GravitySolver:
     """Owns the PM mesh and computes P3M accelerations for tiled species."""
 
-    def __init__(self, gp: GravityParams, grid: CellGrid):
+    def __init__(self, gp: GravityParams, grid: CellGrid,
+                 fft_shard_n: int = 0):
         self.gp = gp
         self.grid = grid
+        # >0: solve the mesh Poisson equation with the slab-decomposed
+        # distributed FFT (ops/pm_gravity.long_range_potential_sharded —
+        # the mesh_gravity_mpi.c analog) instead of one-device rfftn
+        self.fft_shard_n = int(fft_shard_n)
         self.pm = pm_gravity.PMMeshParams(
             N=gp.mesh_N, box=grid.box, a_smooth=gp.a_smooth,
             r_cut_max_ratio=gp.r_cut_ratio)
@@ -114,7 +119,11 @@ class GravitySolver:
         grid_mass = 0.0
         for pos, m in zip(pos_all, m_all):
             grid_mass = grid_mass + pm_gravity.cic_deposit(self.pm, pos, m)
-        phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
+        if self.fft_shard_n > 0:
+            phi = pm_gravity.long_range_potential_sharded(
+                self.pm, grid_mass, gp.G, self.fft_shard_n)
+        else:
+            phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
         acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
         outs = []
         for s, pos in zip(species, pos_all):
@@ -236,7 +245,11 @@ class GravitySolver:
         grid_mass = 0.0
         for pos, m in zip(pos_all, m_all):
             grid_mass = grid_mass + pm_gravity.cic_deposit(self.pm, pos, m)
-        phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
+        if self.fft_shard_n > 0:
+            phi = pm_gravity.long_range_potential_sharded(
+                self.pm, grid_mass, gp.G, self.fft_shard_n)
+        else:
+            phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
         acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
 
         # --- P2P short range -------------------------------------------------

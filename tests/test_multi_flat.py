@@ -181,7 +181,8 @@ def _run_sharded(shard_n, n_steps=3):
                 r_cut * 1.0001)
     pos_all = np.concatenate([ic["pos"], pos_dm])
     grid = CellGrid.build_columns(box, reach, pos_all, n_shards=4)
-    solver = GravitySolver(gp, grid)
+    # shard the PM Poisson solve too (slab-decomposed FFT)
+    solver = GravitySolver(gp, grid, fft_shard_n=shard_n)
     cfg = EngineConfig(dt_min=1e-12, dt_max=2e-3, with_self_gravity=True,
                        eta_grav=gp.eta, eps_soft=gp.eps,
                        p2p_reach=solver.pm.r_cut, backend="flat",

@@ -183,3 +183,233 @@ def mm_run(p: ShadowswiftParams, x, Q, t_end: float,
         x, Q = mm_step(p, x, Q, jnp.float32(dt))
         t += dt
     return x, Q
+
+
+# ---------------------------------------------------------------------------
+# 2D moving mesh (voronoi2d_algorithm.h analog).
+#
+# The reference clips each cell incrementally against its neighbours
+# (voronoi2d_cell.h intersect()).  Data-dependent polygon buffers don't
+# map to XLA, so the tessellation is reformulated around the DUAL
+# characterization: a point is a Voronoi vertex of cell i iff it is the
+# circumcenter of (i, j, k) whose circumcircle contains no other
+# generator (the empty-circumcircle property of the Delaunay
+# triangulation).  With a fixed M-candidate set per generator this is a
+# dense (N, M(M-1)/2) computation — static shapes, all vectorised:
+#
+#   1. M nearest candidates per generator (periodic min-image),
+#   2. circumcenters of all candidate pairs + empty-circle validation,
+#   3. face lengths from vertex projections onto the face tangent,
+#   4. cell area/centroid by an angle-sorted shoelace over the vertices.
+#
+# Exactness: if the M-th candidate is further than twice the farthest
+# valid vertex, the M candidates provably bound the cell (any absent
+# generator is too far to clip it) — returned as a per-cell certificate
+# (`complete`), asserted in tests and checkable by callers at runtime.
+# ---------------------------------------------------------------------------
+
+
+def _min_image(d, box):
+    return d - box * jnp.round(d / box)
+
+
+def voronoi2d(pos: jnp.ndarray, box: float, M: int = 20):
+    """Exact 2D periodic Voronoi tessellation (fixed candidate count M).
+
+    pos: (N, 2) generators in [0, box)^2.  Returns a dict:
+      volume (N,), centroid (N, 2) absolute, complete (N,) bool,
+      nbr (N, M) candidate indices, face_len (N, M), face_mid (N, M, 2)
+      relative to the generator, nrm (N, M, 2) unit normals i->j.
+    """
+    N = pos.shape[0]
+    # --- candidates: M nearest by periodic distance ------------------------
+    d = _min_image(pos[None, :, :] - pos[:, None, :], box)   # (N, N, 2)
+    r2 = jnp.sum(d * d, axis=-1) + jnp.eye(N) * 1e30
+    neg, nbr = jax.lax.top_k(-r2, M)                          # (N, M)
+    dj = jnp.take_along_axis(d, nbr[:, :, None], axis=1)      # (N, M, 2)
+    rj2 = -neg
+
+    # --- circumcenters of candidate pairs ----------------------------------
+    iu, ju = jnp.triu_indices(M, k=1)                         # (P,)
+    d1 = dj[:, iu, :]                                         # (N, P, 2)
+    d2 = dj[:, ju, :]
+    e1 = jnp.sum(d1 * d1, -1)
+    e2 = jnp.sum(d2 * d2, -1)
+    det = 2.0 * (d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0])
+    ok_det = jnp.abs(det) > 1e-12 * jnp.maximum(e1, e2)
+    det_s = jnp.where(ok_det, det, 1.0)
+    vx = (d2[..., 1] * e1 - d1[..., 1] * e2) / det_s          # (N, P)
+    vy = (d1[..., 0] * e2 - d2[..., 0] * e1) / det_s
+    v = jnp.stack([vx, vy], -1)                               # (N, P, 2)
+    rv2 = jnp.sum(v * v, -1)                                  # |v - gen|^2
+
+    # --- empty-circle test vs ALL candidates -------------------------------
+    # vertex valid iff no candidate l is strictly closer to v than the
+    # generator.  The cocircularity tolerance scales with the LOCAL
+    # candidate distance (not rv2): near-collinear pairs produce
+    # spurious circumcenters at huge radius, and an rv2-scaled slack
+    # would swamp the margin by which a nearer generator rejects them
+    dist_l2 = jnp.sum(
+        (v[:, :, None, :] - dj[:, None, :, :]) ** 2, -1)      # (N, P, M)
+    tol = 1e-5 * rj2[:, -1]                                    # (N,)
+    closer = dist_l2 < (rv2[:, :, None] - tol[:, None, None])
+    # the two co-generators are equidistant by construction; exclude them
+    lM = jnp.arange(M)
+    is_gen = (lM[None, None, :] == iu[None, :, None]) \
+        | (lM[None, None, :] == ju[None, :, None])
+    valid = ok_det & ~jnp.any(closer & ~is_gen, axis=-1)      # (N, P)
+
+    # --- faces: project vertices onto each face's tangent ------------------
+    rj = jnp.sqrt(rj2)
+    nrm = dj / jnp.maximum(rj, 1e-30)[..., None]              # (N, M, 2)
+    tangent = jnp.stack([-nrm[..., 1], nrm[..., 0]], -1)
+    # vertex v belongs to face j iff j is one of its co-generators
+    in_face = (iu[None, :, None] == lM[None, None, :]) \
+        | (ju[None, :, None] == lM[None, None, :])            # (1, P, M)
+    use = valid[:, :, None] & in_face                         # (N, P, M)
+    proj = jnp.einsum("npc,nmc->npm", v, tangent)
+    pmax = jnp.max(jnp.where(use, proj, -jnp.inf), axis=1)
+    pmin = jnp.min(jnp.where(use, proj, jnp.inf), axis=1)
+    has2 = jnp.sum(use, axis=1) >= 2
+    face_len = jnp.where(has2, pmax - pmin, 0.0)              # (N, M)
+    face_mid = 0.5 * dj                                       # (N, M, 2)
+
+    # --- area + centroid: angle-sorted shoelace ----------------------------
+    ang = jnp.arctan2(v[..., 1], v[..., 0])
+    ang = jnp.where(valid, ang, jnp.inf)                      # sort last
+    order = jnp.argsort(ang, axis=1)
+    vs = jnp.take_along_axis(v, order[:, :, None], axis=1)
+    val_s = jnp.take_along_axis(valid, order, axis=1)
+    n_val = jnp.sum(val_s, axis=1)                            # (N,)
+    # periodic successor among the valid prefix
+    P = vs.shape[1]
+    idx = jnp.arange(P)
+    nxt = jnp.where(idx[None, :] + 1 < n_val[:, None],
+                    idx[None, :] + 1, 0)
+    v_next = jnp.take_along_axis(vs, nxt[:, :, None], axis=1)
+    cross = vs[..., 0] * v_next[..., 1] - vs[..., 1] * v_next[..., 0]
+    cross = jnp.where(val_s, cross, 0.0)
+    area = 0.5 * jnp.sum(cross, axis=1)
+    tri_c = (vs + v_next) / 3.0                               # fan from gen
+    cen_rel = jnp.sum(jnp.where(val_s[..., None], cross[..., None] * tri_c,
+                                0.0), axis=1) \
+        / jnp.maximum(2.0 * area, 1e-30)[..., None]
+    centroid = jnp.mod(pos + cen_rel, box)
+
+    # --- completeness certificate ------------------------------------------
+    rv = jnp.sqrt(jnp.where(valid, rv2, 0.0))
+    r_far = jnp.max(rv, axis=1)
+    complete = (rj[:, -1] >= 2.0 * r_far) & (n_val >= 3)
+    return {"volume": area, "centroid": centroid, "complete": complete,
+            "nbr": nbr, "face_len": face_len, "face_mid": face_mid,
+            "nrm": nrm}
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def mm2d_step(p: ShadowswiftParams, pos: jnp.ndarray,
+              Q: Dict[str, jnp.ndarray], dt: jnp.ndarray, M: int = 20):
+    """One 2D moving-mesh finite-volume step.
+
+    Q: m (N,), p (N, 2), E (N,).  Faces exchange exact Riemann fluxes in
+    the face frame (w_face = mean generator velocity — Springel 2010
+    eq. 32's leading term; the residual rotation term vanishes for the
+    midpoint faces of near-centroidal meshes).  Each generator
+    accumulates its own (i, j) flux; the solver's L/R mirror symmetry
+    makes the update conservative."""
+    box = p.box
+    vor = voronoi2d(pos, box, M=M)
+    V = jnp.maximum(vor["volume"], 1e-30)
+    m = jnp.maximum(Q["m"], 1e-30)
+    rho = Q["m"] / V
+    vel = Q["p"] / m[:, None]                                 # (N, 2)
+    e_kin = 0.5 * jnp.sum(Q["p"] ** 2, -1) / m
+    P = (p.gamma - 1.0) * jnp.maximum(Q["E"] - e_kin, 0.0) / V
+    cs = jnp.sqrt(p.gamma * P / jnp.maximum(rho, 1e-30))
+
+    # generator velocities: fluid + bounded centroid steering
+    w = vel
+    if p.steer > 0.0:
+        d = _min_image(vor["centroid"] - pos, box)
+        v_st = jnp.clip(p.steer * d / jnp.maximum(dt, 1e-30),
+                        -cs[:, None], cs[:, None])
+        w = vel + v_st
+
+    nbr = vor["nbr"]
+    A = vor["face_len"]                                       # (N, M)
+    nrm = vor["nrm"]                                          # (N, M, 2)
+    w_face = 0.5 * (w[:, None, :] + w[nbr])                   # (N, M, 2)
+
+    zeros = jnp.zeros_like(A)
+    vL = vel[:, None, :] - w_face
+    vR = vel[nbr] - w_face
+    WL = (jnp.broadcast_to(rho[:, None], A.shape),
+          jnp.sum(vL * nrm, -1),
+          vL[..., 0] * (-nrm[..., 1]) + vL[..., 1] * nrm[..., 0],
+          zeros,
+          jnp.broadcast_to(P[:, None], A.shape))
+    WR = (rho[nbr],
+          jnp.sum(vR * nrm, -1),
+          vR[..., 0] * (-nrm[..., 1]) + vR[..., 1] * nrm[..., 0],
+          zeros,
+          P[nbr])
+    n_face = (jnp.ones_like(A), zeros, zeros)
+    w_n = jnp.sum(w_face * nrm, -1)                           # (N, M)
+    w_t = w_face[..., 0] * (-nrm[..., 1]) + w_face[..., 1] * nrm[..., 0]
+    vij = (w_n, w_t, zeros)
+    Fm, Fn, Ft, _, FE = exact_flux(WL, WR, n_face, vij, p.gamma)
+
+    # rotate momentum flux back to the lab frame
+    Fx = Fn * nrm[..., 0] + Ft * (-nrm[..., 1])
+    Fy = Fn * nrm[..., 1] + Ft * nrm[..., 0]
+
+    AF = A * dt
+    dm = -jnp.sum(AF * Fm, axis=1)
+    dpx = -jnp.sum(AF * Fx, axis=1)
+    dpy = -jnp.sum(AF * Fy, axis=1)
+    dE = -jnp.sum(AF * FE, axis=1)
+    Q_new = {"m": Q["m"] + dm,
+             "p": Q["p"] + jnp.stack([dpx, dpy], -1),
+             "E": Q["E"] + dE}
+    pos_new = jnp.mod(pos + w * dt, box)
+    return pos_new, Q_new
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def mm2d_timestep(p: ShadowswiftParams, pos, M: int = 20,
+                  Q: Dict[str, jnp.ndarray] = None):
+    """CFL on the effective cell radius R = sqrt(V / pi)."""
+    vor = voronoi2d(pos, p.box, M=M)
+    V = jnp.maximum(vor["volume"], 1e-30)
+    m = jnp.maximum(Q["m"], 1e-30)
+    rho = Q["m"] / V
+    e_kin = 0.5 * jnp.sum(Q["p"] ** 2, -1) / m
+    P = (p.gamma - 1.0) * jnp.maximum(Q["E"] - e_kin, 0.0) / V
+    cs = jnp.sqrt(p.gamma * P / jnp.maximum(rho, 1e-30))
+    R = jnp.sqrt(V / jnp.pi)
+    return jnp.min(p.CFL * R / jnp.maximum(cs, 1e-30))
+
+
+def mm2d_init(p: ShadowswiftParams, pos, rho, v, P, M: int = 20):
+    """Primitive ICs -> conserved per cell from the initial tessellation."""
+    pos = jnp.asarray(pos, F32)
+    vor = voronoi2d(pos, p.box, M=M)
+    V = vor["volume"]
+    rho = jnp.asarray(rho, F32)
+    v = jnp.asarray(v, F32)
+    P = jnp.asarray(P, F32)
+    m = rho * V
+    Q = {"m": m, "p": m[:, None] * v,
+         "E": P * V / (p.gamma - 1.0) + 0.5 * m * jnp.sum(v * v, -1)}
+    return pos, Q
+
+
+def mm2d_run(p: ShadowswiftParams, pos, Q, t_end: float,
+             dt_max: float = 1e30, M: int = 20):
+    """Host driver: adaptive global steps to t_end."""
+    t = 0.0
+    while t < t_end:
+        dt = float(mm2d_timestep(p, pos, M, Q))
+        dt = min(dt, dt_max, t_end - t)
+        pos, Q = mm2d_step(p, pos, Q, jnp.float32(dt), M)
+        t += dt
+    return pos, Q

@@ -31,6 +31,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="run with self-gravity")
     ap.add_argument("--cosmology", action="store_true",
                     help="comoving cosmological integration")
+    ap.add_argument("--external-gravity", action="store_true",
+                    help="external potential from the YAML (one of the "
+                         "reference's potential/ sections: PointMass / "
+                         "Isothermal / Hernquist / NFW / NFW_MN / "
+                         "DiscPatch / SineWave / Constant)")
     ap.add_argument("--limiter", action="store_true",
                     help="time-step limiter (reference --limiter: wake "
                          "particles >2 bins above an active neighbour)")
@@ -50,6 +55,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="meta flag: hydro + self-gravity + cosmology + "
                          "cooling + star formation + feedback + limiter "
                          "(reference swift.c --eagle)")
+    ap.add_argument("-R", "--radiation", action="store_true",
+                    help="radiative transfer (GEARRT: section; rt/GEAR "
+                         "M1 closure, subcycled per TimeIntegration:"
+                         "max_nr_rt_subcycles; star particles are the "
+                         "photon sources)")
     ap.add_argument("-n", "--steps", type=int, default=-1,
                     help="maximum number of steps")
     ap.add_argument("-P", "--param", action="append", default=[],
@@ -291,10 +301,27 @@ def main(argv=None) -> int:
     if box.size == 1:
         box = np.repeat(box, 3)
 
-    if not args.hydro and not args.self_gravity:
-        print("Nothing to do: pass --hydro and/or --self-gravity",
-              file=sys.stderr)
+    if not args.hydro and not args.self_gravity \
+            and not args.external_gravity:
+        print("Nothing to do: pass --hydro, --self-gravity and/or "
+              "--external-gravity", file=sys.stderr)
         return 1
+
+    # --- external potential (potential/ stack; runner_others.c:114) ----------
+    ext_pot = None
+    ext_mult = ext_eps = 0.0
+    if args.external_gravity:
+        from .models.potentials import potential_from_params
+        built = potential_from_params(params, units.constants(), box,
+                                      units=units)
+        if built is None:
+            print("--external-gravity given but no potential section in "
+                  "the YAML (PointMassPotential / IsothermalPotential / "
+                  "HernquistPotential / NFWPotential / NFW_MNPotential / "
+                  "DiscPatchPotential / SineWavePotential / "
+                  "ConstantPotential)", file=sys.stderr)
+            return 1
+        ext_pot, ext_mult, ext_eps = built
 
     from .io.snapshot import PTYPE_BH, PTYPE_NEUTRINO, PTYPE_SINK
     gas = parts.get(PTYPE_GAS)
@@ -303,7 +330,8 @@ def main(argv=None) -> int:
     bh_ic = parts.get(PTYPE_BH)
     nu_ic = parts.get(PTYPE_NEUTRINO)
     sink_ic = parts.get(PTYPE_SINK)
-    dmo = args.self_gravity and not args.hydro
+    dmo = ((args.self_gravity or args.external_gravity)
+           and not args.hydro)
     # gas + DM (+ stars/BH) cosmological volumes run the multi-species
     # engine (engine policies hydro|self_gravity|cosmology, engine.c:2245)
     multi = (args.hydro and args.self_gravity
@@ -355,7 +383,27 @@ def main(argv=None) -> int:
     resubmit_cmd = params.opt_string("Restarts", "resubmit_command",
                                      "./resub.sh")
 
-    if dmo:
+    if dmo and gp is None:
+        # -------- external-potential-only collisionless run -------------------
+        # (the reference's Hernquist/Isothermal orbit examples:
+        #  swift --external-gravity without --self-gravity)
+        if dm is None:
+            print("--external-gravity without gas needs PartType1 in "
+                  "the ICs", file=sys.stderr)
+            return 1
+        pos = np.asarray(dm["Coordinates"], np.float64)
+        grid = CellGrid.build_for_positions(
+            tuple(box), float(box[0]) / 8.0, pos, headroom=1.6)
+        eng = DMEngine(grid, EngineConfig(dt_min=dt_min, dt_max=dt_max,
+                                          with_external_gravity=True,
+                                          eta_grav=ext_mult),
+                       t_begin, t_end, gravity_fn=None,
+                       eps_soft=ext_eps, cosmology=cosmology,
+                       external_potential=ext_pot)
+        eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
+                    np.asarray(dm["Velocities"], np.float32),
+                    pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
+    elif dmo:
         # ---------------- gravity-only (EAGLE_DMO-style) run ------------------
         if dm is None:
             print("--self-gravity without gas needs PartType1 in the ICs",
@@ -412,10 +460,13 @@ def main(argv=None) -> int:
                                           eta_grav=gp.eta,
                                           p2p_reach=solver.pm.r_cut,
                                           shard_n=shard_n,
+                                          with_external_gravity=(
+                                              ext_pot is not None),
                                           backend=("flat" if args.backend
                                                    == "flat" else "xla")),
                        t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
-                       cosmology=cosmology, **mesh_kw)
+                       cosmology=cosmology, external_potential=ext_pot,
+                       **mesh_kw)
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
@@ -504,6 +555,7 @@ def main(argv=None) -> int:
         cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
                            with_self_gravity=True,
                            with_timestep_limiter=args.limiter,
+                           with_external_gravity=ext_pot is not None,
                            eta_grav=gp.eta, eps_soft=gp.eps,
                            p2p_reach=solver.pm.r_cut,
                            backend="flat" if use_flat else "xla",
@@ -531,6 +583,21 @@ def main(argv=None) -> int:
                       file=sys.stderr)
                 return 1
             nu_model = NeutrinoModel.from_params(params, units)
+        rt_model = rt_fn_multi = None
+        if args.radiation:
+            from .rt import (rt_params_from_yaml, pick_n_subcycles,
+                             make_rt_multi_fn)
+            built_rt = rt_params_from_yaml(params, units)
+            if built_rt is None:
+                print("--radiation given but no GEARRT: section",
+                      file=sys.stderr)
+                return 1
+            rt_model, max_sub = built_rt
+            n_sub = pick_n_subcycles(rt_model, dt_max, float(h0.min()),
+                                     max_sub)
+            L = params.opt_array("GEARRT", "star_luminosities",
+                                 [1.0] * rt_model.ngroups)
+            rt_fn_multi = make_rt_multi_fn(sph, rt_model, n_sub, L)
         eng = MultiEngine(grid, sph, cfg, t_begin, t_end,
                           gravity_fn=gravity_fn, eps_soft=gp.eps,
                           cosmology=cosmology, cooling_fn=cooling_fn,
@@ -538,6 +605,7 @@ def main(argv=None) -> int:
                           entropy_floor=floor, feedback=feedback,
                           bh_model=bh_model, nu_model=nu_model,
                           sink_model=sink_model, enrichment=enrichment,
+                          external_potential=ext_pot, rt_fn=rt_fn_multi,
                           **mesh_kw)
         eng.solver_builder = lambda g: GravitySolver(gp, g,
                                              fft_shard_n=shard_n)
@@ -558,6 +626,9 @@ def main(argv=None) -> int:
                      u_ic, h0,
                      pid=np.asarray(gas["ParticleIDs"]).astype(np.int32),
                      Z=Z_ic, elem_frac=ef_ic)
+        if rt_model is not None:
+            from .rt import rt_init_state
+            eng.state["gas"] = rt_init_state(eng.state["gas"], rt_model)
         if dm is not None:
             eng.load_dm(np.asarray(dm["Coordinates"], np.float64),
                         np.asarray(dm["Masses"], np.float32),
@@ -663,11 +734,15 @@ def main(argv=None) -> int:
         cfg = EngineConfig(dt_min=dt_min, dt_max=dt_max,
                            with_self_gravity=args.self_gravity,
                            with_timestep_limiter=args.limiter,
+                           with_external_gravity=ext_pot is not None,
                            backend=args.backend, shard_n=shard_n,
                            # collectives can't live inside while_loop
                            ghost_unroll=(shard_n > 0),
                            max_ghost_iterations=(
                                8 if shard_n > 0 else 30))
+        if ext_pot is not None and not args.self_gravity:
+            cfg = dataclasses.replace(cfg, eta_grav=ext_mult,
+                                      eps_soft=ext_eps)
         mesh_fn = None
         mesh_dt_scale = 0.0
         if args.self_gravity:
@@ -686,10 +761,34 @@ def main(argv=None) -> int:
             else:
                 gravity_fn = solver.gas_gravity_fn()
 
+        rt_model = rt_fn_one = None
+        if args.radiation:
+            # fixed photon sources = the ICs' star particles (the
+            # reference's Iliev/StromgrenSphere examples: one star spart
+            # emitting const luminosities, rt/GEAR)
+            from .rt import (rt_params_from_yaml, pick_n_subcycles,
+                             make_rt_fn)
+            built_rt = rt_params_from_yaml(params, units)
+            if built_rt is None:
+                print("--radiation given but no GEARRT: section",
+                      file=sys.stderr)
+                return 1
+            rt_model, max_sub = built_rt
+            n_sub = pick_n_subcycles(rt_model, dt_max, float(h0.min()),
+                                     max_sub)
+            src_pos = src_L = None
+            if stars_ic is not None:
+                src_pos = np.asarray(stars_ic["Coordinates"], np.float64)
+                L = params.opt_array("GEARRT", "star_luminosities",
+                                     [1.0] * rt_model.ngroups)
+                src_L = np.tile(np.asarray(L, np.float64),
+                                (len(src_pos), 1))
+            rt_fn_one = make_rt_fn(sph, rt_model, n_sub, src_pos, src_L)
         eng = Engine(grid, sph, cfg, t_begin, t_end,
                      gravity_fn=gravity_fn, cosmology=cosmology,
-                     cooling_fn=cooling_fn,
-                     mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
+                     cooling_fn=cooling_fn, external_potential=ext_pot,
+                     mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale,
+                     rt_fn=rt_fn_one)
         if args.self_gravity:
             eng.solver_builder = lambda g: GravitySolver(gp, g,
                                              fft_shard_n=shard_n)
@@ -720,6 +819,9 @@ def main(argv=None) -> int:
             u_ic, h0,
             pid=np.asarray(gas["ParticleIDs"]).astype(np.int32),
             Z=Z_ic, elem_frac=ef_ic, extra_fields=extra)
+        if rt_model is not None:
+            from .rt import rt_init_state
+            eng.state = rt_init_state(eng.state, rt_model)
 
     # --- restart resume -------------------------------------------------------
     t0 = wallclock.time()

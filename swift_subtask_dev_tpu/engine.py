@@ -137,6 +137,35 @@ def _call_gravity(gravity_fn, s):
     return out, None
 
 
+def make_external_gravity_fn(grid, potential):
+    """Wrap an external potential (models/potentials.py) as a
+    single-species gravity_fn over the padded tiles — the
+    external_gravity_acceleration runner (runner_others.c:114)."""
+    corners = jnp.asarray(np.asarray(grid.cell_corners()), F32)
+
+    def fn(s):
+        pos = corners[:, None, :] + s["off"]
+        acc, pot = potential(pos)
+        m = s["mask"] > 0
+        return acc * m[..., None], pot * m
+    return fn
+
+
+def compose_gravity_fns(self_fn, ext_fn):
+    """Sum a self-gravity fn and an external-potential fn (both
+    state -> (acc, pot)); either may be None."""
+    if self_fn is None:
+        return ext_fn
+    if ext_fn is None:
+        return self_fn
+
+    def fn(s):
+        a1, p1 = _call_gravity(self_fn, s)
+        a2, p2 = _call_gravity(ext_fn, s)
+        return a1 + a2, (p2 if p1 is None else p1 + p2)
+    return fn
+
+
 def bin_from_dt(dt: jnp.ndarray, time_base_inv: float) -> jnp.ndarray:
     """Largest bin with 2^(b+1)*time_base <= dt (timeline.h get_time_bin).
 
@@ -433,7 +462,8 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                gravity_fn: Optional[Callable],
                cosmo: CosmoFactors, s: Dict, T: StepTables,
-               cooling_fn: Optional[Callable] = None):
+               cooling_fn: Optional[Callable] = None,
+               rt_fn: Optional[Callable] = None):
     """One full engine step (drift -> loops -> KDK) for the gas.
 
     Returns (new_state, diagnostics).  Mirrors engine_step (engine.c:2245)
@@ -483,6 +513,12 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         upd = cooling_fn(s, cosmo, T.dt_therm_full[tb])
         for k, v in upd.items():
             s = {**s, k: jnp.where(active, v, s[k])}
+
+    # --- radiative transfer: subcycled inject/transport/thermochem ----------
+    # (the RT task chain of runner_main.c between the hydro force and the
+    # kicks; radiation advances globally over the step's drift interval)
+    if rt_fn is not None:
+        s = rt_fn(grid, s, T)
 
     s, too_small, n_woken = _gas_kdk(grid, p, cfg, cosmo, s, T, active,
                                      mask_b, tb)
@@ -702,8 +738,18 @@ class Engine:
                  gravity_fn: Optional[Callable] = None,
                  cosmology=None, cooling_fn: Optional[Callable] = None,
                  mesh_fn: Optional[Callable] = None,
-                 mesh_dt_scale: float = 0.0):
+                 mesh_dt_scale: float = 0.0,
+                 external_potential=None,
+                 rt_fn: Optional[Callable] = None):
         self.cooling_fn = cooling_fn
+        # radiative transfer closure (rt/gear.py make_rt_fn): subcycled
+        # inject/transport/thermochemistry inside the jitted step
+        self.rt_fn = rt_fn
+        # external potential (models/potentials.py): composed into
+        # gravity_fn and re-composed after every re-grid
+        self.external_potential = external_potential
+        if external_potential is not None:
+            gravity_fn = self._compose_external(gravity_fn, grid)
         # split PM mesh: when mesh_fn is given, gravity_fn must be the
         # short-range part only; the mesh field lives on its own longer
         # timestep with separate kicks (kick.h:255, engine.c:2406 ti_mesh)
@@ -1035,11 +1081,11 @@ class Engine:
         if getattr(self, "_nc", False):
             self.state, diag = _JIT_STEP_NC(
                 self.grid, self.sph, self.cfg, self.gravity_fn,
-                self.state, T, self.cooling_fn)
+                self.state, T, self.cooling_fn, self.rt_fn)
         else:
             self.state, diag = _JIT_STEP(
                 self.grid, self.sph, self.cfg, self.gravity_fn,
-                self.cosmo, self.state, T, self.cooling_fn)
+                self.cosmo, self.state, T, self.cooling_fn, self.rt_fn)
         self._post_step(diag)
         self.step_count += 1
         if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:
@@ -1154,7 +1200,12 @@ class Engine:
         ``CellGrid -> GravitySolver`` factory the caller sets (the CLI
         always does)."""
         builder = getattr(self, "solver_builder", None)
+        ext = getattr(self, "external_potential", None)
         if builder is None:
+            if ext is not None and self.mesh_fn is None:
+                # external-potential-only run: no solver to rebuild
+                self.gravity_fn = self._compose_external(None, new_grid)
+                return
             raise RuntimeError(
                 "auto re-grid with gravity needs engine.solver_builder "
                 "(a CellGrid -> GravitySolver factory): the old "
@@ -1172,6 +1223,16 @@ class Engine:
             self.mesh_dt_scale = solver.pm.r_s
         else:
             self.gravity_fn = solver.gas_gravity_fn()
+        if getattr(self, "external_potential", None) is not None:
+            self.gravity_fn = self._compose_external(self.gravity_fn,
+                                                     solver.grid)
+
+    def _compose_external(self, gravity_fn, grid):
+        """gravity_fn + external potential (overridden by MultiEngine
+        for its list-of-species gravity signature)."""
+        return compose_gravity_fns(
+            gravity_fn,
+            make_external_gravity_fn(grid, self.external_potential))
 
     def _post_step(self, diag):
         counts = np.asarray(diag["bin_counts"])
@@ -1468,7 +1529,7 @@ def _dm_init(grid, cfg, gravity_fn, eps_soft, s, T):
 # Module-level jitted entry points: static on (grid, scheme, config,
 # gravity_fn, cooling_fn) so engines with equal setups share one
 # compilation — the analog of SWIFT compiling its runners once.
-_JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3, 7))
+_JIT_STEP = jax.jit(hydro_step, static_argnums=(0, 1, 2, 3, 7, 8))
 _JIT_INIT = jax.jit(_init_pass, static_argnums=(0, 1, 2, 3))
 _JIT_MULTI = jax.jit(multi_step, static_argnums=(0, 1, 2, 3, 4, 8))
 
@@ -1508,9 +1569,9 @@ _NO_COSMO_LIT = CosmoFactors(a=1.0, H=0.0, a_inv2=1.0, fac_mu=1.0,
                              a_factor_internal_energy=1.0)
 
 
-def _step_nc(grid, p, cfg, gravity_fn, s, T, cooling_fn=None):
+def _step_nc(grid, p, cfg, gravity_fn, s, T, cooling_fn=None, rt_fn=None):
     return hydro_step(grid, p, cfg, gravity_fn, _NO_COSMO_LIT, s, T,
-                      cooling_fn)
+                      cooling_fn, rt_fn)
 
 
 def _init_nc(grid, p, cfg, gravity_fn, s, T):
@@ -1522,7 +1583,7 @@ def _multi_nc(grid, p, cfg, gravity_fn, k, s, T, cooling_fn=None):
                       cooling_fn)
 
 
-_JIT_STEP_NC = jax.jit(_step_nc, static_argnums=(0, 1, 2, 3, 6))
+_JIT_STEP_NC = jax.jit(_step_nc, static_argnums=(0, 1, 2, 3, 6, 7))
 _JIT_INIT_NC = jax.jit(_init_nc, static_argnums=(0, 1, 2, 3))
 _JIT_MULTI_NC = jax.jit(_multi_nc, static_argnums=(0, 1, 2, 3, 4, 7))
 _JIT_DM_STEP = jax.jit(dm_step, static_argnums=(0, 1, 2, 3))
@@ -1537,12 +1598,14 @@ class DMEngine(Engine):
                  gravity_fn: Callable, eps_soft: float,
                  cosmo=None, cosmology=None,
                  mesh_fn: Optional[Callable] = None,
-                 mesh_dt_scale: float = 0.0):
+                 mesh_dt_scale: float = 0.0,
+                 external_potential=None):
         from .models.sph.sphenix import SPHENIXParams
         super().__init__(grid, SPHENIXParams(), cfg, time_begin, time_end,
                          cosmo=cosmo, gravity_fn=gravity_fn,
                          cosmology=cosmology, mesh_fn=mesh_fn,
-                         mesh_dt_scale=mesh_dt_scale)
+                         mesh_dt_scale=mesh_dt_scale,
+                         external_potential=external_potential)
         self.eps_soft = float(eps_soft)
 
     def load_dm(self, pos, m, v, pid=None):

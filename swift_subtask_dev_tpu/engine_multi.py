@@ -24,7 +24,8 @@ import numpy as np
 
 from .engine import (Engine, EngineConfig, StepTables, NBINS, F32, I32,
                      _gas_loops, _gas_kdk, _dm_kdk, _rebucket_phase,
-                     _call_gravity, apply_wake, bin_from_dt)
+                     _call_gravity, apply_wake, bin_from_dt,
+                     make_external_gravity_fn)
 from .grid.cellgrid import CellGrid, bucket_fields
 from .models.sph import sphenix
 from .models.sph.sphenix import CosmoFactors, SPHENIXParams
@@ -150,7 +151,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
                cooling_fn: Optional[Callable] = None,
                sf=None, feedback=None, bh_model=None, sink_model=None,
-               enrichment=None):
+               enrichment=None, rt_fn: Optional[Callable] = None):
     """One engine step over {'gas', 'dm', 'stars', 'bh', 'sinks'} species.
 
     ``sf`` is an optional (EagleStarFormation, EagleEntropyFloor|None)
@@ -492,6 +493,10 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             upd = cooling_fn(gas_ch, cosmo, T.dt_therm_full[tb])
             for k, v in upd.items():
                 gas = {**gas, k: jnp.where(active, v, gas[k])}
+        # --- radiative transfer: star-sourced inject/transport/thermo
+        # (the RT task chain, runner_main.c; rt/gear.py make_rt_multi_fn)
+        if rt_fn is not None:
+            gas = rt_fn(grid, gas, stars, T)
         gas, too_small, woken = _gas_kdk(grid, p, cfg, cosmo, gas, T,
                                          active, mask_b, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
@@ -753,7 +758,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 
 _JIT_MULTI_STEP = jax.jit(multi_step,
                           static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11,
-                                          12, 13))
+                                          12, 13, 14))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
 _SPECIES_ORDER = ("gas", "dm", "stars", "bh", "sinks", "nu")
@@ -819,7 +824,8 @@ class MultiEngine(Engine):
                  star_formation=None, entropy_floor=None,
                  feedback=None, mesh_fn: Optional[Callable] = None,
                  mesh_dt_scale: float = 0.0, bh_model=None,
-                 nu_model=None, sink_model=None, enrichment=None):
+                 nu_model=None, sink_model=None, enrichment=None,
+                 external_potential=None, rt_fn=None):
         if cfg.backend == "gather":
             # gather: the multi-species step doesn't carry candidate
             # lists.  (flat + SF/feedback/sinks is supported: gas-gas
@@ -833,7 +839,9 @@ class MultiEngine(Engine):
         super().__init__(grid, sph, cfg, time_begin, time_end,
                          cosmo=cosmo, gravity_fn=gravity_fn,
                          cosmology=cosmology, cooling_fn=cooling_fn,
-                         mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale)
+                         mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale,
+                         external_potential=external_potential,
+                         rt_fn=rt_fn)
         self.eps_soft = float(eps_soft)
         # static (hashable) SF pair for the jitted step
         self.sf = (star_formation, entropy_floor) \
@@ -1138,7 +1146,7 @@ class MultiEngine(Engine):
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
             self.cosmo, self.state, T, self.cooling_fn, self.sf,
             self.feedback, self.bh_model, self.sink_model,
-            self.enrichment)
+            self.enrichment, self.rt_fn)
         self._post_step(diag)
         self.step_count += 1
         if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:
@@ -1211,3 +1219,25 @@ class MultiEngine(Engine):
             self.mesh_dt_scale = solver.pm.r_s
         else:
             self.gravity_fn = solver.accelerations
+        if getattr(self, "external_potential", None) is not None:
+            self.gravity_fn = self._compose_external(self.gravity_fn,
+                                                     solver.grid)
+
+    def _compose_external(self, gravity_fn, grid):
+        """Multi-species variant: gravity_fn maps a LIST of species
+        states to a list of (acc, pot) — apply the external potential
+        to every species (external forces act on all part types,
+        runner_others.c:114)."""
+        one = make_external_gravity_fn(grid, self.external_potential)
+
+        def ext_fn(states):
+            return [one(s) for s in states]
+        if gravity_fn is None:
+            return ext_fn
+
+        def fn(states):
+            outs = gravity_fn(states)
+            exts = ext_fn(states)
+            return [(a1 + a2, (p2 if p1 is None else p1 + p2))
+                    for (a1, p1), (a2, p2) in zip(outs, exts)]
+        return fn

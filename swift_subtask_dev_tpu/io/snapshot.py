@@ -370,4 +370,13 @@ def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
                       ("m_subgrid", "SubgridMasses")):
         if key in state:
             out[name] = flat(key)
+    # radiative transfer (rt_io.h rt_write_particles: per-group photon
+    # energies/fluxes + the thermochemistry ion fraction)
+    if "rt_E" in state:
+        E = np.asarray(state["rt_E"])[mask]
+        F = np.asarray(state["rt_F"])[mask]
+        for g in range(E.shape[-1]):
+            out[f"PhotonEnergiesGroup{g + 1}"] = E[..., g]
+            out[f"PhotonFluxesGroup{g + 1}"] = F[..., g, :]
+        out["MassFractionHI"] = np.asarray(state["x_HI"])[mask]
     return out

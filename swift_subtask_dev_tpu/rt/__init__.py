@@ -12,6 +12,8 @@ matching the regime of the reference's own Iliev-test examples.
 from .m1 import glf_flux, hyperbolic_flux, pressure_tensor  # noqa: F401
 from .gear import (RTParams, rt_init_state, rt_subcycles,  # noqa: F401
                    rt_transport_loop, rt_inject, rt_thermochemistry,
-                   stromgren_radius)
+                   stromgren_radius, rt_inject_from_stars,
+                   rt_params_from_yaml, pick_n_subcycles,
+                   make_rt_fn, make_rt_multi_fn)
 from .helium import (HeliumNetwork, he_init_state,  # noqa: F401
                      he_thermochemistry)

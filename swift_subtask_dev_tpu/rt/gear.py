@@ -26,6 +26,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..grid.cellgrid import CellGrid
 from ..ops.stencil import (_apply_offsets, _bi, _bj, _flat_view,
@@ -292,3 +293,188 @@ def stromgren_radius(Ndot, n_H, alpha_B):
     import math
     r_S = (3.0 * Ndot / (4.0 * math.pi * alpha_B * n_H * n_H)) ** (1.0 / 3)
     return r_S, 1.0 / (alpha_B * n_H)
+
+
+# ---------------------------------------------------------------------------
+# Engine wiring: star-sourced injection + the GEARRT: parameter surface
+# (rt_properties.h rt_props_init; runner order rt_injection ->
+#  rt_transport -> rt_tchem, engine_rt.c / runner_main.c RT task chain)
+# ---------------------------------------------------------------------------
+
+
+def rt_inject_from_stars(grid: CellGrid, gas_s: Dict, star_s: Dict, p,
+                         rt: RTParams, dt, L, use_scan: bool = False):
+    """Deposit each star's L*dt kernel-weighted over its gas neighbours.
+
+    The reference's two-pass injection (rt_iact.h:55-190): pass 1
+    (star-centric density loop, runner_iact_nonsym_rt_injection_prep)
+    accumulates the normalisation psi_sum over gas neighbours; pass 2
+    (gas-centric, runner_iact_rt_inject) deposits
+    dE_i = sum_s L_g dt w(r_si, h_s)/psi_sum_s / V_i.  Cross-species
+    tiles may carry different K, which the 27-stencil machinery handles
+    (the same shape as the feedback loops, ops/stencil.py).
+
+    ``L`` is the per-group constant stellar luminosity (G,) — the
+    reference's GEARRT:const_stellar_luminosities_LSol model.
+    """
+    sm = lambda n: _grid_view(grid, star_s[n])
+    smask, soff = sm("mask"), sm("off")
+    h_s = _sanitize(smask, sm("h"))
+    gamma2 = jnp.float32(p.kernel.gamma2)
+
+    # ---- pass 1: per-star psi_sum over gas neighbours --------------------
+    hinv_i = _bi(1.0 / h_s)
+    j_gas = {"off": _grid_view(grid, gas_s["off"]),
+             "mask": _grid_view(grid, gas_s["mask"])}
+
+    def psi_accum(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(soff, jf["off"], shift)
+        ok = (_bj(jf["mask"]) > 0) & (r2 * hinv_i ** 2 < gamma2)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-38))
+        w, _ = p.kernel.deval(r * hinv_i)
+        return acc + jnp.sum(jnp.where(ok, w, 0.0), axis=-1)
+
+    psi0 = jnp.zeros(smask.shape, F32)
+    psi_sum = _apply_offsets(grid, j_gas, psi0, psi_accum, use_scan)
+    psi_sum = _flat_view(grid, psi_sum) * star_s["mask"]
+
+    # ---- pass 2: gas-centric deposit --------------------------------------
+    gmask = _grid_view(grid, gas_s["mask"])
+    goff = _grid_view(grid, gas_s["off"])
+    j_star = {"off": soff, "mask": smask, "h": h_s,
+              "psi": _grid_view(grid, psi_sum)}
+
+    def dep_accum(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(goff, jf["off"], shift)
+        hj = _bj(jf["h"])
+        hinv_j = 1.0 / hj
+        ok = (_bj(jf["mask"]) > 0) & (r2 * hinv_j ** 2 < gamma2) \
+            & (_bj(jf["psi"]) > 0)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-38))
+        w, _ = p.kernel.deval(r * hinv_j)
+        frac = jnp.where(ok, w / jnp.maximum(_bj(jf["psi"]), 1e-30), 0.0)
+        return acc + jnp.sum(frac, axis=-1)
+
+    frac0 = jnp.zeros(gmask.shape, F32)
+    frac = _apply_offsets(grid, j_star, frac0, dep_accum, use_scan)
+    frac = _flat_view(grid, frac) * gas_s["mask"]
+
+    V = jnp.maximum(_volumes(gas_s), 1e-30)
+    E = gas_s["rt_E"]
+    for grp in range(rt.ngroups):
+        E = E.at[..., grp].add(float(L[grp]) * dt * frac / V)
+    return {**gas_s, "rt_E": E}
+
+
+def rt_params_from_yaml(params, units=None):
+    """Build (RTParams, max_nr_subcycles) from the GEARRT: YAML section.
+
+    Parameter surface (rt_properties.h rt_props_init + the reference's
+    TimeIntegration:max_nr_rt_subcycles):
+
+      GEARRT:
+        f_reduce_c: 0.01              # c_red = f * c  (OR reduced_speed_of_light directly, internal units)
+        CFL_condition: 0.9
+        photon_groups: 1
+        group_cross_sections: [s1,..] # HI sigma per group, internal units
+        group_photon_energies: [e1,..]# mean photon energy per group
+        hydrogen_mass_fraction: 1.0
+        case_B_recombination: a_B     # internal units (0 = off)
+        collisional_ionization: beta  # internal units (0 = off)
+        ionization_energy: e_ion
+        with_heating: 0|1
+        thermochemistry_substeps: 4
+        source_radius: h_inject       # point-source deposition radius
+
+    The reference derives cross-sections/energies by integrating a
+    stellar spectrum over photon_groups_Hz bins (rt_stellar_emission_-
+    rate.c); here they are direct parameters in internal units — the
+    synthesized-table analog used throughout this framework's subgrid.
+    """
+    sec = "GEARRT"
+    if not params.has(sec):
+        return None
+    G = params.opt_int(sec, "photon_groups", 1)
+
+    def arr(name, default):
+        v = params.opt_array(sec, name, [default] * G)
+        v = list(v) + [v[-1]] * (G - len(v))
+        return tuple(float(x) for x in v[:G])
+
+    c_red = params.opt_float(sec, "reduced_speed_of_light", 0.0)
+    if c_red <= 0.0:
+        f = params.opt_float(sec, "f_reduce_c", 0.01)
+        c_int = (units.constants().const_speed_light_c
+                 if units is not None else 1.0)
+        c_red = f * c_int
+    rt = RTParams(
+        ngroups=G,
+        c_red=c_red,
+        CFL=params.opt_float(sec, "CFL_condition", 0.9),
+        sigma=arr("group_cross_sections", 1.0),
+        e_photon=arr("group_photon_energies", 1.0),
+        X_H=params.opt_float(sec, "hydrogen_mass_fraction", 1.0),
+        # idealized-unit tests may override the proton mass directly
+        # (the reference's RT examples pick unit systems instead)
+        m_p=params.opt_float(
+            sec, "proton_mass",
+            (units.constants().const_proton_mass
+             if units is not None else 1.0)),
+        alpha_B=params.opt_float(sec, "case_B_recombination", 0.0),
+        beta_coll=params.opt_float(sec, "collisional_ionization", 0.0),
+        e_ion=params.opt_float(sec, "ionization_energy", 0.0),
+        heating=bool(params.opt_int(sec, "with_heating", 0)),
+        chem_substeps=params.opt_int(sec, "thermochemistry_substeps", 4),
+        src_h=params.opt_float(sec, "source_radius", 0.1),
+    )
+    max_sub = params.opt_int("TimeIntegration", "max_nr_rt_subcycles", 8)
+    return rt, max_sub
+
+
+def pick_n_subcycles(rt: RTParams, dt_max: float, h_min: float,
+                     max_nr: int) -> int:
+    """Static subcycle count: smallest n with dt_max/n <= CFL*h_min/c_red,
+    capped at max_nr (TimeIntegration:max_nr_rt_subcycles; the reference
+    sizes this per-step from the RT time-step task — here it is fixed at
+    init so the jitted step never recompiles)."""
+    import math
+    dt_rt = rt.CFL * h_min / max(rt.c_red, 1e-30)
+    return max(1, min(max_nr, int(math.ceil(dt_max / max(dt_rt, 1e-30)))))
+
+
+def make_rt_fn(p, rt: RTParams, n_sub: int, src_pos=None, src_L=None,
+               use_scan: bool = False):
+    """Engine closure: s = rt_fn(grid, s, T) subcycled over the step's
+    drift interval (hydro_step calls it between cooling and the kicks —
+    the reference's RT task chain runs inside the same engine step,
+    runner_main.c).  Radiation advances globally every step regardless
+    of hydro time bins — the field is updated for ALL particles each
+    system step, which is exact (the reference subcycles per-cell only
+    to save task work)."""
+    sp = None if src_pos is None else np.asarray(src_pos, np.float64)
+    sL = None if src_L is None else np.asarray(src_L, np.float64)
+
+    def rt_fn(grid, s, T):
+        return rt_subcycles(grid, s, p, rt, T.dt_drift, n_sub,
+                            src_pos=sp, src_L=sL, use_scan=use_scan)
+    return rt_fn
+
+
+def make_rt_multi_fn(p, rt: RTParams, n_sub: int, L,
+                     use_scan: bool = False):
+    """MultiEngine closure: gas = rt_fn(grid, gas_s, star_s, T) with
+    star particles as the photon sources (const per-group luminosities
+    L, the GEARRT const stellar emission model)."""
+    Lv = np.asarray(L, np.float64).reshape(-1)
+
+    def rt_fn(grid, gas_s, star_s, T):
+        dt = T.dt_drift / n_sub
+        for _ in range(n_sub):
+            if star_s is not None:
+                gas_s = rt_inject_from_stars(grid, gas_s, star_s, p, rt,
+                                             dt, Lv, use_scan=use_scan)
+            gas_s = rt_transport_loop(grid, gas_s, p, rt, dt,
+                                      use_scan=use_scan)
+            gas_s = rt_thermochemistry(gas_s, rt, dt)
+        return gas_s
+    return rt_fn

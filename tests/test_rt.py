@@ -168,3 +168,43 @@ def test_stromgren_sphere():
         assert abs(r_front - r_want) / r_want < 0.2, checks
     # front actually advanced between the two checks
     assert checks[1][1] > checks[0][1]
+
+
+def test_inject_from_stars_matches_total():
+    """Star-sourced injection (rt_inject_from_stars, the MultiEngine
+    path) deposits EXACTLY L*dt per star onto its gas neighbours, with
+    kernel-weighted psi fractions (rt_iact.h:55-190 two-pass scheme)."""
+    from swift_subtask_dev_tpu.rt.gear import (_volumes,
+                                               rt_inject_from_stars)
+
+    grid, s, p, rho0 = _static_gas(n=10)
+    rt = RTParams(ngroups=2, c_red=1.0, sigma=(0.0, 0.0),
+                  e_photon=(1.0, 1.0))
+    s = rt_init_state(s, rt)
+
+    # two stars bucketed onto the same grid with feedback-scale h
+    star_pos = np.array([[0.52, 0.48, 0.5], [0.18, 0.8, 0.31]])
+    sf = {"m": jnp.asarray([1.0, 1.0], jnp.float32),
+          "h": jnp.asarray([0.08, 0.08], jnp.float32)}
+    sout, smask, soff, nov = bucket_fields(grid,
+                                           jnp.asarray(star_pos), sf)
+    assert int(nov) == 0
+    star_s = {"mask": smask, "off": soff, **sout}
+
+    L = np.array([3.0, 0.5])
+    dt = 0.01
+    out = jax.jit(lambda g_s: rt_inject_from_stars(
+        grid, g_s, star_s, p, rt, dt, L))(s)
+
+    V = np.asarray(_volumes(s)) * np.asarray(s["mask"])
+    for grp in range(2):
+        tot = float((np.asarray(out["rt_E"][..., grp]) * V).sum())
+        # 2 stars x L_g * dt, conserved through the psi normalisation
+        np.testing.assert_allclose(tot, 2 * L[grp] * dt, rtol=1e-4)
+    # deposition is local: particles far from both stars got nothing
+    from swift_subtask_dev_tpu.rt.gear import _abs_positions
+    pos = np.asarray(_abs_positions(grid, s["off"]))
+    d1 = np.linalg.norm(pos - star_pos[0], axis=-1)
+    d2 = np.linalg.norm(pos - star_pos[1], axis=-1)
+    far = (d1 > 0.3) & (d2 > 0.3) & (np.asarray(s["mask"]) > 0)
+    assert float(np.abs(np.asarray(out["rt_E"][..., 0])[far]).max()) == 0.0

@@ -823,6 +823,12 @@ def main(argv=None) -> int:
             from .rt import rt_init_state
             eng.state = rt_init_state(eng.state, rt_model)
 
+    # --- gas particle splitting (engine_split_gas_particles, engine.c:268;
+    # SPH:particle_splitting / particle_splitting_mass_threshold) ------------
+    if args.hydro and params.opt_int("SPH", "particle_splitting", 0):
+        eng.split_mass_threshold = params.get_float(
+            "SPH", "particle_splitting_mass_threshold")
+
     # --- restart resume -------------------------------------------------------
     t0 = wallclock.time()
     if args.restart:

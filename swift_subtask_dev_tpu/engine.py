@@ -536,6 +536,8 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "n_woken": n_woken,
         "h_max_active": jnp.max(jnp.where(active, s["h"], 0.0)),
         "nbr_maxcount": s.get("nbr_maxcount", jnp.int32(0)),
+        # particle-splitting trigger (engine_split_gas_particles)
+        "m_max_gas": jnp.max(jnp.where(mask_b, s["m"], 0.0)),
     }
     return s, diag
 
@@ -1064,7 +1066,83 @@ class Engine:
         return wake_dv, wake_du
 
     def step(self):
-        return self._with_regrid_retry(self._step_once)
+        diag = self._with_regrid_retry(self._step_once)
+        # --- gas particle splitting (engine_split_gas_particles,
+        # engine.c:268; SPH:particle_splitting) — checked from the step
+        # diagnostics, applied host-side like the reference's
+        # rebuild-time split pass
+        thr = float(getattr(self, "split_mass_threshold", 0.0) or 0.0)
+        if thr > 0.0 and float(diag.get("m_max_gas", 0.0)) > thr:
+            self.n_split_total = (getattr(self, "n_split_total", 0)
+                                  + self.split_gas_particles(thr))
+        return diag
+
+    # --- particle splitting (engine_split_gas_particles, engine.c:268) ----
+    def _split_arrays(self, gas_state, thr: float, frac: float = 0.2):
+        """Halve every gas particle heavier than ``thr`` into two copies
+        displaced +-frac*h along a deterministic per-pid direction, both
+        with h/2^(1/3) (each carries half the mass).  Intensive fields
+        (u, rho, rt_E, Z, ...) are copied; only the mass is extensive.
+        Returns (pos_all, fields, n_split) or None when nothing splits."""
+        pos, fields = self._extract_particles(gas_state)
+        m = fields["m"]
+        hot = m > thr
+        n = int(hot.sum())
+        if n == 0:
+            return None
+        # deterministic per-pid unit directions (the reference draws
+        # random3d from the particle ID too, engine.c:376 random_unit)
+        pid = fields["pid"][hot].astype(np.uint64)
+        x = pid * np.uint64(0x9E3779B97F4A7C15)
+        y = pid * np.uint64(0xC2B2AE3D27D4EB4F) \
+            + np.uint64(0x165667B19E3779F9)
+        u1 = (x >> np.uint64(11)).astype(np.float64) / 2.0 ** 53
+        u2 = (y >> np.uint64(11)).astype(np.float64) / 2.0 ** 53
+        cth = 2.0 * u1 - 1.0
+        sth = np.sqrt(np.maximum(1.0 - cth * cth, 0.0))
+        phi = 2.0 * np.pi * u2
+        dirs = np.stack([sth * np.cos(phi), sth * np.sin(phi), cth], -1)
+
+        h_hot = fields["h"][hot] if "h" in fields else \
+            np.full(n, 0.01, np.float32)
+        disp = (frac * h_hot)[:, None] * dirs
+        box = np.asarray(self.grid.box, np.float64)
+        clone_pos = np.mod(pos[hot] + disp, box)
+        pos = pos.copy()
+        pos[hot] = np.mod(pos[hot] - disp, box)
+
+        clone = {k: v[hot].copy() for k, v in fields.items()}
+        fields = {k: v.copy() for k, v in fields.items()}
+        fields["m"][hot] *= 0.5
+        clone["m"] = fields["m"][hot].copy()
+        if "h" in fields:
+            shrink = np.float32(2.0 ** (-1.0 / 3.0))
+            fields["h"][hot] *= shrink
+            clone["h"] *= shrink
+        next_pid = int(fields["pid"].max()) + 1
+        clone["pid"] = np.arange(next_pid, next_pid + n, dtype=np.int32)
+
+        pos_all = np.concatenate([pos, clone_pos])
+        merged = {k: np.concatenate([fields[k], clone[k]])
+                  for k in fields}
+        return pos_all, merged, n
+
+    def split_gas_particles(self, thr: float) -> int:
+        """Split overweight gas in place; re-grids if the split overflows
+        the current cell capacity.  Returns the number of splits."""
+        r = self._split_arrays(self.state, thr)
+        if r is None:
+            return 0
+        pos_all, merged, n = r
+        try:
+            self.state = self._rebucket_species(self.grid, pos_all, merged)
+        except RuntimeError:
+            new_grid = self._build_grid(pos_all, self._grid_reach())
+            self.state = self._rebucket_species(new_grid, pos_all, merged)
+            self.grid = new_grid
+            if self.gravity_fn is not None or self.mesh_fn is not None:
+                self._rebind_gravity(new_grid)
+        return n
 
     def _step_once(self):
         """Advance to the next ti_end_min (engine_step, engine.c:2245)."""

@@ -616,6 +616,9 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "h_max_active": h_max_active,
         "n_converted": n_converted,
         "sfr_total": sfr_total,
+        # particle-splitting trigger (engine_split_gas_particles)
+        "m_max_gas": (jnp.max(jnp.where(gas["mask"] > 0, gas["m"], 0.0))
+                      if gas is not None else jnp.float32(0.0)),
         "n_heated": n_heated,
         "n_swallowed": n_swallowed,
         "n_agn": n_agn,
@@ -1183,15 +1186,35 @@ class MultiEngine(Engine):
                             * self.sph.kernel.gamma * 1.05)
         return max(reach, h_reach * 1.05)
 
-    def regrid(self, h_reach: float = 0.0):
+    def split_gas_particles(self, thr: float) -> int:
+        """Gas-only splitting in the species pool: re-bucket the split
+        gas onto the current grid, or regrid every species when the
+        split overflows cell capacity (engine_split_gas_particles)."""
+        r = self._split_arrays(self.state["gas"], thr)
+        if r is None:
+            return 0
+        pos_all, merged, n = r
+        try:
+            self.state["gas"] = self._rebucket_species(self.grid, pos_all,
+                                                       merged)
+        except RuntimeError:
+            self.regrid(_override={"gas": (pos_all, merged)})
+        return n
+
+    def regrid(self, h_reach: float = 0.0, _override=None):
         """space_regrid over every species: one new grid sized for the
         union of particles, each species re-bucketed onto it (stars keep
-        their star-formation free slots)."""
+        their star-formation free slots).  ``_override`` replaces a
+        species' live arrays with caller-provided (pos, fields) —
+        used by the particle-splitting pass."""
         reach = self._grid_reach(h_reach)
         extracted = {}
         pos_all = []
         for name, sp in self.state.items():
-            pos, fields = self._extract_particles(sp)
+            if _override is not None and name in _override:
+                pos, fields = _override[name]
+            else:
+                pos, fields = self._extract_particles(sp)
             extracted[name] = (pos, fields)
             pos_all.append(pos)
         new_grid = self._build_grid(np.concatenate(pos_all), reach)

@@ -208,3 +208,50 @@ def test_inject_from_stars_matches_total():
     d2 = np.linalg.norm(pos - star_pos[1], axis=-1)
     far = (d1 > 0.3) & (d2 > 0.3) & (np.asarray(s["mask"]) > 0)
     assert float(np.abs(np.asarray(out["rt_E"][..., 0])[far]).max()) == 0.0
+
+
+def test_multi_engine_rt_star_sources():
+    """MultiEngine --radiation path: stars inject L*dt per step into the
+    gas; the radiation field grows accordingly and ionizes around the
+    star (the engine-level RT task chain, engine_multi.multi_step)."""
+    from swift_subtask_dev_tpu.engine import EngineConfig
+    from swift_subtask_dev_tpu.engine_multi import MultiEngine
+    from swift_subtask_dev_tpu.ics import uniform_box_ic
+    from swift_subtask_dev_tpu.rt import (RTParams, make_rt_multi_fn,
+                                          rt_init_state)
+    from swift_subtask_dev_tpu.rt.gear import _volumes
+
+    ic = uniform_box_ic(n=8, jitter=0.02, seed=7)
+    P = SPHENIXParams(h_max=0.3)
+    grid = CellGrid(box=(1.0, 1.0, 1.0), cdim=(3, 3, 3), K=64)
+    rt = RTParams(ngroups=1, c_red=2.0, sigma=(20.0,), e_photon=(1.0,),
+                  m_p=1.0, alpha_B=0.0)
+    L = [5.0]
+    rt_fn = make_rt_multi_fn(P, rt, n_sub=2, L=L)
+
+    eng = MultiEngine(grid, P, EngineConfig(dt_max=1e-3), 0.0, 1.0,
+                      rt_fn=rt_fn)
+    eng.load_gas(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
+    eng.load_stars(np.array([[0.5, 0.5, 0.5]]),
+                   np.array([1.0], np.float32),
+                   np.zeros((1, 3), np.float32),
+                   h=np.array([0.15], np.float32))
+    eng.state["gas"] = rt_init_state(eng.state["gas"], rt)
+    eng.init_particles()
+    n = 4
+    for _ in range(n):
+        eng.step()
+
+    gas = eng.state["gas"]
+    V = np.asarray(_volumes(gas)) * np.asarray(gas["mask"])
+    E = np.asarray(gas["rt_E"][..., 0])
+    x = np.asarray(gas["x_HI"])
+    dt_tot = float(eng.time)
+    injected = L[0] * dt_tot
+    # photons absorbed by x_HI ionization: E_tot + e_ph * ionized atoms
+    # equals the injected energy (both conservation laws at once)
+    n_H = np.asarray(gas["rho"]) * np.asarray(gas["mask"])
+    ionized = float((n_H * (1.0 - x) * np.asarray(gas["mask"]) * V).sum())
+    np.testing.assert_allclose(float((E * V).sum()) + ionized, injected,
+                               rtol=5e-3)
+    assert float((E * V).sum()) > 0

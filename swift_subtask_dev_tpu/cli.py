@@ -589,15 +589,17 @@ def main(argv=None) -> int:
                              make_rt_multi_fn)
             built_rt = rt_params_from_yaml(params, units)
             if built_rt is None:
-                print("--radiation given but no GEARRT: section",
+                print("--radiation given but no GEARRT:/SPHM1RT: section",
                       file=sys.stderr)
                 return 1
-            rt_model, max_sub = built_rt
+            rt_model, max_sub, rt_scheme = built_rt
             n_sub = pick_n_subcycles(rt_model, dt_max, float(h0.min()),
                                      max_sub)
-            L = params.opt_array("GEARRT", "star_luminosities",
-                                 [1.0] * rt_model.ngroups)
-            rt_fn_multi = make_rt_multi_fn(sph, rt_model, n_sub, L)
+            L = params.opt_array(
+                "GEARRT" if rt_scheme == "gear" else "SPHM1RT",
+                "star_luminosities", [1.0] * rt_model.ngroups)
+            rt_fn_multi = make_rt_multi_fn(sph, rt_model, n_sub, L,
+                                           scheme=rt_scheme)
         eng = MultiEngine(grid, sph, cfg, t_begin, t_end,
                           gravity_fn=gravity_fn, eps_soft=gp.eps,
                           cosmology=cosmology, cooling_fn=cooling_fn,
@@ -770,20 +772,22 @@ def main(argv=None) -> int:
                              make_rt_fn)
             built_rt = rt_params_from_yaml(params, units)
             if built_rt is None:
-                print("--radiation given but no GEARRT: section",
+                print("--radiation given but no GEARRT:/SPHM1RT: section",
                       file=sys.stderr)
                 return 1
-            rt_model, max_sub = built_rt
+            rt_model, max_sub, rt_scheme = built_rt
             n_sub = pick_n_subcycles(rt_model, dt_max, float(h0.min()),
                                      max_sub)
             src_pos = src_L = None
             if stars_ic is not None:
                 src_pos = np.asarray(stars_ic["Coordinates"], np.float64)
-                L = params.opt_array("GEARRT", "star_luminosities",
-                                     [1.0] * rt_model.ngroups)
+                L = params.opt_array(
+                    "GEARRT" if rt_scheme == "gear" else "SPHM1RT",
+                    "star_luminosities", [1.0] * rt_model.ngroups)
                 src_L = np.tile(np.asarray(L, np.float64),
                                 (len(src_pos), 1))
-            rt_fn_one = make_rt_fn(sph, rt_model, n_sub, src_pos, src_L)
+            rt_fn_one = make_rt_fn(sph, rt_model, n_sub, src_pos, src_L,
+                                   scheme=rt_scheme)
         eng = Engine(grid, sph, cfg, t_begin, t_end,
                      gravity_fn=gravity_fn, cosmology=cosmology,
                      cooling_fn=cooling_fn, external_potential=ext_pot,

@@ -272,16 +272,21 @@ def rt_thermochemistry(s: Dict, rt: RTParams, dt) -> Dict:
 
 def rt_subcycles(grid: CellGrid, s: Dict, p, rt: RTParams, dt_hydro,
                  n_sub: int, src_pos=None, src_L=None,
-                 use_scan: bool = False) -> Dict:
+                 use_scan: bool = False, transport=None) -> Dict:
     """n_sub RT steps per hydro step (the reference's RT subcycling,
     engine.c / rt_properties.h): inject → transport → thermochemistry.
     ``n_sub`` is static; pick it host-side as
-    ceil(dt_hydro / (CFL * min h / c_red))."""
+    ceil(dt_hydro / (CFL * min h / c_red)).  ``transport`` selects the
+    scheme's transport loop (default rt/GEAR finite-volume faces; pass
+    rt.sphm1.sphm1_transport_loop for the SPH-operator scheme — state
+    layouts are identical, so they are drop-in interchangeable)."""
+    if transport is None:
+        transport = rt_transport_loop
     dt = dt_hydro / n_sub
     for _ in range(n_sub):
         if src_pos is not None:
             s = rt_inject(grid, s, rt, src_pos, src_L, dt)
-        s = rt_transport_loop(grid, s, p, rt, dt, use_scan=use_scan)
+        s = transport(grid, s, p, rt, dt, use_scan=use_scan)
         s = rt_thermochemistry(s, rt, dt)
     return s
 
@@ -367,7 +372,9 @@ def rt_inject_from_stars(grid: CellGrid, gas_s: Dict, star_s: Dict, p,
 
 
 def rt_params_from_yaml(params, units=None):
-    """Build (RTParams, max_nr_subcycles) from the GEARRT: YAML section.
+    """Build (RTParams, max_nr_subcycles, scheme) from the GEARRT: or
+    SPHM1RT: YAML section (the runtime analog of the reference's
+    compile-time --with-rt=GEAR_N / SPHM1RT_N selection, configure.ac).
 
     Parameter surface (rt_properties.h rt_props_init + the reference's
     TimeIntegration:max_nr_rt_subcycles):
@@ -391,8 +398,12 @@ def rt_params_from_yaml(params, units=None):
     rate.c); here they are direct parameters in internal units — the
     synthesized-table analog used throughout this framework's subgrid.
     """
-    sec = "GEARRT"
-    if not params.has(sec):
+    sec = scheme = None
+    for cand, name in (("GEARRT", "gear"), ("SPHM1RT", "sphm1")):
+        if params.has(cand):
+            sec, scheme = cand, name
+            break
+    if sec is None:
         return None
     G = params.opt_int(sec, "photon_groups", 1)
 
@@ -428,7 +439,14 @@ def rt_params_from_yaml(params, units=None):
         src_h=params.opt_float(sec, "source_radius", 0.1),
     )
     max_sub = params.opt_int("TimeIntegration", "max_nr_rt_subcycles", 8)
-    return rt, max_sub
+    return rt, max_sub, scheme
+
+
+def _transport_for(scheme: str):
+    if scheme == "sphm1":
+        from .sphm1 import sphm1_transport_loop
+        return sphm1_transport_loop
+    return rt_transport_loop
 
 
 def pick_n_subcycles(rt: RTParams, dt_max: float, h_min: float,
@@ -443,7 +461,7 @@ def pick_n_subcycles(rt: RTParams, dt_max: float, h_min: float,
 
 
 def make_rt_fn(p, rt: RTParams, n_sub: int, src_pos=None, src_L=None,
-               use_scan: bool = False):
+               use_scan: bool = False, scheme: str = "gear"):
     """Engine closure: s = rt_fn(grid, s, T) subcycled over the step's
     drift interval (hydro_step calls it between cooling and the kicks —
     the reference's RT task chain runs inside the same engine step,
@@ -453,19 +471,22 @@ def make_rt_fn(p, rt: RTParams, n_sub: int, src_pos=None, src_L=None,
     to save task work)."""
     sp = None if src_pos is None else np.asarray(src_pos, np.float64)
     sL = None if src_L is None else np.asarray(src_L, np.float64)
+    transport = _transport_for(scheme)
 
     def rt_fn(grid, s, T):
         return rt_subcycles(grid, s, p, rt, T.dt_drift, n_sub,
-                            src_pos=sp, src_L=sL, use_scan=use_scan)
+                            src_pos=sp, src_L=sL, use_scan=use_scan,
+                            transport=transport)
     return rt_fn
 
 
 def make_rt_multi_fn(p, rt: RTParams, n_sub: int, L,
-                     use_scan: bool = False):
+                     use_scan: bool = False, scheme: str = "gear"):
     """MultiEngine closure: gas = rt_fn(grid, gas_s, star_s, T) with
     star particles as the photon sources (const per-group luminosities
     L, the GEARRT const stellar emission model)."""
     Lv = np.asarray(L, np.float64).reshape(-1)
+    transport = _transport_for(scheme)
 
     def rt_fn(grid, gas_s, star_s, T):
         dt = T.dt_drift / n_sub
@@ -473,8 +494,7 @@ def make_rt_multi_fn(p, rt: RTParams, n_sub: int, L,
             if star_s is not None:
                 gas_s = rt_inject_from_stars(grid, gas_s, star_s, p, rt,
                                              dt, Lv, use_scan=use_scan)
-            gas_s = rt_transport_loop(grid, gas_s, p, rt, dt,
-                                      use_scan=use_scan)
+            gas_s = transport(grid, gas_s, p, rt, dt, use_scan=use_scan)
             gas_s = rt_thermochemistry(gas_s, rt, dt)
         return gas_s
     return rt_fn

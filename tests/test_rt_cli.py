@@ -95,3 +95,62 @@ Snapshots:
     V = np.asarray(g["Masses"]) / np.asarray(g["Densities"])
     E_tot = float((E * V).sum())
     assert E_tot <= 20.0 * 0.02 * 1.001
+
+
+def test_cli_radiation_sphm1(tmp_path):
+    """--radiation with an SPHM1RT: section drives the SPH-operator
+    scheme through the same engine hook (the runtime analog of
+    configure --with-rt=SPHM1RT_1)."""
+    ic = str(tmp_path / "ic.hdf5")
+    gas = _uniform_gas(10)
+    star = {
+        "Coordinates": np.array([[0.5, 0.5, 0.5]]),
+        "Velocities": np.zeros((1, 3), np.float32),
+        "Masses": np.array([1.0], np.float32),
+        "ParticleIDs": np.array([999999], np.uint64),
+    }
+    write_snapshot(ic, (1.0, 1.0, 1.0), 0.0,
+                   {PTYPE_GAS: gas, PTYPE_STARS: star})
+    (tmp_path / "rt.yml").write_text(f"""
+InternalUnitSystem:
+  UnitMass_in_cgs: 1.0
+  UnitLength_in_cgs: 1.0
+  UnitVelocity_in_cgs: 1.0
+TimeIntegration:
+  time_begin: 0.0
+  time_end:   0.01
+  dt_max:     2.5e-3
+  max_nr_rt_subcycles: 4
+InitialConditions:
+  file_name: {ic}
+SPH:
+  resolution_eta: 1.2348
+  CFL_condition: 0.2
+SPHM1RT:
+  photon_groups: 1
+  reduced_speed_of_light: 5.0
+  group_cross_sections: [50.0]
+  group_photon_energies: [1.0]
+  star_luminosities: [20.0]
+  proton_mass: 1.0
+  source_radius: 0.12
+Snapshots:
+  basename: {tmp_path / 'snap'}
+  delta_time: 0.01
+""")
+    r = subprocess.run(
+        [sys.executable, "-m", "swift_subtask_dev_tpu.cli",
+         str(tmp_path / "rt.yml"), "--hydro", "--radiation", "--cpu",
+         "--backend", "xla"],
+        capture_output=True, text=True, timeout=1500, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-3000:]
+    snaps = sorted(tmp_path.glob("snap_*.hdf5"))
+    _, parts, _ = read_snapshot(str(snaps[-1]))
+    g = parts[PTYPE_GAS]
+    E = np.asarray(g["PhotonEnergiesGroup1"])
+    pos = np.asarray(g["Coordinates"])
+    rr = np.linalg.norm(pos - 0.5, axis=1)
+    # photons injected and still near the source at t = 0.01 (front
+    # radius c_red*t = 0.05)
+    assert E.sum() > 0
+    assert E[rr < 0.2].sum() > 100.0 * max(E[rr > 0.4].sum(), 1e-12)

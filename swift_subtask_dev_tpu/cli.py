@@ -383,6 +383,15 @@ def main(argv=None) -> int:
     resubmit_cmd = params.opt_string("Restarts", "resubmit_command",
                                      "./resub.sh")
 
+    # occupancy re-grid trigger — the TPU analog of the reference's
+    # repartition/space_regrid sizing (engine.c:1781, space_regrid):
+    # rebuild tighter tiles when K is mostly padding
+    rep_kw = dict(
+        regrid_shrink_trigger=params.opt_float(
+            "Scheduler", "regrid_shrink_trigger", 0.5),
+        regrid_cooldown=params.opt_int("Scheduler", "regrid_cooldown",
+                                       20))
+
     if dmo and gp is None:
         # -------- external-potential-only collisionless run -------------------
         # (the reference's Hernquist/Isothermal orbit examples:
@@ -463,7 +472,8 @@ def main(argv=None) -> int:
                                           with_external_gravity=(
                                               ext_pot is not None),
                                           backend=("flat" if args.backend
-                                                   == "flat" else "xla")),
+                                                   == "flat" else "xla"),
+                                          **rep_kw),
                        t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
                        cosmology=cosmology, external_potential=ext_pot,
                        **mesh_kw)
@@ -563,7 +573,7 @@ def main(argv=None) -> int:
                            # collectives can't live inside while_loop
                            ghost_unroll=(shard_n > 0),
                            max_ghost_iterations=(
-                               8 if shard_n > 0 else 30))
+                               8 if shard_n > 0 else 30), **rep_kw)
         mesh_kw = {}
         if params.opt_int("Gravity", "split_mesh_kicks", 1):
             if shard_n > 0:
@@ -741,7 +751,7 @@ def main(argv=None) -> int:
                            # collectives can't live inside while_loop
                            ghost_unroll=(shard_n > 0),
                            max_ghost_iterations=(
-                               8 if shard_n > 0 else 30))
+                               8 if shard_n > 0 else 30), **rep_kw)
         if ext_pot is not None and not args.self_gravity:
             cfg = dataclasses.replace(cfg, eta_grav=ext_mult,
                                       eps_soft=ext_eps)

@@ -102,6 +102,18 @@ class EngineConfig:
     # column-slab halos (parallel/flat.py shard_flat_call — the proxy.c
     # analog), while the rebucket/KDK stay under GSPMD.  Use with
     # ghost_unroll=True (collectives inside while_loop are avoided).
+    # Occupancy re-grid trigger — the TPU analog of the reference's
+    # load-imbalance repartition (engine.c:1781, partition.c).  Under
+    # shard_map/GSPMD every device computes the same padded shapes, so
+    # live-count imbalance costs nothing directly; what DOES cost is K
+    # (the global per-cell capacity) outgrowing the actual distribution —
+    # every padded lane is masked-but-computed work.  Re-grid when the
+    # rebuilt capacity (fullest live cell x rebuild headroom) would be
+    # below trigger*K, i.e. the current tiles waste > (1-trigger) of
+    # their lanes.  The overflow direction (clustering outgrew K) is the
+    # existing RegridNeeded path.  <= 0 disables.
+    regrid_shrink_trigger: float = 0.5
+    regrid_cooldown: int = 20  # min steps between occupancy re-grids
     eta_grav: float = 0.025   # Gravity:eta
     eps_soft: float = 1e-3    # Gravity:eps — gas gravity softening used by
     # the dt_grav = sqrt(2 eta eps/|a|) criterion (timestep.h:141); a
@@ -538,6 +550,8 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "nbr_maxcount": s.get("nbr_maxcount", jnp.int32(0)),
         # particle-splitting trigger (engine_split_gas_particles)
         "m_max_gas": jnp.max(jnp.where(mask_b, s["m"], 0.0)),
+        # fullest live cell — the occupancy re-grid trigger input
+        "k_max_live": jnp.max(jnp.sum(mask_b, axis=1)),
     }
     return s, diag
 
@@ -1075,6 +1089,21 @@ class Engine:
         if thr > 0.0 and float(diag.get("m_max_gas", 0.0)) > thr:
             self.n_split_total = (getattr(self, "n_split_total", 0)
                                   + self.split_gas_particles(thr))
+        # --- occupancy re-grid (the engine.c:1781 repartition analog;
+        # see EngineConfig.regrid_shrink_trigger): when the distribution
+        # dispersed and the tiles are mostly padding, rebuild tighter
+        trig = self.cfg.regrid_shrink_trigger
+        k_need = float(diag.get("k_max_live", 0.0))
+        if (trig > 0 and k_need > 0 and self.grid.K > 128
+                and 1.7 * k_need < trig * self.grid.K):
+            # engine start counts as the last re-grid: manual grids with
+            # deliberate K headroom get a full cooldown before shrinking
+            last = getattr(self, "_last_shrink_step", 0)
+            if self.step_count - last >= self.cfg.regrid_cooldown:
+                self.regrid()
+                self._last_shrink_step = self.step_count
+                self.n_shrink_regrids = getattr(self, "n_shrink_regrids",
+                                                0) + 1
         return diag
 
     # --- particle splitting (engine_split_gas_particles, engine.c:268) ----
@@ -1573,6 +1602,7 @@ def dm_step(grid: CellGrid, cfg: EngineConfig, gravity_fn: Callable,
         "n_ghost_iter": jnp.int32(0),
         "n_active": jnp.sum(active),
         "h_max_active": jnp.float32(0.0),
+        "k_max_live": jnp.max(jnp.sum(mask_b, axis=1)),
     }
     return s, diag
 

@@ -620,6 +620,10 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "m_max_gas": (jnp.max(jnp.where(gas["mask"] > 0, gas["m"], 0.0))
                       if gas is not None else jnp.float32(0.0)),
         "n_heated": n_heated,
+        # fullest live cell over ALL species (occupancy re-grid trigger)
+        "k_max_live": jnp.max(jnp.stack([
+            jnp.max(jnp.sum(sp["mask"] > 0, axis=1))
+            for sp in out_state.values()])),
         "n_swallowed": n_swallowed,
         "n_agn": n_agn,
         "n_sink_formed": n_sink_formed,

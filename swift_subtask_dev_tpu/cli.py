@@ -350,6 +350,9 @@ def main(argv=None) -> int:
                                  params.opt_float("Gravity",
                                                   "comoving_baryon_softening",
                                                   1e-3)),
+            eps_dm=params.opt_float(
+                "Gravity", "max_physical_DM_softening",
+                params.opt_float("Gravity", "comoving_DM_softening", 0.0)),
             mesh_N=params.opt_int("Gravity", "mesh_side_length", 64),
             a_smooth=params.opt_float("Gravity", "a_smooth", 1.25),
             r_cut_ratio=params.opt_float("Gravity", "r_cut_max", 4.5),
@@ -474,14 +477,19 @@ def main(argv=None) -> int:
                                           backend=("flat" if args.backend
                                                    == "flat" else "xla"),
                                           **rep_kw),
-                       t_begin, t_end, gravity_fn=gfn, eps_soft=gp.eps,
+                       t_begin, t_end, gravity_fn=gfn,
+                       eps_soft=(gp.eps_dm or gp.eps),
                        cosmology=cosmology, external_potential=ext_pot,
                        **mesh_kw)
+        solver.eps_per_species = [gp.eps_dm or gp.eps]
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))
-        eng.solver_builder = lambda g: GravitySolver(gp, g,
-                                             fft_shard_n=shard_n)
+        def _mk_solver(g, _eps=solver.eps_per_species):
+            s = GravitySolver(gp, g, fft_shard_n=shard_n)
+            s.eps_per_species = _eps   # survive auto re-grids
+            return s
+        eng.solver_builder = _mk_solver
     elif multi:
         # -------- gas + DM (+ stars) cosmological volume (MultiEngine) -------
         from .engine_multi import MultiEngine
@@ -610,8 +618,16 @@ def main(argv=None) -> int:
                 "star_luminosities", [1.0] * rt_model.ngroups)
             rt_fn_multi = make_rt_multi_fn(sph, rt_model, n_sub, L,
                                            scheme=rt_scheme)
+        # per-species softenings (multi-softening, gravity_properties.c):
+        # species order matches multi_step's short-range pool
+        # (gas, dm?, stars..., all baryons after dm take gp.eps)
+        eps_dm_v = gp.eps_dm or gp.eps
+        solver.eps_per_species = \
+            ([gp.eps, eps_dm_v] if dm is not None else [gp.eps]) \
+            + [gp.eps] * 3
         eng = MultiEngine(grid, sph, cfg, t_begin, t_end,
-                          gravity_fn=gravity_fn, eps_soft=gp.eps,
+                          gravity_fn=gravity_fn,
+                          eps_soft=(gp.eps, eps_dm_v),
                           cosmology=cosmology, cooling_fn=cooling_fn,
                           star_formation=star_formation,
                           entropy_floor=floor, feedback=feedback,
@@ -619,8 +635,11 @@ def main(argv=None) -> int:
                           sink_model=sink_model, enrichment=enrichment,
                           external_potential=ext_pot, rt_fn=rt_fn_multi,
                           **mesh_kw)
-        eng.solver_builder = lambda g: GravitySolver(gp, g,
-                                             fft_shard_n=shard_n)
+        def _mk_solver(g, _eps=solver.eps_per_species):
+            s = GravitySolver(gp, g, fft_shard_n=shard_n)
+            s.eps_per_species = _eps   # survive auto re-grids
+            return s
+        eng.solver_builder = _mk_solver
         u_ic = np.asarray(gas["InternalEnergies"], np.float32)
         if scheme_name in ("gadget2", "pressure-entropy"):
             from .models.sph.gadget2 import entropy_from_internal_energy

@@ -146,6 +146,17 @@ def _convert_gas_to_sinks(grid: CellGrid, gas: Dict, sinks: Dict,
     return gas, sinks, jnp.sum(ok), n_lost
 
 
+
+def _eps_of(eps_soft, name: str) -> float:
+    """Per-species timestep softening: ``eps_soft`` is a float, or a
+    (baryon, dm) pair (Gravity:comoving_baryon_softening /
+    comoving_DM_softening — timestep.h:141 uses the particle's own
+    epsilon).  Collisionless baryons (stars/bh/sinks) take the baryon
+    value; dm and the delta-f neutrinos take the DM value."""
+    if isinstance(eps_soft, tuple):
+        return float(eps_soft[1] if name in ("dm", "nu") else eps_soft[0])
+    return float(eps_soft)
+
 def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                gravity_fn: Optional[Callable], eps_soft: float,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
@@ -550,7 +561,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
     if dm is not None:
         mask_b, tb, active = dm_act
-        dm, too_small = _dm_kdk(cfg, eps_soft, dm, T, active, tb)
+        dm, too_small = _dm_kdk(cfg, _eps_of(eps_soft, "dm"), dm, T,
+                                active, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
         bins_masked = jnp.where(mask_b, jnp.clip(dm["time_bin"], 0, NBINS),
                                 NBINS + 5)
@@ -558,7 +570,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
     if stars is not None:
         mask_b, tb, active = stars_act
-        stars, too_small = _dm_kdk(cfg, eps_soft, stars, T, active, tb)
+        stars, too_small = _dm_kdk(cfg, _eps_of(eps_soft, "stars"),
+                                   stars, T, active, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
         mask_b = stars["mask"] > 0  # includes this step's newborns
         bins_masked = jnp.where(mask_b,
@@ -568,7 +581,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
     if bh is not None:
         mask_b, tb, active = bh_act
-        bh, too_small = _dm_kdk(cfg, eps_soft, bh, T, active, tb)
+        bh, too_small = _dm_kdk(cfg, _eps_of(eps_soft, "bh"), bh, T,
+                                active, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
         bins_masked = jnp.where(mask_b, jnp.clip(bh["time_bin"], 0, NBINS),
                                 NBINS + 5)
@@ -576,7 +590,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
     if sinks is not None:
         mask_b, tb, active = sinks_act
-        sinks, too_small = _dm_kdk(cfg, eps_soft, sinks, T, active, tb)
+        sinks, too_small = _dm_kdk(cfg, _eps_of(eps_soft, "sinks"),
+                                   sinks, T, active, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
         mask_b = sinks["mask"] > 0  # includes newly formed, minus merged
         bins_masked = jnp.where(mask_b,
@@ -586,7 +601,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             bins_masked.reshape(-1), length=NBINS + 6)[:NBINS + 1]
     if nu is not None:
         mask_b, tb, active = nu_act
-        nu, too_small = _dm_kdk(cfg, eps_soft, nu, T, active, tb)
+        nu, too_small = _dm_kdk(cfg, _eps_of(eps_soft, "nu"), nu, T,
+                                active, tb)
         too_small_n = too_small_n + jnp.sum(too_small)
         bins_masked = jnp.where(mask_b, jnp.clip(nu["time_bin"], 0, NBINS),
                                 NBINS + 5)
@@ -682,7 +698,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             a_norm = jnp.sqrt(jnp.sum(
                 (s["a_hydro"] + s["a_grav"]
                  + s.get("a_grav_mesh", jnp.float32(0.0))) ** 2, -1))
-            eps = jnp.float32(eps_soft)
+            eps = jnp.float32(_eps_of(eps_soft, "gas"))
             dt_grav = jnp.sqrt(2.0 * cfg.eta_grav * eps
                                / jnp.maximum(a_norm, 1e-30))
             new_dt = jnp.minimum(new_dt, dt_grav)
@@ -709,7 +725,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         a_norm = jnp.sqrt(jnp.sum(
             (sp["a_grav"] + sp.get("a_grav_mesh", jnp.float32(0.0))) ** 2,
             -1))
-        new_dt = jnp.sqrt(2.0 * cfg.eta_grav * eps_soft
+        new_dt = jnp.sqrt(2.0 * cfg.eta_grav * _eps_of(eps_soft, name)
                           / jnp.maximum(a_norm, 1e-30))
         new_dt = jnp.minimum(new_dt, jnp.float32(cfg.dt_max))
         too_small_n = too_small_n + jnp.sum(mask_b & (new_dt < cfg.dt_min))
@@ -849,7 +865,9 @@ class MultiEngine(Engine):
                          mesh_fn=mesh_fn, mesh_dt_scale=mesh_dt_scale,
                          external_potential=external_potential,
                          rt_fn=rt_fn)
-        self.eps_soft = float(eps_soft)
+        self.eps_soft = (tuple(float(e) for e in eps_soft)
+                         if isinstance(eps_soft, (tuple, list))
+                         else float(eps_soft))
         # static (hashable) SF pair for the jitted step
         self.sf = (star_formation, entropy_floor) \
             if star_formation is not None else None

@@ -36,6 +36,10 @@ class GravityParams:
 
     G: float = 1.0
     eps: float = 1e-3            # Plummer-equivalent comoving softening
+    # (the baryon value; Gravity:comoving_baryon_softening)
+    eps_dm: float = 0.0          # DM softening (comoving_DM_softening);
+    # 0 -> same as eps.  Pairs soften with max(eps_i, eps_j)*3 — the
+    # reference's multi-softening rule (gravity_iact.h)
     mesh_N: int = 64             # Gravity:mesh_side_length
     a_smooth: float = 1.25
     r_cut_ratio: float = 4.5
@@ -50,6 +54,10 @@ class GravityParams:
         """Softening kernel size H = 3 * Plummer eps (kernel_gravity.h)."""
         return 3.0 * self.eps
 
+    @property
+    def H_soft_dm(self) -> float:
+        return 3.0 * (self.eps_dm if self.eps_dm > 0 else self.eps)
+
 
 class GravitySolver:
     """Owns the PM mesh and computes P3M accelerations for tiled species."""
@@ -58,6 +66,11 @@ class GravitySolver:
                  fft_shard_n: int = 0):
         self.gp = gp
         self.grid = grid
+        # per-species Plummer softenings, aligned with the species list
+        # the caller passes to accelerations()/short_range_* (the CLI
+        # sets [baryon, dm, baryon, ...] in its species order) — the
+        # multi-softening surface of gravity_properties.c; None -> gp.eps
+        self.eps_per_species = None
         # >0: solve the mesh Poisson equation with the slab-decomposed
         # distributed FFT (ops/pm_gravity.long_range_potential_sharded —
         # the mesh_gravity_mpi.c analog) instead of one-device rfftn
@@ -134,17 +147,27 @@ class GravitySolver:
                          * s["mask"][..., None], pot * s["mask"]))
         return outs
 
+    def _H_list(self, n: int) -> List[float]:
+        """Per-species softening kernel sizes H = 3*eps."""
+        eps = getattr(self, "eps_per_species", None)
+        if eps:
+            return [3.0 * float(e) for e in eps[:n]] \
+                + [self.gp.H_soft] * max(0, n - len(eps))
+        return [self.gp.H_soft] * n
+
     def short_range_accelerations(self, species: Sequence[Dict]) -> List:
         """Near-field only (P2P + FMM band): [(acc, pot), ...]."""
         gp = self.gp
+        H = self._H_list(len(species))
         if self.flat:
             from ..ops import hydro_pallas
             return [hydro_pallas.p2p_gravity_loop(
-                self.grid, s, species, gp.G, gp.H_soft,
+                self.grid, s, species, gp.G, H[i],
                 self.pm.r_s if gp.periodic else 0.0, self.pm.r_cut,
-                periodic_truncation=gp.periodic) for s in species]
+                periodic_truncation=gp.periodic, H_soft_j=H)
+                for i, s in enumerate(species)]
         pp = p2p_gravity.p2p_accelerations(
-            self.grid, species, gp.G, H_soft=gp.H_soft,
+            self.grid, species, gp.G, H_soft=H,
             r_s=self.pm.r_s if gp.periodic else 0.0,
             periodic_truncation=gp.periodic,
             radius=self.near_radius if self.use_fmm else 1)
@@ -186,12 +209,14 @@ class GravitySolver:
             subs = [{k: s[k] for k in ("off", "m", "mask")}
                     for s in species]
 
+            H = self._H_list(len(species))
+
             def loop(g, ss):
                 outs = []
-                for st in ss:
+                for i, st in enumerate(ss):
                     acc, pot = hydro_pallas.p2p_gravity_loop(
-                        g, st, ss, gp.G, gp.H_soft, r_s, r_cut,
-                        periodic_truncation=gp.periodic)
+                        g, st, ss, gp.G, H[i], r_s, r_cut,
+                        periodic_truncation=gp.periodic, H_soft_j=H)
                     outs.append({"acc": acc, "pot": pot})
                 return outs
 
@@ -253,15 +278,17 @@ class GravitySolver:
         acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
 
         # --- P2P short range -------------------------------------------------
+        H = self._H_list(len(species))
         if self.flat:
             from ..ops import hydro_pallas
             pp = [hydro_pallas.p2p_gravity_loop(
-                self.grid, s, species, gp.G, gp.H_soft,
+                self.grid, s, species, gp.G, H[i],
                 self.pm.r_s if gp.periodic else 0.0, self.pm.r_cut,
-                periodic_truncation=gp.periodic) for s in species]
+                periodic_truncation=gp.periodic, H_soft_j=H)
+                for i, s in enumerate(species)]
         else:
             pp = p2p_gravity.p2p_accelerations(
-                self.grid, species, gp.G, H_soft=gp.H_soft,
+                self.grid, species, gp.G, H_soft=H,
                 r_s=self.pm.r_s if gp.periodic else 0.0,
                 periodic_truncation=gp.periodic,
                 radius=self.near_radius if self.use_fmm else 1)

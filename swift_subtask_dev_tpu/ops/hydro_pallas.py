@@ -215,7 +215,7 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
                      G: float, H_soft: float, r_s: float, r_cut: float,
                      periodic_truncation: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False, H_soft_j=None):
     """Short-range P2P gravity on the flat column layout.
 
     The column analog of ops/p2p_gravity.p2p_accelerations (reference
@@ -259,27 +259,34 @@ def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
     # scalars (Mosaic folds these at trace time)
     r_cut2 = float(r_cut) ** 2
     r_s_inv = 1.0 / float(r_s) if r_s > 0 else 0.0
-    H = float(H_soft)
+    H_i = float(H_soft)
+    # per-source-species softening: a pair softens with max(H_i, H_j),
+    # the reference's multi-softening rule (gravity_iact.h)
+    H_js = ([float(h) for h in H_soft_j] if H_soft_j is not None
+            else [H_i] * len(species_j))
     Gf = float(G)
     trunc = periodic_truncation and r_s > 0
 
-    H_inv = 1.0 / H
+    def make_pair_fn(H_pair):
+        H_inv = 1.0 / H_pair   # python-float literal per species pair
 
-    def pair_fn(sf, nf, dx, r2, sc):
-        ok = r2 < r_cut2
-        F, P = pg.force_pot_factors(r2, H_inv, r_s_inv, trunc)
-        gm = Gf * nf("m")
-        gmF = gm * F
-        return ok, [-gmF * dx[0], -gmF * dx[1], -gmF * dx[2], -gm * P], []
+        def pair_fn(sf, nf, dx, r2, sc):
+            ok = r2 < r_cut2
+            F, P = pg.force_pot_factors(r2, H_inv, r_s_inv, trunc)
+            gm = Gf * nf("m")
+            gmF = gm * F
+            return ok, [-gmF * dx[0], -gmF * dx[1], -gmF * dx[2],
+                        -gm * P], []
+        return pair_fn
 
     acc0 = acc1 = acc2 = pot = 0.0
-    for s_j in species_j:
+    for s_j, H_j in zip(species_j, H_js):
         same = s_j is s_i
         kw = {} if same else dict(fields_j=pad_lanes(grav_fields(s_j)),
                                   field_order_j=order)
         sums, _ = pallas_flat.pair_apply(
-            grid, fi, order, pair_fn, n_sum=4, n_max=0,
-            shifts_scale=grid.edge, interpret=interpret,
+            grid, fi, order, make_pair_fn(max(H_i, H_j)), n_sum=4,
+            n_max=0, shifts_scale=grid.edge, interpret=interpret,
             range_scale=1.0, **kw)
         acc0 = acc0 + sums[0][:, :W_i]
         acc1 = acc1 + sums[1][:, :W_i]

@@ -155,13 +155,17 @@ def p2p_accelerations(grid: CellGrid,
     accelerations and (C, K_s) potentials.
 
     H_soft: the softening length H (= 3 * Plummer-equivalent epsilon,
-    gravity_properties.c).  r_s: mesh smoothing scale; 0 or
+    gravity_properties.c) — a single float, or a sequence with one H per
+    species; a pair then softens with max(H_i, H_j), the reference's
+    multi-softening rule (kernel_gravity.h / gravity_iact.h uses the
+    larger of the two softenings).  r_s: mesh smoothing scale; 0 or
     periodic_truncation=False disables the truncation (pure Newtonian
     near-field, for non-periodic runs).
     """
     edge = grid.edge
     r_s_inv = 1.0 / r_s if r_s > 0 else 0.0
-    H = jnp.float32(H_soft)
+    H_list = (list(H_soft) if isinstance(H_soft, (list, tuple))
+              else [float(H_soft)] * len(species))
     offsets = STENCIL_27 if radius == 1 else stencil_offsets(radius)
     if any(c < 2 * radius + 1 for c in grid.cdim):
         raise ValueError(
@@ -169,13 +173,14 @@ def p2p_accelerations(grid: CellGrid,
             f"per axis (have {grid.cdim}): offsets would alias")
 
     outs = []
-    for si in species:
+    for si, H_i in zip(species, H_list):
         mask_i = _grid_view(grid, si["mask"])
         off_i = _grid_view(grid, si["off"])
         acc = jnp.zeros(off_i.shape, F32)
         pot = jnp.zeros(mask_i.shape, F32)
 
-        for sj in species:
+        for sj, H_j in zip(species, H_list):
+            H = jnp.float32(max(H_i, H_j))
             mask_j0 = _grid_view(grid, sj["mask"])
             off_j0 = _grid_view(grid, sj["off"])
             m_j0 = _grid_view(grid, sj["m"])

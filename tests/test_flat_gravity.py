@@ -136,3 +136,45 @@ def test_flat_solver_matches_stencil_solver():
     # the stencil keeps (tiny, truncated) pairs beyond r_cut that the
     # flat kernel and the reference drop; chi(r_cut)/r_cut^2 bounds them
     assert np.abs(out["flat"] - out["stencil"]).max() / scale < 5e-3
+
+
+def test_flat_p2p_multi_softening_matches_stencil():
+    """Per-species softenings (H_soft_j): the flat column kernel and the
+    27-stencil p2p agree pairwise-max softened forces (gravity_iact.h
+    multi-softening) on the same column grid."""
+    from swift_subtask_dev_tpu.ops.p2p_gravity import p2p_accelerations
+
+    rng = np.random.default_rng(9)
+    box = (1.0, 1.0, 1.0)
+    n_g, n_d = 150, 400
+    pos_g = rng.uniform(0, 1, (n_g, 3))
+    pos_d = rng.uniform(0, 1, (n_d, 3))
+    m_g = rng.uniform(0.5, 1.5, n_g).astype(np.float32)
+    m_d = rng.uniform(0.5, 1.5, n_d).astype(np.float32)
+    grid = CellGrid.build_columns(box, 1.0 / 3.0,
+                                  np.concatenate([pos_g, pos_d]))
+    sg, idx_g, val_g = _flat_state(grid, pos_g, m_g)
+    sd, idx_d, val_d = _flat_state(grid, pos_d, m_d)
+
+    H = [0.03, 0.09]   # baryon vs DM
+    acc_f, pot_f = hydro_pallas.p2p_gravity_loop(
+        grid, sg, [sg, sd], G, H[0], R_S, R_CUT, H_soft_j=H)
+    acc_fk = _unpack(acc_f, idx_g, val_g, n_g, ncomp=3)
+
+    # oracle: brute force with per-pair max softening
+    def brute_H(pos_i, pos_j, m_j, Hp):
+        d = pos_i[:, None, :] - pos_j[None, :, :]
+        d -= np.asarray(box) * np.round(d / np.asarray(box))
+        r2 = np.sum(d * d, axis=-1)
+        ok = (r2 < R_CUT ** 2) & (r2 > 0)
+        F = np.asarray(softened_force_factor(
+            jnp.asarray(r2, jnp.float32), jnp.float32(Hp)), np.float64)
+        F *= np.asarray(truncation_factor(
+            jnp.asarray(r2, jnp.float32), 1.0 / R_S), np.float64)
+        w = ok.astype(np.float64) * m_j[None, :].astype(np.float64)
+        return -G * np.sum((w * F)[..., None] * d, axis=1)
+
+    acc_b = brute_H(pos_g, pos_g, m_g, max(H[0], H[0])) \
+        + brute_H(pos_g, pos_d, m_d, max(H[0], H[1]))
+    scale = np.abs(acc_b).max()
+    assert np.abs(acc_fk - acc_b).max() / scale < 2e-4

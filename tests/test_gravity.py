@@ -137,3 +137,59 @@ def test_softening_spline():
     # continuous at r = H
     iH = np.argmin(np.abs(r - H))
     assert abs(F[iH] - 1 / r[iH] ** 3) / (1 / r[iH] ** 3) < 0.05
+
+
+def test_p2p_multi_softening_pairwise_max():
+    """Per-species softenings: a pair interacts with max(H_i, H_j) —
+    the reference's multi-softening rule (gravity_iact.h; Gravity:
+    comoving_DM_softening vs comoving_baryon_softening)."""
+    import numpy as np
+    from swift_subtask_dev_tpu.grid.cellgrid import bucket_fields
+    from swift_subtask_dev_tpu.ops.p2p_gravity import (
+        p2p_accelerations, softened_force_factor)
+
+    rng = np.random.default_rng(8)
+    # central blob: every pair's stencil image IS the direct separation
+    # (the untruncated all-pairs oracle can't span wrap-around images)
+    grid = CellGrid(box=(1.0, 1.0, 1.0), cdim=(4, 4, 4), K=32)
+    nA, nB = 40, 30
+    posA = 0.3 + 0.4 * rng.uniform(0, 1, (nA, 3))
+    posB = 0.3 + 0.4 * rng.uniform(0, 1, (nB, 3))
+    mA = rng.uniform(0.5, 1.5, nA).astype(np.float32)
+    mB = rng.uniform(0.5, 1.5, nB).astype(np.float32)
+
+    def bucket(pos, m):
+        out, mask, off, nov = bucket_fields(
+            grid, jnp.asarray(pos), {"m": jnp.asarray(m)})
+        assert int(nov) == 0
+        return {"mask": mask, "off": off, **out}
+
+    sA, sB = bucket(posA, mA), bucket(posB, mB)
+    H_A, H_B = 0.06, 0.15   # baryon vs DM kernel sizes (= 3*eps)
+    outs = p2p_accelerations(grid, [sA, sB], G=1.0, H_soft=[H_A, H_B],
+                             r_s=0.0, periodic_truncation=False)
+
+    # brute-force oracle with pairwise-max softening (all pairs are
+    # within the 27-stencil on a 3^3 grid)
+    from swift_subtask_dev_tpu.grid import global_positions
+    box = np.asarray(grid.box)
+
+    def brute(pos_i, pos_all, m_all, H_pair):
+        acc = np.zeros((len(pos_i), 3))
+        for k, (pos_j, m_j, Hp) in enumerate(zip(pos_all, m_all, H_pair)):
+            d = pos_i[:, None, :] - pos_j[None, :, :]
+            d -= box * np.round(d / box)
+            r2 = (d ** 2).sum(-1)
+            F = np.array(softened_force_factor(
+                jnp.asarray(r2, jnp.float32), jnp.float32(Hp)))
+            F[r2 == 0] = 0.0
+            acc -= ((F * m_j[None, :])[:, :, None] * d).sum(axis=1)
+        return acc
+
+    for s, pos_i, H_i in ((sA, posA, H_A), (sB, posB, H_B)):
+        mask = np.asarray(s["mask"]) > 0
+        got_pos = global_positions(grid, np.asarray(s["off"]))[mask]
+        got_acc = np.asarray(outs[0 if s is sA else 1][0])[mask]
+        exp = brute(got_pos, [posA, posB], [mA, mB],
+                    [max(H_i, H_A), max(H_i, H_B)])
+        np.testing.assert_allclose(got_acc, exp, rtol=2e-3, atol=2e-3)

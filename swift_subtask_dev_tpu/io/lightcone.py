@@ -21,9 +21,9 @@ extends through periodic images of the box; a host-side replication list
 enumerates every image cube whose distance range can intersect the
 current shell, and the crossing predicate runs per image with the
 unwrapped offset — so an observer near the box edge catches crossings of
-images on the far side.  Crossing state is taken at step end (the
-reference interpolates along the drift); particle data only (healpix
-shell maps ride ops/healpix.py separately).
+images on the far side.  Crossing positions and scale factors are
+drift-interpolated to the crossing instant (a jitted secant solve of
+|p(t) - obs| = r_lc(t), the lightcone_crossing.c interpolation).
 """
 
 from __future__ import annotations
@@ -65,19 +65,34 @@ def comoving_distance(cosmology, ti: int) -> float:
     return c * cosmology.grav_kick_factor(ti, tl.MAX_NR_TIMESTEPS)
 
 
-def _crossing_mask(off, mask, corners, obs, shift, r_new, r_old,
-                   r_min, r_max):
-    """(C, K) bool: particles (of the periodic image displaced by
-    ``shift``) whose observer distance lies in (r_new, r_old] — they
-    crossed the shrinking cone this step."""
-    pos = corners[:, None, :] + off + jnp.asarray(shift, F32)
-    d = pos - jnp.asarray(obs, F32)
-    r = jnp.sqrt(jnp.sum(d * d, axis=-1))
-    return ((mask > 0) & (r > r_new) & (r <= r_old)
-            & (r >= r_min) & (r <= r_max))
+def _crossing_interp(off, v, mask, corners, obs, shift, dt_drift,
+                     r_new, r_old, r_min, r_max):
+    """Drift-interpolated cone crossings (lightcone_crossing.c).
+
+    Reconstructs the pre-drift position p0 = p1 - v*dt_drift and finds
+    the fraction t in [0, 1] where the particle's observer distance
+    meets the shrinking cone radius r_lc(t) = r_old + t (r_new - r_old)
+    — a secant solve of f(t) = r(t) - r_lc(t), exact for linear motion
+    like the reference's interpolation along the drift.  Returns
+    (crossed (C,K) bool, pos_cross (C,K,3), t (C,K)).  Using v_full at
+    step end (post-kick) off-sets p0 by O(a dt^2) — the same order as
+    the drift interpolation itself."""
+    pos1 = corners[:, None, :] + off + jnp.asarray(shift, F32)
+    pos0 = pos1 - v * dt_drift
+    obs = jnp.asarray(obs, F32)
+    r0 = jnp.sqrt(jnp.sum((pos0 - obs) ** 2, axis=-1))
+    r1 = jnp.sqrt(jnp.sum((pos1 - obs) ** 2, axis=-1))
+    f0 = r0 - r_old
+    f1 = r1 - r_new
+    crossed = (mask > 0) & (f0 <= 0) & (f1 > 0)
+    t = jnp.clip(f0 / jnp.minimum(f0 - f1, -1e-30), 0.0, 1.0)
+    pos_c = pos0 + t[..., None] * (pos1 - pos0)
+    r_c = jnp.sqrt(jnp.sum((pos_c - obs) ** 2, axis=-1))
+    crossed = crossed & (r_c >= r_min) & (r_c <= r_max)
+    return crossed, pos_c, t
 
 
-_JIT_CROSS = jax.jit(_crossing_mask)
+_JIT_CROSS = jax.jit(_crossing_interp)
 
 
 def replication_list(box, obs, r_max):
@@ -149,28 +164,31 @@ class LightconeWriter:
         if r_old <= self.p.radius_min or r_new >= self.p.radius_max:
             return 0
         n_all = 0
-        corners = np.asarray(self.corners)
         vkey = "v_full" if "v_full" in state else "v"
-        a_cross = self.cosmology.a_of_ti(ti_new)
+        a_old = self.cosmology.a_of_ti(ti_old)
+        a_new = self.cosmology.a_of_ti(ti_new)
+        dt_drift = self.cosmology.drift_factor(ti_old, ti_new)
         for shift, dmin, dmax in self.replications:
             # skip images whose whole cube misses the current shell
             if dmin > r_old or dmax < r_new:
                 continue
-            crossed = np.asarray(_JIT_CROSS(
-                state["off"], state["mask"], self.corners,
+            crossed, pos_c, t_c = _JIT_CROSS(
+                state["off"], state[vkey], state["mask"], self.corners,
                 np.asarray(self.p.observer_position, np.float32),
-                np.asarray(shift, np.float32),
+                np.asarray(shift, np.float32), np.float32(dt_drift),
                 np.float32(r_new), np.float32(r_old),
                 np.float32(self.p.radius_min),
-                np.float32(self.p.radius_max)))
+                np.float32(self.p.radius_max))
+            crossed = np.asarray(crossed)
             idx = np.nonzero(crossed.reshape(-1))
             n = len(idx[0])
             if n == 0:
                 continue
             # lightcone coordinates are UNWRAPPED (observer-centred
-            # image positions, not box-wrapped — lightcone.c convention)
-            pos = (corners[:, None, :] + np.asarray(state["off"])) \
-                .reshape(-1, 3)[idx] + shift
+            # image positions, not box-wrapped — lightcone.c convention),
+            # drift-interpolated to the crossing instant
+            pos = np.asarray(pos_c).reshape(-1, 3)[idx]
+            t = np.asarray(t_c).reshape(-1)[idx]
             self.buf["Coordinates"].append(pos)
             self.buf["Velocities"].append(
                 np.asarray(state[vkey]).reshape(-1, 3)[idx])
@@ -179,7 +197,7 @@ class LightconeWriter:
             self.buf["ParticleIDs"].append(
                 np.asarray(state["pid"]).reshape(-1)[idx])
             self.buf["ScaleFactorCrossing"].append(
-                np.full(n, a_cross, np.float32))
+                (a_old + t * (a_new - a_old)).astype(np.float32))
             if self.shell_maps is not None:
                 rel = pos - np.asarray(self.p.observer_position)
                 r = np.linalg.norm(rel, axis=1)

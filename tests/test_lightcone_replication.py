@@ -47,6 +47,10 @@ class _FakeCosmo:
     def a_of_ti(self, ti):
         return 0.5
 
+    def drift_factor(self, lo, hi):
+        from swift_subtask_dev_tpu.utils import timeline as tl
+        return (hi - lo) / tl.MAX_NR_TIMESTEPS
+
 
 def test_edge_observer_catches_image_crossings():
     from swift_subtask_dev_tpu.grid import CellGrid
@@ -119,3 +123,39 @@ def test_folded_pk_matches_unfolded_in_overlap():
         j = np.argmin(np.abs(k0 - k_i))
         ref = P0[j]
         assert abs(P_i - ref) / abs(ref) < 0.5, (k_i, P_i, ref)
+
+
+def test_crossing_is_drift_interpolated():
+    """Recorded coordinates sit ON the cone at the crossing instant:
+    |pos_cross - obs| == r_lc(t_cross) (lightcone_crossing.c)."""
+    from swift_subtask_dev_tpu.grid import CellGrid
+    from swift_subtask_dev_tpu.grid.cellgrid import bucket_fields
+    from swift_subtask_dev_tpu.utils import timeline as tl
+
+    grid = CellGrid(box=(1.0, 1.0, 1.0), cdim=(3, 3, 3), K=8)
+    # one fast particle moving outward through the shrinking cone:
+    # ends at x=0.9 (r1=0.8 from the observer), started at x=0.4 (r0=0.3)
+    pos = np.array([[0.9, 0.5, 0.5]])
+    v = np.array([[1.0, 0.0, 0.0]], np.float32)
+    f, mask, off, nov = bucket_fields(
+        grid, jnp.asarray(pos),
+        {"pid": jnp.arange(1, dtype=jnp.int32),
+         "m": jnp.ones(1, jnp.float32), "v_full": jnp.asarray(v)})
+    state = {"mask": mask, "off": off, **f}
+
+    cosmo = _FakeCosmo(r0=1.0)
+    lp = LightconeParams(observer_position=(0.1, 0.5, 0.5),
+                         radius_max=2.0, use_replications=False,
+                         basename="lc_interp_test")
+    w = LightconeWriter(lp, cosmo, grid)
+    # a big step: cone falls 1.0 -> 0.5 while the particle moves
+    # 0.3 -> 0.8 from the observer; crossing at r = 0.675
+    ti0, ti1 = 0, tl.MAX_NR_TIMESTEPS // 2
+    n = w.after_step(state, ti0, ti1)
+    assert n == 1
+    pos_c = w.buf["Coordinates"][0][0]
+    r_c = np.linalg.norm(pos_c - np.asarray(lp.observer_position))
+    # analytic: r(t) = 0.3 + 0.5 t, r_lc(t) = 1 - 0.5 t -> t = 0.7
+    np.testing.assert_allclose(r_c, 0.65, atol=5e-3)
+    # NOT the end-of-step radius (0.8) nor the start (0.3)
+    assert abs(r_c - 0.8) > 0.1 and abs(r_c - 0.3) > 0.1

@@ -72,6 +72,12 @@ def main():
                  EngineConfig(dt_max=2e-4, backend="flat",
                               with_self_gravity=True, eps_soft=gp.eps,
                               eta_grav=gp.eta,
+                              # TimeIntegration:dt_max ceiling for the
+                              # mesh interval — dt_max here is the fixed
+                              # PARTICLE step; the mesh rides its own
+                              # longer bin (engine.c:2406), sized by
+                              # sqrt(2 eta r_s/|a|) up to this ceiling
+                              mesh_dt_max=64 * 2e-4,
                               p2p_reach=solver.pm.r_cut),
                  0.0, 1.0, gravity_fn=solver.gas_short_range_fn(),
                  mesh_fn=solver.gas_mesh_fn(),

@@ -152,6 +152,16 @@ def _needs_xla_backend(sph) -> bool:
                 or getattr(sph.mod, "GRADIENT_MAX_KEYS", ()))
 
 
+def build_pressure_floor(params, units, sph):
+    """GEARPressureFloor: YAML section -> the Jeans pressure floor
+    clamped into the ghost-finalised pressure (pressure_floor/GEAR)."""
+    if not params.has("GEARPressureFloor"):
+        return None
+    from .subgrid.pressure_floor import GEARPressureFloor
+    return GEARPressureFloor.from_params(
+        params, units.constants(), kernel_gamma=float(sph.kernel.gamma))
+
+
 def build_subgrid(params, units, args, cosmology, sph):
     """Wire the subgrid stack from the YAML sections + CLI switches.
 
@@ -185,10 +195,24 @@ def build_subgrid(params, units, args, cosmology, sph):
     cooling_fn = None
     if args.cooling:
         u_min = params.opt_float("SPH", "minimal_internal_energy", 0.0)
-        if params.has("EAGLECooling"):
+        if params.has("EAGLECooling") or params.has("QLACooling") \
+                or params.has("COLIBRECooling"):
             from .subgrid.eagle_cooling import (EagleCooling,
                                                 make_eagle_cooling_fn)
-            model = EagleCooling.from_params(params, units, phys_const)
+            if params.has("QLACooling"):
+                # cooling/QLA: same tables, primordial abundances only
+                model = EagleCooling.from_params(
+                    params, units, phys_const, section="QLACooling",
+                    metal_free=True)
+            elif params.has("COLIBRECooling"):
+                # cooling/COLIBRE: the newer Ploeckinger & Schaye table
+                # set — same interpolation/implicit-solve machinery over
+                # the synthesized tables (swap build for real tables)
+                model = EagleCooling.from_params(
+                    params, units, phys_const, section="COLIBRECooling")
+            else:
+                model = EagleCooling.from_params(params, units,
+                                                 phys_const)
             cooling_fn = make_eagle_cooling_fn(model, floor,
                                                u_minimal=u_min)
         else:
@@ -208,26 +232,71 @@ def build_subgrid(params, units, args, cosmology, sph):
 
     star_formation = None
     if args.star_formation:
-        star_formation = EagleStarFormation.from_params(
-            params, units, phys_const, G,
-            rho_crit_baryon_0=rho_crit_baryon_0, floor=floor)
+        # the reference picks the SF model at ./configure time
+        # (--with-star-formation=EAGLE|GEAR|QLA); here the YAML section
+        # name selects it at runtime
+        if params.has("GEARStarFormation"):
+            from .subgrid.star_formation_variants import GEARStarFormation
+            star_formation = GEARStarFormation.from_params(
+                params, units, phys_const, G,
+                kernel_gamma=float(sph.kernel.gamma))
+        elif params.has("QLAStarFormation"):
+            from .subgrid.star_formation_variants import QLAStarFormation
+            star_formation = QLAStarFormation.from_params(
+                params, units, phys_const,
+                rho_crit_baryon_0=rho_crit_baryon_0)
+        else:
+            star_formation = EagleStarFormation.from_params(
+                params, units, phys_const, G,
+                rho_crit_baryon_0=rho_crit_baryon_0, floor=floor)
 
     feedback = None
     if args.feedback:
-        sec = "EAGLEFeedback"
-        feedback = EagleThermalFeedback.from_physical(
-            units, phys_const,
-            delta_T_K=10.0 ** params.opt_float(
-                sec, "SNII_delta_T_K_log10", 7.5),
-            f_E=params.opt_float(sec, "SNII_energy_fraction", 1.0),
-            E_SNII_cgs=params.opt_float(sec, "SNII_energy_erg", 1.0e51),
-            snii_delay=params.opt_float(sec, "SNII_delay", 0.0))
+        if params.has("GEARFeedback"):
+            from .subgrid.feedback import GEARFeedback
+            sec = "GEARFeedback"
+            feedback = GEARFeedback.from_physical(
+                units, phys_const,
+                f_E=params.opt_float(sec, "supernovae_efficiency", 1.0),
+                E_SNII_cgs=params.opt_float(sec, "SNII_energy_erg",
+                                            1.0e51),
+                snii_delay=params.opt_float(sec, "SNII_delay", 0.0))
+        else:
+            sec = "EAGLEFeedback"
+            model = params.opt_string(sec, "SNII_feedback_model",
+                                      "Thermal")
+            if model.lower() == "kinetic":
+                # feedback/EAGLE_kinetic: paired isotropic kicks
+                from .subgrid.feedback import EagleKineticFeedback
+                feedback = EagleKineticFeedback.from_physical(
+                    units, phys_const,
+                    f_E=params.opt_float(sec, "SNII_energy_fraction",
+                                         1.0),
+                    E_SNII_cgs=params.opt_float(sec, "SNII_energy_erg",
+                                                1.0e51),
+                    snii_delay=params.opt_float(sec, "SNII_delay", 0.0))
+            else:
+                feedback = EagleThermalFeedback.from_physical(
+                    units, phys_const,
+                    delta_T_K=10.0 ** params.opt_float(
+                        sec, "SNII_delta_T_K_log10", 7.5),
+                    f_E=params.opt_float(sec, "SNII_energy_fraction",
+                                         1.0),
+                    E_SNII_cgs=params.opt_float(sec, "SNII_energy_erg",
+                                                1.0e51),
+                    snii_delay=params.opt_float(sec, "SNII_delay", 0.0))
 
     bh_model = None
     if getattr(args, "black_holes", False):
-        from .subgrid.black_holes import EagleBlackHoles
-        bh_model = EagleBlackHoles.from_params(params, units, phys_const,
-                                               G)
+        if params.has("DefaultBlackHoles"):
+            # black_holes/Default: passive BHs, density pass only
+            from .subgrid.black_holes import DefaultBlackHoles
+            bh_model = DefaultBlackHoles.from_params(params, units,
+                                                     phys_const, G)
+        else:
+            from .subgrid.black_holes import EagleBlackHoles
+            bh_model = EagleBlackHoles.from_params(params, units,
+                                                   phys_const, G)
 
     sink_model = None
     if getattr(args, "sinks", False):
@@ -576,6 +645,8 @@ def main(argv=None) -> int:
                            with_external_gravity=ext_pot is not None,
                            eta_grav=gp.eta, eps_soft=gp.eps,
                            p2p_reach=solver.pm.r_cut,
+                           pressure_floor=build_pressure_floor(
+                               params, units, sph),
                            backend="flat" if use_flat else "xla",
                            shard_n=shard_n,
                            # collectives can't live inside while_loop
@@ -625,6 +696,12 @@ def main(argv=None) -> int:
         solver.eps_per_species = \
             ([gp.eps, eps_dm_v] if dm is not None else [gp.eps]) \
             + [gp.eps] * 3
+        tracers = None
+        if params.has("EAGLETracers"):
+            # --with-tracers=EAGLE analog: the YAML section switches the
+            # thermal-history records on (tracers/EAGLE/tracers.h)
+            from .subgrid.tracers import EagleTracers
+            tracers = EagleTracers.from_units(units, units.constants())
         eng = MultiEngine(grid, sph, cfg, t_begin, t_end,
                           gravity_fn=gravity_fn,
                           eps_soft=(gp.eps, eps_dm_v),
@@ -634,7 +711,7 @@ def main(argv=None) -> int:
                           bh_model=bh_model, nu_model=nu_model,
                           sink_model=sink_model, enrichment=enrichment,
                           external_potential=ext_pot, rt_fn=rt_fn_multi,
-                          **mesh_kw)
+                          tracers=tracers, **mesh_kw)
         def _mk_solver(g, _eps=solver.eps_per_species):
             s = GravitySolver(gp, g, fft_shard_n=shard_n)
             s.eps_per_species = _eps   # survive auto re-grids
@@ -766,6 +843,8 @@ def main(argv=None) -> int:
                            with_self_gravity=args.self_gravity,
                            with_timestep_limiter=args.limiter,
                            with_external_gravity=ext_pot is not None,
+                           pressure_floor=build_pressure_floor(
+                               params, units, sph),
                            backend=args.backend, shard_n=shard_n,
                            # collectives can't live inside while_loop
                            ghost_unroll=(shard_n > 0),

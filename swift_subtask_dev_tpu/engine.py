@@ -118,6 +118,15 @@ class EngineConfig:
     eps_soft: float = 1e-3    # Gravity:eps — gas gravity softening used by
     # the dt_grav = sqrt(2 eta eps/|a|) criterion (timestep.h:141); a
     # per-particle 'softening' field in the state overrides it
+    mesh_dt_max: float = 0.0  # ceiling for the split PM-mesh interval
+    # (engine.c ti_mesh is bounded by TimeIntegration:dt_max like any
+    # bin).  0 -> cfg.dt_max.  run_fixed_dt drives particles at dt_max
+    # itself, so callers there set the TRUE TimeIntegration ceiling here
+    # — otherwise the mesh boundary fires every step and each boundary
+    # costs blocking host roundtrips.
+    pressure_floor: object = None  # optional GEARPressureFloor: clamp the
+    # ghost-finalised comoving pressure before the gradient/force loops
+    # (pressure_floor/GEAR/pressure_floor.h wraps every pressure read)
     with_timestep_limiter: bool = False  # SWIFT --limiter: cap active bins
     # at min_ngb+2 and wake inactive particles whose neighbours got fast
     # (runner_do_limiter, runner_time_integration.c:1324)
@@ -437,6 +446,8 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                       ("f_gradh", "pressure", "soundspeed", "balsara"))
     for k in pg_keys + ("v_sig", "alpha_visc_max_ngb"):
         s = {**s, k: jnp.where(active, rg[k], s[k])}
+    if getattr(cfg, "pressure_floor", None) is not None:
+        s = {**s, **cfg.pressure_floor.apply(s, cosmo, active)}
 
     if getattr(p.mod, "HAS_GRADIENT_LOOP", True):
         grad = loops.gradient_loop(grid, s, p, cosmo)
@@ -641,6 +652,10 @@ def _gas_kdk(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         v = rp[k]
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
+    if getattr(cfg, "pressure_floor", None) is not None:
+        # the reference's floor wraps EVERY comoving-pressure read,
+        # including hydro_reset_predicted_values (pressure_floor.h:71)
+        s = {**s, **cfg.pressure_floor.apply(s, cosmo, active)}
 
     # --- timestep: pick the new bin (runner_do_timestep, timestep.h) --------
     dt_cfl = p.mod.compute_timestep(p, s, cosmo)
@@ -894,7 +909,8 @@ class Engine:
         L = self.mesh_dt_scale if self.mesh_dt_scale > 0 else 1e-3
         dt = float(np.sqrt(2.0 * self.cfg.eta_grav * L
                            / max(amax, 1e-30)))
-        dt = min(dt, self.cfg.dt_max)   # global ceiling, like any bin
+        # global ceiling, like any bin (TimeIntegration:dt_max)
+        dt = min(dt, self.cfg.mesh_dt_max or self.cfg.dt_max)
         b = 1
         while b < NBINS:
             dti_n = tl.get_integer_timestep(b + 1)
@@ -1383,6 +1399,8 @@ class Engine:
         if self.mesh_fn is not None and self.ti_mesh_end is None:
             self._mesh_boundary()
         done = 0
+        deviations = []  # device scalars — checked once at the end so
+        # launches pipeline without a blocking host read each round
         while done < n_steps:
             k = min(per_launch, n_steps - done)
             if self.mesh_fn is not None:
@@ -1396,16 +1414,17 @@ class Engine:
                 self.state, diag = _JIT_MULTI(
                     self.grid, self.sph, self.cfg, self.gravity_fn, k,
                     self.cosmo, self.state, T, self.cooling_fn)
-            if bool(diag["bin_deviation"]):
-                raise RuntimeError(
-                    "fixed-dt run invalid: a particle left the maximal bin "
-                    "(CFL below dt_max) or a cell overflowed")
+            deviations.append(diag["bin_deviation"])
             t.ti_current += k * dti
             self.step_count += k
             done += k
             if (self.mesh_fn is not None
                     and t.ti_current >= self.ti_mesh_end):
                 self._mesh_boundary()
+        if any(bool(d) for d in np.asarray(jnp.stack(deviations))):
+            raise RuntimeError(
+                "fixed-dt run invalid: a particle left the maximal bin "
+                "(CFL below dt_max) or a cell overflowed")
         counts = np.zeros(NBINS + 1, int)
         counts[b] = 1
         self._ti_end_min = self.timeline.ti_end_min_from_bins(counts)

@@ -162,7 +162,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                cosmo: CosmoFactors, state: Dict[str, Dict], T: StepTables,
                cooling_fn: Optional[Callable] = None,
                sf=None, feedback=None, bh_model=None, sink_model=None,
-               enrichment=None, rt_fn: Optional[Callable] = None):
+               enrichment=None, rt_fn: Optional[Callable] = None,
+               tracers=None):
     """One engine step over {'gas', 'dm', 'stars', 'bh', 'sinks'} species.
 
     ``sf`` is an optional (EagleStarFormation, EagleEntropyFloor|None)
@@ -326,7 +327,20 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     n_swallowed = jnp.int32(0)
     n_agn = jnp.int32(0)
     bh_heated = None
-    if bh_model is not None and bh is not None and gas is not None:
+    if bh_model is not None and bh is not None and gas is not None \
+            and getattr(bh_model, "kind", "eagle") == "default":
+        # black_holes/Default: passive BHs — density pass only, no
+        # accretion/swallowing/feedback (black_holes/Default/black_holes.h)
+        from .ops import black_holes as _bh
+        dens = _bh.bh_gas_density_loop(grid, bh, gas, p,
+                                       use_scan=cfg.stencil_scan)
+        h_bh = jnp.where(bh["mask"] > 0, bh["h"], 1.0)
+        bh = {**bh,
+              "rho_gas": jnp.where(bh_act[2],
+                                   dens["rho"] / h_bh ** 3, bh["rho_gas"]),
+              "ngb_mass": jnp.where(bh_act[2], dens["ngb_mass"],
+                                    bh["ngb_mass"])}
+    elif bh_model is not None and bh is not None and gas is not None:
         from .ops import black_holes as _bh
         from .ops import stencil as _st
         dens = _bh.bh_gas_density_loop(grid, bh, gas, p,
@@ -424,27 +438,68 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         n_sink_merged = jnp.sum(consumed)
         sinks_act = _species_active(sinks, T)
 
-    # --- stellar feedback (stars -> gas, EAGLE thermal) -----------------------
+    # --- stellar feedback (stars -> gas) --------------------------------------
+    # three application paths keyed on feedback.kind: EAGLE thermal
+    # stochastic heating, EAGLE kinetic paired kicks, GEAR continuous
+    # kernel-weighted deposition (see subgrid/feedback.py for references)
     n_heated = jnp.int32(0)
     heated = None
     if feedback is not None and stars is not None and gas is not None:
         from .ops import stencil as _st
+        fb_kind = getattr(feedback, "kind", "thermal")
         energy, fire = feedback.firing_energy(stars, T.birth_time,
                                               stars_act[2])
-        ngb_mass = _st.star_ngb_mass_loop(grid, stars, gas, p,
-                                          use_scan=cfg.stencil_scan)
-        stars_fb = {**stars, "fb_energy": energy, "fb_ngb_mass": ngb_mass}
-        du_add, nev = _st.feedback_apply_loop(
-            grid, gas, stars_fb, p, T.ti_lo, T.ti_hi, feedback.delta_u,
-            use_scan=cfg.stencil_scan)
-        heated = nev > 0
+        if fb_kind == "thermal":
+            ngb_mass = _st.star_ngb_mass_loop(grid, stars, gas, p,
+                                              use_scan=cfg.stencil_scan)
+            stars_fb = {**stars, "fb_energy": energy,
+                        "fb_ngb_mass": ngb_mass}
+            du_add, nev = _st.feedback_apply_loop(
+                grid, gas, stars_fb, p, T.ti_lo, T.ti_hi,
+                feedback.delta_u, use_scan=cfg.stencil_scan)
+            heated = nev > 0
+            # direct injection into both the drifted and the full energy
+            # (hydro_set_physical_internal_energy + _drifted,
+            # feedback_iact.h)
+            gas = {**gas, "u_full": gas["u_full"] + du_add,
+                   "u": gas["u"] + du_add}
+            stars = {**stars, "fb_done": jnp.where(
+                fire, 1.0, stars["fb_done"])}
+        elif fb_kind == "gear":
+            norm = _st.star_kernel_weight_loop(grid, stars, gas, p,
+                                               use_scan=cfg.stencil_scan)
+            deposited = fire & (norm > 0)
+            stars_fb = {**stars, "ej_norm": norm,
+                        "fb_energy": jnp.where(deposited, energy, 0.0)}
+            du_add = _st.star_energy_apply_loop(
+                grid, gas, stars_fb, p, use_scan=cfg.stencil_scan)
+            heated = du_add > 0
+            gas = {**gas, "u_full": gas["u_full"] + du_add,
+                   "u": gas["u"] + du_add}
+            stars = {**stars, "fb_done": jnp.where(
+                deposited, 1.0, stars["fb_done"])}
+        elif fb_kind == "kinetic":
+            dirs = feedback.ray_directions(stars["pid"], T.ti_lo, T.ti_hi)
+            stars_r = {**stars, "fire": fire & (energy > 0),
+                       "ray_dir": dirs}
+            pid_p, m_p, pid_m, m_m = _st.kinetic_ray_select_loop(
+                grid, stars_r, gas, p, use_scan=cfg.stencil_scan)
+            q = feedback.pair_momentum(energy, m_p, m_m)
+            stars_k = {**stars_r, "pid_plus": pid_p, "pid_minus": pid_m,
+                       "kick_q": q}
+            dp = _st.kinetic_kick_apply_loop(
+                grid, gas, stars_k, p, use_scan=cfg.stencil_scan)
+            heated = jnp.any(dp != 0.0, axis=-1)
+            dv = dp / jnp.maximum(gas["m"], 1e-30)[..., None]
+            gas = {**gas, "v_full": gas["v_full"] + dv,
+                   "v": gas["v"] + dv}
+            # a star whose rays found no pair keeps its reservoir and
+            # retries next step (ray_feedback_kick_allowed semantics)
+            stars = {**stars, "fb_done": jnp.where(
+                fire & (q > 0), 1.0, stars["fb_done"])}
+        else:
+            raise ValueError(f"unknown feedback kind {fb_kind!r}")
         n_heated = jnp.sum(heated)
-        # direct injection into both the drifted and the full energy
-        # (hydro_set_physical_internal_energy + _drifted, feedback_iact.h)
-        gas = {**gas, "u_full": gas["u_full"] + du_add,
-               "u": gas["u"] + du_add}
-        stars = {**stars, "fb_done": jnp.where(
-            fire, 1.0, stars["fb_done"])}
 
     # --- stellar enrichment: AGB+SNII mass return, SNIa metals ---------------
     # (feedback/EAGLE/enrichment.h evolve_* integrated over the stars
@@ -524,6 +579,12 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             new_bin_w = jnp.minimum(tb_now, T.max_active_bin)
             gas = apply_wake(p, cosmo, gas, T, sync, new_bin_w)
             n_woken = n_woken + jnp.sum(sync)
+
+        # --- tracers: thermal-history records (tracers/EAGLE/tracers.h
+        # tracers_after_cooling + tracers_after_black_holes_feedback) ----
+        if tracers is not None and "T_max" in gas:
+            gas = {**gas, **tracers.update(gas, cosmo,
+                                           agn_heated=bh_heated)}
 
         # --- star formation (runner_do_star_formation, runner_others.c) ---
         if sf is not None and stars is not None:
@@ -781,7 +842,7 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
 
 _JIT_MULTI_STEP = jax.jit(multi_step,
                           static_argnums=(0, 1, 2, 3, 4, 8, 9, 10, 11,
-                                          12, 13, 14))
+                                          12, 13, 14, 15))
 _JIT_MULTI_INIT = jax.jit(multi_init, static_argnums=(0, 1, 2, 3, 4))
 
 _SPECIES_ORDER = ("gas", "dm", "stars", "bh", "sinks", "nu")
@@ -848,7 +909,7 @@ class MultiEngine(Engine):
                  feedback=None, mesh_fn: Optional[Callable] = None,
                  mesh_dt_scale: float = 0.0, bh_model=None,
                  nu_model=None, sink_model=None, enrichment=None,
-                 external_potential=None, rt_fn=None):
+                 external_potential=None, rt_fn=None, tracers=None):
         if cfg.backend == "gather":
             # gather: the multi-species step doesn't carry candidate
             # lists.  (flat + SF/feedback/sinks is supported: gas-gas
@@ -875,6 +936,7 @@ class MultiEngine(Engine):
         self.bh_model = bh_model
         self.sink_model = sink_model
         self.enrichment = enrichment
+        self.tracers = tracers
         self.nu_model = nu_model
         if nu_model is not None and mesh_fn is None:
             raise ValueError(
@@ -888,6 +950,9 @@ class MultiEngine(Engine):
         gas_engine.load_particles(pos, m, v, u, h, pid=pid, Z=Z,
                                   elem_frac=elem_frac)
         self.state["gas"] = gas_engine.state
+        if self.tracers is not None:
+            self.state["gas"].update(
+                self.tracers.init_fields(self.state["gas"]["m"].shape))
         self.n_particles = getattr(self, "n_particles", 0) + len(pos)
 
     def alloc_stars(self, extra_per_cell: int = 8):
@@ -1171,7 +1236,7 @@ class MultiEngine(Engine):
             self.grid, self.sph, self.cfg, self.gravity_fn, self.eps_soft,
             self.cosmo, self.state, T, self.cooling_fn, self.sf,
             self.feedback, self.bh_model, self.sink_model,
-            self.enrichment, self.rt_fn)
+            self.enrichment, self.rt_fn, self.tracers)
         self._post_step(diag)
         self.step_count += 1
         if self.mesh_fn is not None and t.ti_current >= self.ti_mesh_end:

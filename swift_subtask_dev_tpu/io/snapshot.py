@@ -365,6 +365,10 @@ def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
                       # chemistry_write_particles)
                       ("Z", "Metallicities"),
                       ("elem_frac", "ElementMassFractions"),
+                      # tracers (tracers_io.h tracers_write_particles)
+                      ("T_max", "MaximalTemperatures"),
+                      ("a_Tmax", "MaximalTemperatureScaleFactors"),
+                      ("last_AGN_a", "LastAGNFeedbackScaleFactors"),
                       ("birth_time", "BirthTimes"),
                       ("birth_density", "BirthDensities"),
                       ("m_subgrid", "SubgridMasses")):

@@ -649,3 +649,145 @@ def chemistry_smooth_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         [(flat[f"me{k}"] + s["m"] * s["elem_frac"][..., k] * kroot) * fac
          for k in range(N_ELEMENTS)], axis=-1)
     return Z_sm, ef_sm
+
+
+def star_energy_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
+                           p: SPHENIXParams, use_scan: bool = False):
+    """Continuous kernel-weighted energy deposition (GEAR feedback):
+    gas i receives du_i = W(r_ij, h_s) / norm_s * E_s from every firing
+    neighbour star (feedback/GEAR/feedback.c feedback_reset_part +
+    runner_iact_nonsym_feedback_apply: energy shares follow the same
+    m_i W / Sigma m W weights as the ejecta, so dE_i = share_i * E and
+    du_i = dE_i / m_i = W ninv E).
+
+    star_s needs: mask/off/h, fb_energy (energy to deposit this step),
+    ej_norm (from star_kernel_weight_loop).  Returns du (C, K_gas) f32.
+    """
+    gm = lambda n: _grid_view(grid, gas_s[n])
+    gmask, goff = gm("mask"), gm("off")
+
+    sv = lambda n: _grid_view(grid, star_s[n])
+    ninv_full = jnp.where(star_s["ej_norm"] > 0,
+                          1.0 / jnp.maximum(star_s["ej_norm"], 1e-30),
+                          0.0)
+    j_fields = {"off": sv("off"),
+                "h": _sanitize(sv("mask"), sv("h")),
+                "mask": sv("mask"),
+                "E": _grid_view(grid, star_s["fb_energy"]),
+                "ninv": _grid_view(grid, ninv_full)}
+
+    gamma2 = jnp.float32(p.kernel.gamma2)
+    acc0 = jnp.zeros(gmask.shape, F32)
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(goff, jf["off"], shift)
+        hinv_j = 1.0 / _bj(jf["h"])
+        u2 = r2 * hinv_j * hinv_j
+        ok = ((_bi(gmask) > 0) & (_bj(jf["mask"]) > 0) & (u2 < gamma2)
+              & (_bj(jf["E"]) > 0))
+        w_kern, _ = p.kernel.deval(jnp.sqrt(u2))
+        du = jnp.where(ok, w_kern * _bj(jf["ninv"]) * _bj(jf["E"]), 0.0)
+        return acc + jnp.sum(du, axis=-1)
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    return _flat_view(grid, acc) * gas_s["mask"]
+
+
+def kinetic_ray_select_loop(grid: CellGrid, star_s: Dict, gas_s: Dict,
+                            p: SPHENIXParams, use_scan: bool = False):
+    """EAGLE kinetic feedback ray selection: for every firing star with
+    an isotropic random direction d, find the gas neighbour best aligned
+    with +d and with -d (feedback/EAGLE_kinetic/feedback_iact.h:102-126 —
+    the reference minimises the arclength to the ray and its mirror;
+    maximising cos(angle) selects the same pair).
+
+    star_s needs: mask/off/h/fire (bool: fires this step) and ray_dir
+    (C, K_s, 3) unit vectors.  gas_s needs mask/off/pid/m.
+    Returns per-star (pid_plus, m_plus, pid_minus, m_minus); pid = -1
+    where no neighbour was found in that hemisphere.
+    """
+    sm = lambda n: _grid_view(grid, star_s[n])
+    smask, soff = sm("mask"), sm("off")
+    fire = _grid_view(grid, star_s["fire"])
+    d = _grid_view(grid, star_s["ray_dir"])
+    di = tuple(_bi(d[..., k]) for k in range(3))
+    h = _sanitize(smask, sm("h"))
+    hinv_i = _bi(1.0 / h)
+    gamma2 = jnp.float32(p.kernel.gamma2)
+
+    j_fields = {"off": _grid_view(grid, gas_s["off"]),
+                "mask": _grid_view(grid, gas_s["mask"]),
+                "pid": _grid_view(grid, gas_s["pid"]),
+                "m": _grid_view(grid, gas_s["m"])}
+
+    NEG = jnp.float32(-3.0)
+    zf = jnp.full(smask.shape, NEG, F32)
+    zi = jnp.full(smask.shape, -1, jnp.int32)
+    zm = jnp.zeros(smask.shape, F32)
+    acc0 = {"cp": zf, "pp": zi, "mp": zm, "cm": zf, "pm": zi, "mm": zm}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(soff, jf["off"], shift)
+        ok = ((_bi(fire)) & (_bj(jf["mask"]) > 0) & (r2 > 0)
+              & (r2 * hinv_i ** 2 < gamma2))
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        # direction star -> gas is -dx (dx = x_star - x_gas)
+        cos = -(dx[0] * di[0] + dx[1] * di[1] + dx[2] * di[2]) * rinv
+        pid_b = jnp.broadcast_to(_bj(jf["pid"]), cos.shape)
+        m_b = jnp.broadcast_to(_bj(jf["m"]), cos.shape)
+        out = dict(acc)
+        for key, blk in (("p", jnp.where(ok, cos, NEG)),
+                         ("m", jnp.where(ok, -cos, NEG))):
+            idx = jnp.argmax(blk, axis=-1)[..., None]
+            best = jnp.take_along_axis(blk, idx, axis=-1)[..., 0]
+            bpid = jnp.take_along_axis(pid_b, idx, axis=-1)[..., 0]
+            bm = jnp.take_along_axis(m_b, idx, axis=-1)[..., 0]
+            upd = best > acc[f"c{key}"]
+            out[f"c{key}"] = jnp.where(upd, best, acc[f"c{key}"])
+            out[f"p{key}"] = jnp.where(upd, bpid, acc[f"p{key}"])
+            out[f"m{key}"] = jnp.where(upd, bm, acc[f"m{key}"])
+        return out
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    fl = {k: _flat_view(grid, v) for k, v in acc.items()}
+    found = (fl["cp"] > NEG) & (fl["cm"] > NEG) & (fl["pp"] != fl["pm"])
+    return (jnp.where(found, fl["pp"], -1), fl["mp"],
+            jnp.where(found, fl["pm"], -1), fl["mm"])
+
+
+def kinetic_kick_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
+                            p: SPHENIXParams, use_scan: bool = False):
+    """Apply the paired kicks: gas i whose pid matches a neighbour star's
+    pid_plus (pid_minus) receives momentum +q d (-q d)
+    (feedback_iact.h:128-190 — two gas particles kicked in exactly
+    opposite directions; q chosen so the pair carries the event energy
+    while conserving momentum exactly).
+
+    star_s needs: mask/off/h/ray_dir/kick_q/pid_plus/pid_minus.
+    Returns dp (C, K_gas, 3) — momentum received.
+    """
+    gm = lambda n: _grid_view(grid, gas_s[n])
+    gmask, goff = gm("mask"), gm("off")
+    gpid = _grid_view(grid, gas_s["pid"])
+
+    sv = lambda n: _grid_view(grid, star_s[n])
+    j_fields = {"off": sv("off"),
+                "mask": sv("mask"),
+                "pp": _grid_view(grid, star_s["pid_plus"]),
+                "pm": _grid_view(grid, star_s["pid_minus"]),
+                "q": _grid_view(grid, star_s["kick_q"]),
+                "d": _grid_view(grid, star_s["ray_dir"])}
+
+    acc0 = tuple(jnp.zeros(gmask.shape, F32) for _ in range(3))
+
+    def accumulate(acc, jf, shift):
+        ok = (_bi(gmask) > 0) & (_bj(jf["mask"]) > 0) & (_bj(jf["q"]) > 0)
+        sgn = (jnp.where(ok & (_bi(gpid) == _bj(jf["pp"])), 1.0, 0.0)
+               - jnp.where(ok & (_bi(gpid) == _bj(jf["pm"])), 1.0, 0.0))
+        qs = sgn * _bj(jf["q"])
+        return tuple(acc[k] + jnp.sum(qs * _bj(jf["d"][..., k]), axis=-1)
+                     for k in range(3))
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    return jnp.stack([_flat_view(grid, a) * gas_s["mask"] for a in acc],
+                     axis=-1)

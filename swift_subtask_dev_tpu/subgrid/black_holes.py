@@ -161,3 +161,25 @@ def seed_from_fof(catalogue, gas_pos, gas_rho, bh_model,
         idx = np.argmax(np.where(members, gas_rho, -1.0))
         seeds.append(gas_pos[idx])
     return (np.asarray(seeds).reshape(-1, 3), len(seeds))
+
+
+EagleBlackHoles.kind = "eagle"
+
+
+@dataclass(frozen=True)
+class DefaultBlackHoles:
+    """Passive black holes (black_holes/Default/black_holes.h).
+
+    The reference's Default model carries BH particles through gravity
+    and computes their gas density/neighbour sums, but performs NO
+    accretion, swallowing or feedback (black_holes_iact.h is empty of
+    physics; black_holes.h only maintains h and the density fields).
+    multi_step keys off ``kind`` to run only the density pass.
+    """
+
+    kind = "default"
+
+    @staticmethod
+    def from_params(params, units, phys_const, G_newton: float
+                    ) -> "DefaultBlackHoles":
+        return DefaultBlackHoles()

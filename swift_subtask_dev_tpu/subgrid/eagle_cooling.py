@@ -105,15 +105,21 @@ class EagleCooling:
     dudt_from_cgs: float = 1.0    # erg/s/g -> internal du/dt
     compton_pref: float = 0.0     # Compton prefactor in cgs
     hydrogen_mass_fraction: float = 0.752
+    # cooling/QLA: the quick-Lyman-alpha flavour runs the SAME table
+    # machinery restricted to primordial abundances (QLA/cooling_rates.h
+    # has no metal contribution); metal_free drops the Z scaling
+    metal_free: bool = False
 
     @staticmethod
     def from_params(params, units, phys_const,
-                    hydrogen_mass_fraction: float = 0.752
-                    ) -> "EagleCooling":
-        """EAGLECooling YAML section (cooling_init, EAGLE/cooling.c)."""
-        X_H = params.opt_float("EAGLECooling", "H_mass_fraction",
+                    hydrogen_mass_fraction: float = 0.752,
+                    section: str = "EAGLECooling",
+                    metal_free: bool = False) -> "EagleCooling":
+        """EAGLECooling/QLACooling YAML section (cooling_init,
+        EAGLE/cooling.c; QLA/cooling.c)."""
+        X_H = params.opt_float(section, "H_mass_fraction",
                                hydrogen_mass_fraction) \
-            if params.has("EAGLECooling") else hydrogen_mass_fraction
+            if params.has(section) else hydrogen_mass_fraction
 
         T = np.logspace(LOG_T_MIN, LOG_T_MAX, N_T)
         zs = np.linspace(Z_MIN, Z_MAX, N_Z)
@@ -142,6 +148,7 @@ class EagleCooling:
             # 4 sigma_T a_rad c k_B/(m_e c^2) [erg/s/K^5 per electron]
             compton_pref=5.65e-36,
             hydrogen_mass_fraction=float(X_H),
+            metal_free=metal_free,
         )
 
     # --- device-side interpolation ---------------------------------------
@@ -172,8 +179,9 @@ class EagleCooling:
             for dn, wn in ((0, 1 - fn), (1, fn)):
                 for dt, wt in ((0, 1 - ft), (1, ft)):
                     lam = lam + wz * wn * wt * g(dz, dn, dt)
-        lam_Z = (1 - ft) * mtab[t0] + ft * mtab[t0 + 1]
-        lam = lam - lam_Z * (Z_metal / Z_SUN)
+        if not self.metal_free:
+            lam_Z = (1 - ft) * mtab[t0] + ft * mtab[t0 + 1]
+            lam = lam - lam_Z * (Z_metal / Z_SUN)
         # Compton off the CMB: Λ_C = pref n_e (T - T_CMB) T_CMB^4 / n_H^2
         T_cmb = T_CMB0 * (1.0 + z)
         n_e = 1.16 * n_H * jax.nn.sigmoid((logT - 4.1) / 0.08)

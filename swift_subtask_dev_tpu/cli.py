@@ -293,6 +293,11 @@ def build_subgrid(params, units, args, cosmology, sph):
             from .subgrid.black_holes import DefaultBlackHoles
             bh_model = DefaultBlackHoles.from_params(params, units,
                                                      phys_const, G)
+        elif params.has("SPINJETAGN"):
+            # black_holes/SPIN_JET: spin evolution + AGN jets
+            from .subgrid.spin_jet import SpinJetBlackHoles
+            bh_model = SpinJetBlackHoles.from_params(params, units,
+                                                     phys_const, G)
         else:
             from .subgrid.black_holes import EagleBlackHoles
             bh_model = EagleBlackHoles.from_params(params, units,
@@ -725,7 +730,12 @@ def main(argv=None) -> int:
             u_ic = np.asarray(entropy_from_internal_energy(
                 sph, rho_ic, u_ic), np.float32)
         Z_ic = ef_ic = None
-        if params.has("EAGLEChemistry") or params.has("EAGLECooling"):
+        if params.has("GEARChemistry"):
+            # chemistry/GEAR: metal-mass carriers, same smoothed loops
+            from .subgrid.chemistry import GearChemistry
+            chem = GearChemistry.from_params(params)
+            Z_ic, ef_ic = chem.particle_arrays(len(pos_g), gas)
+        elif params.has("EAGLEChemistry") or params.has("EAGLECooling"):
             from .subgrid.chemistry import EagleChemistry
             chem = EagleChemistry.from_params(params)
             Z_ic, ef_ic = chem.particle_arrays(len(pos_g), gas)
@@ -915,7 +925,12 @@ def main(argv=None) -> int:
             u_ic = np.asarray(entropy_from_internal_energy(
                 sph, rho_ic, u_ic), np.float32)
         Z_ic = ef_ic = None
-        if params.has("EAGLEChemistry") or params.has("EAGLECooling"):
+        if params.has("GEARChemistry"):
+            # chemistry/GEAR: metal-mass carriers, same smoothed loops
+            from .subgrid.chemistry import GearChemistry
+            chem = GearChemistry.from_params(params)
+            Z_ic, ef_ic = chem.particle_arrays(len(pos), gas)
+        elif params.has("EAGLEChemistry") or params.has("EAGLECooling"):
             from .subgrid.chemistry import EagleChemistry
             chem = EagleChemistry.from_params(params)
             Z_ic, ef_ic = chem.particle_arrays(len(pos), gas)

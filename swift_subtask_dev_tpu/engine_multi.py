@@ -343,8 +343,10 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     elif bh_model is not None and bh is not None and gas is not None:
         from .ops import black_holes as _bh
         from .ops import stencil as _st
+        bh_kind = getattr(bh_model, "kind", "eagle")
         dens = _bh.bh_gas_density_loop(grid, bh, gas, p,
-                                       use_scan=cfg.stencil_scan)
+                                       use_scan=cfg.stencil_scan,
+                                       with_ang_mom=bh_kind == "spin_jet")
         tb_bh = jnp.clip(bh["time_bin"], 0, NBINS)
         dt_bh = T.dt_alpha[tb_bh] * bh_act[2]
         bh = bh_model.accrete(bh, dens, cosmo, dt_bh)
@@ -384,6 +386,34 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         n_agn = jnp.sum(fb_energy > 0)
         gas = {**gas, "u_full": gas["u_full"] + du_add,
                "u": gas["u"] + du_add}
+
+        # --- AGN jets: paired kicks along ±spin axis (SPIN_JET,
+        # black_holes.h:1185-1248; AGN_jet_spin_axis model) ----------------
+        if bh_kind == "spin_jet":
+            fire_jet, v_jet = bh_model.jet_fire(bh)
+            fire_jet = fire_jet & bh_act[2]
+            bh_r = {**bh, "fire": fire_jet, "ray_dir": bh["spin_dir"]}
+            pid_p, m_p, pid_m, m_m = _st.kinetic_ray_select_loop(
+                grid, bh_r, gas, p, use_scan=cfg.stencil_scan)
+            found = (pid_p >= 0) & (pid_m >= 0)
+            bh_j = {**bh_r, "pid_plus": pid_p, "pid_minus": pid_m,
+                    "kick_q_plus": jnp.where(found, m_p * v_jet, 0.0),
+                    "kick_q_minus": jnp.where(found, m_m * v_jet, 0.0)}
+            dp = _st.kinetic_kick_apply_loop(
+                grid, gas, bh_j, p, use_scan=cfg.stencil_scan)
+            dv_j = dp / jnp.maximum(gas["m"], 1e-30)[..., None]
+            gas = {**gas, "v_full": gas["v_full"] + dv_j,
+                   "v": gas["v"] + dv_j}
+            e_dep = jnp.where(found & fire_jet,
+                              0.5 * (m_p + m_m) * v_jet * v_jet, 0.0)
+            bh = {**bh,
+                  "jet_reservoir": jnp.maximum(
+                      bh["jet_reservoir"] - e_dep, 0.0),
+                  "v_jet_last": jnp.where(fire_jet, v_jet,
+                                          bh["v_jet_last"])}
+            n_agn = n_agn + jnp.sum(e_dep > 0)
+            jet_kicked = jnp.any(dp != 0.0, axis=-1)
+            bh_heated = bh_heated | jet_kicked
 
     # --- sinks: swallow gas -> merge (runner_sinks.c; sink/GEAR) -------------
     n_sink_gas_sw = jnp.int32(0)
@@ -1101,6 +1131,11 @@ class MultiEngine(Engine):
             "mdot": z(), "rho_gas": z(), "ngb_mass": z(),
             "drift_accum": jnp.float32(0.0),
         }
+        if hasattr(self.bh_model, "init_extra_fields"):
+            # model-specific carriers (SPIN_JET: spin, direction, jet
+            # reservoir, mode, efficiencies — black_holes_part.h)
+            self.state["bh"].update(
+                self.bh_model.init_extra_fields((C, K), mask))
         self.n_particles = getattr(self, "n_particles", 0) + n
 
     def alloc_sinks(self, extra_per_cell: int = 8):

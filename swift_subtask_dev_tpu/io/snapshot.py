@@ -371,7 +371,14 @@ def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
                       ("last_AGN_a", "LastAGNFeedbackScaleFactors"),
                       ("birth_time", "BirthTimes"),
                       ("birth_density", "BirthDensities"),
-                      ("m_subgrid", "SubgridMasses")):
+                      ("m_subgrid", "SubgridMasses"),
+                      # SPIN_JET BH state (SPIN_JET/black_holes_io.h)
+                      ("spin", "Spins"),
+                      ("spin_dir", "AngularMomentumDirections"),
+                      ("jet_eff", "JetEfficiencies"),
+                      ("rad_eff", "RadiativeEfficiencies"),
+                      ("acc_mode", "AccretionModes"),
+                      ("jet_reservoir", "JetReservoir")):
         if key in state:
             out[name] = flat(key)
     # radiative transfer (rt_io.h rt_write_particles: per-group photon

@@ -32,20 +32,27 @@ I32 = jnp.int32
 
 
 def bh_gas_density_loop(grid: CellGrid, bh_s: Dict, gas_s: Dict, p,
-                        use_scan: bool = False):
+                        use_scan: bool = False,
+                        with_ang_mom: bool = False):
     """Per-BH gas sums (black_holes_iact.h runner_iact_nonsym_bh_gas_density).
 
     Returns dict of (C, K_bh): rho (Σ m W, un-normalised by h factors —
     the caller applies h^-3), ngb_mass (Σ m), mom{0,1,2} (Σ m W v_j),
-    cs_w (Σ m W cs_j) and wcount (Σ W).
+    cs_w (Σ m W cs_j) and wcount (Σ W).  With ``with_ang_mom`` also
+    L{0,1,2} = Σ m W (r_gas-r_bh) × (v_gas-v_bh) — the gas angular
+    momentum around the BH feeding the SPIN_JET alignment criterion
+    (SPIN_JET/black_holes_iact.h:125 spec_angular_momentum_gas).
     """
     gm = lambda n: _grid_view(grid, bh_s[n])
     bmask, boff = gm("mask"), gm("off")
     h = _sanitize(bmask, gm("h"))
     hinv_i = _bi(1.0 / h)
+    vbh = _grid_view(grid, bh_s["v_full"]) if with_ang_mom else None
 
     gamma2 = jnp.float32(p.kernel.gamma2)
     keys = ("rho", "ngb_mass", "mom0", "mom1", "mom2", "cs_w", "wcount")
+    if with_ang_mom:
+        keys = keys + ("L0", "L1", "L2")
     acc0 = {k: jnp.zeros(bmask.shape, F32) for k in keys}
     j_fields = {"off": _grid_view(grid, gas_s["off"]),
                 "m": _grid_view(grid, gas_s["m"]),
@@ -60,7 +67,7 @@ def bh_gas_density_loop(grid: CellGrid, bh_s: Dict, gas_s: Dict, p,
         w_kern, _ = p.kernel.deval(ui)
         w = jnp.where(ok, 1.0, 0.0)
         mw = _bj(jf["m"]) * w_kern * w
-        return {
+        out = {
             "rho": acc["rho"] + jnp.sum(mw, axis=-1),
             "ngb_mass": acc["ngb_mass"]
             + jnp.sum(_bj(jf["m"]) * w, axis=-1),
@@ -73,6 +80,18 @@ def bh_gas_density_loop(grid: CellGrid, bh_s: Dict, gas_s: Dict, p,
             "cs_w": acc["cs_w"] + jnp.sum(mw * _bj(jf["cs"]), axis=-1),
             "wcount": acc["wcount"] + jnp.sum(w_kern * w, axis=-1),
         }
+        if with_ang_mom:
+            # r_rel = x_gas - x_bh = -dx; v_rel = v_gas - v_bh
+            r = tuple(-dx[k] for k in range(3))
+            vr = tuple(_bj(jf["v"][..., k]) - _bi(vbh[..., k])
+                       for k in range(3))
+            out["L0"] = acc["L0"] + jnp.sum(
+                mw * (r[1] * vr[2] - r[2] * vr[1]), axis=-1)
+            out["L1"] = acc["L1"] + jnp.sum(
+                mw * (r[2] * vr[0] - r[0] * vr[2]), axis=-1)
+            out["L2"] = acc["L2"] + jnp.sum(
+                mw * (r[0] * vr[1] - r[1] * vr[0]), axis=-1)
+        return out
 
     acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
     return {k: _flat_view(grid, v) * bh_s["mask"] for k, v in acc.items()}

@@ -763,7 +763,9 @@ def kinetic_kick_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
     opposite directions; q chosen so the pair carries the event energy
     while conserving momentum exactly).
 
-    star_s needs: mask/off/h/ray_dir/kick_q/pid_plus/pid_minus.
+    star_s needs: mask/off/h/ray_dir/pid_plus/pid_minus and either a
+    shared ``kick_q`` or per-side ``kick_q_plus``/``kick_q_minus``
+    (SPIN_JET jets kick different masses in the two hemispheres).
     Returns dp (C, K_gas, 3) — momentum received.
     """
     gm = lambda n: _grid_view(grid, gas_s[n])
@@ -771,20 +773,24 @@ def kinetic_kick_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
     gpid = _grid_view(grid, gas_s["pid"])
 
     sv = lambda n: _grid_view(grid, star_s[n])
+    qp = star_s.get("kick_q_plus", star_s.get("kick_q"))
+    qm = star_s.get("kick_q_minus", star_s.get("kick_q"))
     j_fields = {"off": sv("off"),
                 "mask": sv("mask"),
                 "pp": _grid_view(grid, star_s["pid_plus"]),
                 "pm": _grid_view(grid, star_s["pid_minus"]),
-                "q": _grid_view(grid, star_s["kick_q"]),
+                "qp": _grid_view(grid, qp),
+                "qm": _grid_view(grid, qm),
                 "d": _grid_view(grid, star_s["ray_dir"])}
 
     acc0 = tuple(jnp.zeros(gmask.shape, F32) for _ in range(3))
 
     def accumulate(acc, jf, shift):
-        ok = (_bi(gmask) > 0) & (_bj(jf["mask"]) > 0) & (_bj(jf["q"]) > 0)
-        sgn = (jnp.where(ok & (_bi(gpid) == _bj(jf["pp"])), 1.0, 0.0)
-               - jnp.where(ok & (_bi(gpid) == _bj(jf["pm"])), 1.0, 0.0))
-        qs = sgn * _bj(jf["q"])
+        ok = (_bi(gmask) > 0) & (_bj(jf["mask"]) > 0)
+        qs = (jnp.where(ok & (_bi(gpid) == _bj(jf["pp"]))
+                        & (_bj(jf["qp"]) > 0), _bj(jf["qp"]), 0.0)
+              - jnp.where(ok & (_bi(gpid) == _bj(jf["pm"]))
+                          & (_bj(jf["qm"]) > 0), _bj(jf["qm"]), 0.0))
         return tuple(acc[k] + jnp.sum(qs * _bj(jf["d"][..., k]), axis=-1)
                      for k in range(3))
 

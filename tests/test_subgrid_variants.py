@@ -339,3 +339,28 @@ def test_default_bh_is_passive():
     assert int(diag["n_agn"]) == 0 and int(diag["n_swallowed"]) == 0
     # but the density pass ran
     assert float(np.asarray(bh["rho_gas"])[bm][0]) > 0
+
+
+# --------------------------------------------------------------------------
+# GEAR chemistry
+# --------------------------------------------------------------------------
+
+def test_gear_chemistry_initial_metallicity():
+    from swift_subtask_dev_tpu.subgrid.chemistry import GearChemistry
+
+    chem = GearChemistry(initial_metallicity=0.02)
+    Z, ef = chem.particle_arrays(5)
+    np.testing.assert_allclose(Z, 0.02)
+    # fractions are consistent: H + He + metals == 1, metals == Z
+    np.testing.assert_allclose(ef.sum(axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(ef[:, 2:].sum(axis=1), 0.02, rtol=1e-5)
+
+
+def test_gear_chemistry_reads_ics_when_negative():
+    from swift_subtask_dev_tpu.subgrid.chemistry import GearChemistry
+
+    chem = GearChemistry(initial_metallicity=-1.0)
+    ic = {"MetalMassFractions": np.asarray(
+        [[0.001, 0.003], [0.002, 0.004]], np.float32)}
+    Z, ef = chem.particle_arrays(2, ic)
+    np.testing.assert_allclose(Z, [0.003, 0.004])

@@ -652,6 +652,10 @@ def main(argv=None) -> int:
                            p2p_reach=solver.pm.r_cut,
                            pressure_floor=build_pressure_floor(
                                params, units, sph),
+                           # chemistry/GEAR_DIFFUSION (0 = off)
+                           chem_diffusion=params.opt_float(
+                               "GEARChemistry", "diffusion_coefficient",
+                               0.0),
                            backend="flat" if use_flat else "xla",
                            shard_n=shard_n,
                            # collectives can't live inside while_loop
@@ -855,6 +859,10 @@ def main(argv=None) -> int:
                            with_external_gravity=ext_pot is not None,
                            pressure_floor=build_pressure_floor(
                                params, units, sph),
+                           # chemistry/GEAR_DIFFUSION (0 = off)
+                           chem_diffusion=params.opt_float(
+                               "GEARChemistry", "diffusion_coefficient",
+                               0.0),
                            backend=args.backend, shard_n=shard_n,
                            # collectives can't live inside while_loop
                            ghost_unroll=(shard_n > 0),

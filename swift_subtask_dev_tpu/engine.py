@@ -124,6 +124,9 @@ class EngineConfig:
     # itself, so callers there set the TRUE TimeIntegration ceiling here
     # — otherwise the mesh boundary fires every step and each boundary
     # costs blocking host roundtrips.
+    chem_diffusion: float = 0.0  # GEARChemistry:diffusion_coefficient —
+    # Smagorinsky turbulent metal diffusion between gas neighbours
+    # (chemistry/GEAR_DIFFUSION); 0 = off
     pressure_floor: object = None  # optional GEARPressureFloor: clamp the
     # ghost-finalised comoving pressure before the gradient/force loops
     # (pressure_floor/GEAR/pressure_floor.h wraps every pressure read)

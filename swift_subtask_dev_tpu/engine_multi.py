@@ -221,6 +221,23 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             from .ops import stencil as _st
             Z_smooth, _ = _st.chemistry_smooth_loop(
                 grid, s, p, use_scan=cfg.stencil_scan)
+        # turbulent metal diffusion (chemistry/GEAR_DIFFUSION):
+        # Smagorinsky D from the velocity shear, then pairwise exchange
+        if "Z" in s and "elem_frac" in s \
+                and getattr(cfg, "chem_diffusion", 0.0) > 0.0:
+            from .ops import stencil as _st
+            diff_coef = _st.chemistry_shear_diff_loop(
+                grid, s, p, cfg.chem_diffusion, cosmo,
+                use_scan=cfg.stencil_scan)
+            dZ_dt, dfrac_dt = _st.chemistry_diffusion_loop(
+                grid, {**s, "diff_coef": diff_coef}, p, cosmo,
+                use_scan=cfg.stencil_scan)
+            dt_ch = T.dt_alpha[tb] * active
+            s = {**s,
+                 "Z": jnp.clip(s["Z"] + dZ_dt * dt_ch, 0.0, 1.0),
+                 "elem_frac": jnp.clip(
+                     s["elem_frac"] + dfrac_dt * dt_ch[..., None],
+                     0.0, 1.0)}
         gas = s
         gas_act = (mask_b, tb, active)
         n_active = n_active + jnp.sum(active)
@@ -326,6 +343,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     # bh_feedback; black_holes/EAGLE)
     n_swallowed = jnp.int32(0)
     n_agn = jnp.int32(0)
+    n_bh_merged = jnp.int32(0)
     bh_heated = None
     if bh_model is not None and bh is not None and gas is not None \
             and getattr(bh_model, "kind", "eagle") == "default":
@@ -349,6 +367,28 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                                        with_ang_mom=bh_kind == "spin_jet")
         tb_bh = jnp.clip(bh["time_bin"], 0, NBINS)
         dt_bh = T.dt_alpha[tb_bh] * bh_act[2]
+
+        # --- reposition to the potential minimum among slow-enough gas
+        # neighbours (black_holes.h:193-230, black_holes_iact.h:290) ------
+        if getattr(bh_model, "reposition_ratio", 0.0) > 0.0 \
+                and cfg.eps_soft > 0.0 and "pot" in gas:
+            rho_rs = jnp.maximum(dens["rho"], 1e-30)
+            cs_rs = dens["cs_w"] / rho_rs * cosmo.a_factor_sound_speed
+            found_r, delta_r = _bh.bh_reposition_loop(
+                grid, {**bh, "cs_gas": cs_rs}, gas, p,
+                max_dist=bh_model.reposition_ratio * cfg.eps_soft,
+                v2_max_fac=bh_model.repos_vel_ratio,
+                v2_min_thresh=bh_model.repos_vel_min,
+                use_scan=cfg.stencil_scan)
+            move = found_r & bh_act[2]
+            jump = jnp.where(move, jnp.sqrt(jnp.sum(delta_r ** 2, -1)),
+                             0.0)
+            bh = {**bh,
+                  "off": jnp.where(move[..., None], bh["off"] + delta_r,
+                                   bh["off"]),
+                  # teleports count against the rebucket drift budget
+                  "drift_accum": bh["drift_accum"] + jnp.max(jump)}
+
         bh = bh_model.accrete(bh, dens, cosmo, dt_bh)
         # only ACTIVE black holes swallow or fire this step
         bh = {**bh,
@@ -414,6 +454,42 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             n_agn = n_agn + jnp.sum(e_dep > 0)
             jet_kicked = jnp.any(dp != 0.0, axis=-1)
             bh_heated = bh_heated | jet_kicked
+
+        # --- BH-BH mergers: lighter onto heavier when bound and close
+        # (black_holes_iact.h runner_iact_nonsym_bh_bh_swallow) ------------
+        if getattr(bh_model, "merging_ratio", 0.0) > 0.0 \
+                and cfg.eps_soft > 0.0:
+            vic = _bh.bh_merger_mark_loop(
+                grid, bh, p,
+                max_dist=bh_model.merging_ratio * cfg.eps_soft,
+                G=bh_model.G, threshold=bh_model.merger_threshold,
+                use_scan=cfg.stencil_scan)
+            vic = jnp.where(bh_act[2], vic, -1)  # active victims only
+            not_vic = vic < 0
+            mg = _bh.bh_merger_collect_loop(
+                grid, bh, vic, not_vic,
+                with_spin=bh_kind == "spin_jet",
+                use_scan=cfg.stencil_scan)
+            consumed = _bh.bh_merger_consumed_loop(
+                grid, bh, vic, not_vic, use_scan=cfg.stencil_scan)
+            if bh_kind == "spin_jet":
+                # remnant spin BEFORE the mass moves (merger_spin_evolve)
+                spin_m, dir_m = bh_model.merge_spin(bh, mg)
+            m_bh_new = bh["m"] + mg["dm"]
+            dp_m = jnp.stack([mg["dp0"], mg["dp1"], mg["dp2"]], -1)
+            v_bh_new = (bh["m"][..., None] * bh["v_full"] + dp_m) \
+                / jnp.maximum(m_bh_new, 1e-30)[..., None]
+            keep_v = (mg["dm"] <= 0)[..., None]
+            bh = {**bh, "m": m_bh_new,
+                  "m_subgrid": bh["m_subgrid"] + mg["dms"],
+                  "energy_reservoir": bh["energy_reservoir"]
+                  + mg["dresv"],
+                  "v_full": jnp.where(keep_v, bh["v_full"], v_bh_new),
+                  "mask": jnp.where(consumed, 0.0, bh["mask"])}
+            if bh_kind == "spin_jet":
+                bh = {**bh, "spin": spin_m, "spin_dir": dir_m,
+                      "jet_reservoir": bh["jet_reservoir"] + mg["djet"]}
+            n_bh_merged = jnp.sum(consumed)
 
     # --- sinks: swallow gas -> merge (runner_sinks.c; sink/GEAR) -------------
     n_sink_gas_sw = jnp.int32(0)
@@ -732,6 +808,7 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             jnp.max(jnp.sum(sp["mask"] > 0, axis=1))
             for sp in out_state.values()])),
         "n_swallowed": n_swallowed,
+        "n_bh_merged": n_bh_merged,
         "n_agn": n_agn,
         "n_sink_formed": n_sink_formed,
         "m_enriched": m_enriched,

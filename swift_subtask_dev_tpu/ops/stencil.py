@@ -797,3 +797,129 @@ def kinetic_kick_apply_loop(grid: CellGrid, gas_s: Dict, star_s: Dict,
     acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
     return jnp.stack([_flat_view(grid, a) * gas_s["mask"] for a in acc],
                      axis=-1)
+
+
+def chemistry_shear_diff_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                              C_diff: float, cosmo,
+                              use_scan: bool = False):
+    """Smagorinsky metal-diffusion coefficient from the velocity shear
+    (chemistry/GEAR_DIFFUSION/chemistry_iact.h:80 accumulates
+    S_ab = Σ_j m_j (v_j - v_i)_b dx_a dW_i/du / r; chemistry.h:243-291
+    finishes: physical units, Hubble flow on the diagonal, symmetrize,
+    remove the trace, D = C |S| (a h)^2).
+
+    Needs s: mask/off/m/h/rho/v.  Returns diff_coef (C, K) in physical
+    units.
+    """
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off, m = g("mask"), g("off"), g("m")
+    h = _sanitize(mask, g("h"))
+    hinv_i = _bi(1.0 / h)
+    v = g("v")
+    vi = tuple(_bi(v[..., k]) for k in range(3))
+    gamma2 = jnp.float32(p.kernel.gamma2)
+
+    keys = tuple(f"S{a}{b}" for a in range(3) for b in range(3))
+    acc0 = {k: jnp.zeros(mask.shape, F32) for k in keys}
+    j_fields = {"off": off, "m": m, "mask": mask, "v": v}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
+        u2 = r2 * hinv_i * hinv_i
+        ok = (_bj(jf["mask"]) > 0) & (r2 > 0) & (u2 < gamma2)
+        u = jnp.sqrt(jnp.maximum(u2, 1e-30))
+        _, dw = p.kernel.deval(u)
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        mj_wi_dr = jnp.where(ok, _bj(jf["m"]) * dw * rinv, 0.0)
+        dv = tuple(_bj(jf["v"][..., k]) - vi[k] for k in range(3))
+        out = dict(acc)
+        for a in range(3):
+            for b in range(3):
+                out[f"S{a}{b}"] = acc[f"S{a}{b}"] + jnp.sum(
+                    dv[b] * dx[a] * mj_wi_dr, axis=-1)
+        return out
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    S = {k: _flat_view(grid, vv) for k, vv in acc.items()}
+
+    h_flat = jnp.where(s["mask"] > 0, s["h"], 1.0)
+    # physical shear: h^-(d+1) / rho_com * a^-2 (chemistry.h:243)
+    fac = (1.0 / h_flat) ** 4 / jnp.maximum(s["rho"], 1e-30) \
+        * cosmo.a_inv2
+    H = jnp.float32(getattr(cosmo, "H", 0.0))
+    trace_3 = ((S["S00"] + S["S11"] + S["S22"]) * fac + 3.0 * H) / 3.0
+    norm2 = jnp.zeros_like(trace_3)
+    for a in range(3):
+        for b in range(3):
+            st = 0.5 * (S[f"S{a}{b}"] + S[f"S{b}{a}"]) * fac
+            if a == b:
+                st = st + H - trace_3
+            norm2 = norm2 + st * st
+    h_phys = cosmo.a * h_flat
+    return (jnp.float32(C_diff) * jnp.sqrt(norm2) * h_phys * h_phys
+            * s["mask"])
+
+
+def chemistry_diffusion_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                             cosmo, use_scan: bool = False):
+    """Turbulent metal exchange between neighbours
+    (chemistry/GEAR_DIFFUSION/chemistry_iact.h runner_iact_diffusion):
+
+        d(frac_i)/dt = Σ_j [2 (D_i + D_j)/(rho_i + rho_j)]
+                       (m_j/m_i) (dW_i/dr / r) (frac_i - frac_j)
+
+    with physical densities and the per-particle Smagorinsky D from
+    chemistry_shear_diff_loop (carried in s['diff_coef']).  The kernel
+    gradient carries the full h_i^-(d+1) factor (the reference's iact
+    omits it — dimensionally we keep it).  dW/dr < 0 inside the kernel,
+    so metal-rich particles lose and poor ones gain; the pairwise
+    exchange conserves total metal mass up to h_i != h_j asymmetry
+    (same as the reference's nonsym loops).
+
+    Needs s: mask/off/m/h/rho/Z/elem_frac/diff_coef.  Returns
+    (dZ_dt (C, K), dfrac_dt (C, K, 9)) in physical 1/time.
+    """
+    from ..subgrid.chemistry import N_ELEMENTS
+
+    g = lambda name: _grid_view(grid, s[name])
+    mask, off, m = g("mask"), g("off"), g("m")
+    h = _sanitize(mask, g("h"))
+    hinv_i = _bi(1.0 / h)
+    rho_fac = jnp.float32(cosmo.a_inv2) / jnp.float32(cosmo.a)
+    rho_phys = _grid_view(grid, s["rho"]) * rho_fac
+    D = _grid_view(grid, s["diff_coef"])
+    Z = g("Z")
+    ef = g("elem_frac")
+    gamma2 = jnp.float32(p.kernel.gamma2)
+
+    keys = ("dZ",) + tuple(f"de{k}" for k in range(N_ELEMENTS))
+    acc0 = {k: jnp.zeros(mask.shape, F32) for k in keys}
+    j_fields = {"off": off, "m": m, "mask": mask, "rho": rho_phys,
+                "D": D, "Z": Z, "ef": ef}
+
+    def accumulate(acc, jf, shift):
+        dx, r2 = _pair_geometry_shift(off, jf["off"], shift)
+        u2 = r2 * hinv_i * hinv_i
+        ok = ((_bj(jf["mask"]) > 0) & (r2 > 0) & (u2 < gamma2)
+              & (_bi(D) > 0) & (_bj(jf["D"]) > 0))
+        u = jnp.sqrt(jnp.maximum(u2, 1e-30))
+        _, dw = p.kernel.deval(u)
+        rinv = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        wi_dr = dw * rinv * hinv_i ** 4      # h_i^-(d+1) dW/du / r
+        coef = 2.0 * (_bi(D) + _bj(jf["D"])) \
+            / jnp.maximum(_bi(rho_phys) + _bj(jf["rho"]), 1e-30)
+        t = jnp.where(ok, coef * _bj(jf["m"]) * wi_dr, 0.0)
+        out = dict(acc)
+        out["dZ"] = acc["dZ"] + jnp.sum(t * (_bi(Z) - _bj(jf["Z"])),
+                                        axis=-1)
+        for k in range(N_ELEMENTS):
+            out[f"de{k}"] = acc[f"de{k}"] + jnp.sum(
+                t * (_bi(ef[..., k]) - _bj(jf["ef"][..., k])), axis=-1)
+        return out
+
+    acc = _apply_offsets(grid, j_fields, acc0, accumulate, use_scan)
+    flat = {k: _flat_view(grid, v) * s["mask"] for k, v in acc.items()}
+    dZ = flat["dZ"]
+    dfrac = jnp.stack([flat[f"de{k}"] for k in range(N_ELEMENTS)],
+                      axis=-1)
+    return dZ, dfrac

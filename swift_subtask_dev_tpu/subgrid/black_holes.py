@@ -43,6 +43,14 @@ class EagleBlackHoles:
     n_heat: float = 1.0                  # reservoir threshold (particles)
     seed_mass: float = 0.0
     seed_halo_mass: float = 0.0
+    # repositioning to the potential minimum (black_holes_iact.h:290;
+    # ratios are in units of the baryon softening; 0 = off)
+    reposition_ratio: float = 0.0
+    repos_vel_ratio: float = 0.0         # x cs_gas; 0 = no velocity cut
+    repos_vel_min: float = 0.0
+    # BH-BH mergers (black_holes_iact.h bh_bh_swallow; 0 = off)
+    merging_ratio: float = 0.0
+    merger_threshold: str = "escape_velocity"
 
     @staticmethod
     def from_params(params, units, phys_const, G_newton: float
@@ -68,7 +76,21 @@ class EagleBlackHoles:
             * 1.98841e33 * units.from_cgs("mass"),
             seed_halo_mass=params.opt_float(sec, "seed_halo_mass_Msun",
                                             1e10)
-            * 1.98841e33 * units.from_cgs("mass"))
+            * 1.98841e33 * units.from_cgs("mass"),
+            reposition_ratio=params.opt_float(
+                sec, "max_reposition_distance_ratio", 3.0),
+            repos_vel_ratio=(params.opt_float(
+                sec, "max_reposition_velocity_ratio", 0.5)
+                if params.opt_int(
+                    sec, "with_reposition_velocity_threshold", 1)
+                else 0.0),
+            repos_vel_min=max(0.0, params.opt_float(
+                sec, "min_reposition_velocity_threshold_km_p_s", -1.0))
+            * 1.0e5 * units.from_cgs("velocity"),
+            merging_ratio=params.opt_float(
+                sec, "max_merging_distance_ratio", 3.0),
+            merger_threshold=params.opt_string(
+                sec, "merger_threshold_type", "escape_velocity").lower())
 
     # --- per-step device pieces -------------------------------------------
     def bondi_rate(self, m_subgrid, rho_phys, cs_phys, v_rel2_phys):

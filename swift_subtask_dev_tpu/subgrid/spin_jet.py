@@ -157,6 +157,13 @@ class SpinJetBlackHoles:
     v_jet_min: float = 0.0
     v_jet_model: str = "constant"  # constant | mass_loading
 
+    # repositioning + BH-BH mergers (shared EAGLE machinery; 0 = off)
+    reposition_ratio: float = 0.0
+    repos_vel_ratio: float = 0.0
+    repos_vel_min: float = 0.0
+    merging_ratio: float = 0.0
+    merger_threshold: str = "escape_velocity"
+
     kind = "spin_jet"
 
     @staticmethod
@@ -220,7 +227,21 @@ class SpinJetBlackHoles:
                                                 10.0),
             v_jet_min=params.opt_float(sec, "v_jet_min_km_p_s", 0.0)
             * kmps,
-            v_jet_model=v_model)
+            v_jet_model=v_model,
+            reposition_ratio=params.opt_float(
+                sec, "max_reposition_distance_ratio", 3.0),
+            repos_vel_ratio=(params.opt_float(
+                sec, "max_reposition_velocity_ratio", 0.5)
+                if params.opt_int(
+                    sec, "with_reposition_velocity_threshold", 1)
+                else 0.0),
+            repos_vel_min=max(0.0, params.opt_float(
+                sec, "min_reposition_velocity_threshold_km_p_s", -1.0))
+            * kmps,
+            merging_ratio=params.opt_float(
+                sec, "max_merging_distance_ratio", 3.0),
+            merger_threshold=params.opt_string(
+                sec, "merger_threshold_type", "escape_velocity").lower())
 
     # --- state ---------------------------------------------------------------
     def init_extra_fields(self, shape, mask=None):
@@ -505,6 +526,39 @@ class SpinJetBlackHoles:
             return jnp.maximum(v, jnp.float32(self.v_jet_min))
         return jnp.full_like(bh["m"], jnp.float32(max(self.v_jet,
                                                       self.v_jet_min)))
+
+    def merge_spin(self, bh, gains):
+        """Remnant spin after swallowing victim BHs (merger_spin_evolve,
+        black_holes.h:549; Barausse & Rezzolla 2009).  Called with the
+        PRE-merge winner state and the collect-loop ``gains`` (dms =
+        victim subgrid mass, dJ{0,1,2} = victim mass-weighted spin
+        vector).  Simplification vs the reference: multiple same-step
+        victims aggregate into one effective secondary, and the angles
+        are measured against the spin-only total angular momentum (the
+        orbital term is dropped).  Returns (spin, spin_dir) updates.
+        """
+        merged = gains["n"] > 0
+        m1 = jnp.maximum(bh["m_subgrid"], 1e-30)
+        m2 = gains["dms"]
+        J2 = jnp.stack([gains["dJ0"], gains["dJ1"], gains["dJ2"]], -1)
+        J2n = jnp.sqrt(jnp.maximum(jnp.sum(J2 * J2, -1), 0.0))
+        a2 = jnp.clip(J2n / jnp.maximum(m2, 1e-30), 0.01, 0.998)
+        d2 = J2 / jnp.maximum(J2n, 1e-30)[..., None]
+        a1 = jnp.clip(jnp.abs(bh["spin"]), 0.01, 0.998)
+        d1 = bh["spin_dir"] * jnp.sign(bh["spin"])[..., None]
+        q = jnp.clip(m2 / m1, 1e-6, 1.0)
+        cos_a = jnp.clip(jnp.sum(d1 * d2, -1), -1.0, 1.0)
+        Jt = (a1 * m1 * m1)[..., None] * d1 \
+            + (a2 * m2 * m2)[..., None] * d2
+        Jtn = jnp.sqrt(jnp.maximum(jnp.sum(Jt * Jt, -1), 0.0))
+        jt = Jt / jnp.maximum(Jtn, 1e-30)[..., None]
+        cos_b = jnp.clip(jnp.sum(d1 * jt, -1), -1.0, 1.0)
+        cos_g = jnp.clip(jnp.sum(d2 * jt, -1), -1.0, 1.0)
+        af = jnp.clip(final_spin_merger(a1, a2, q, cos_a, cos_b, cos_g),
+                      0.01, 0.998)
+        spin = jnp.where(merged, af, bh["spin"])
+        spin_dir = jnp.where(merged[..., None], jt, bh["spin_dir"])
+        return spin, spin_dir
 
     def jet_fire(self, bh):
         """(fire, v_jet): launch a jet pair once the reservoir covers a

@@ -1092,6 +1092,11 @@ def main(argv=None) -> int:
         next_snap = np.inf
     next_stat = t_begin
     snap_i = 0
+    # star-formation history log (SFR.txt, star_formation_logger.h)
+    sfh = None
+    if getattr(eng, "sf", None) is not None:
+        from .io.statistics import SFHWriter
+        sfh = SFHWriter()
     max_steps = args.steps if args.steps > 0 else 10 ** 9
     stopped = False
     from .utils.timeline import MAX_NR_TIMESTEPS
@@ -1119,6 +1124,9 @@ def main(argv=None) -> int:
         t_now = out_time()
         steps_log.write(eng.step_count, t_now, t_now - t_before,
                         diag, busy_ms=busy_ms)
+        if sfh is not None:
+            sfh.write(eng.step_count, eng.time,
+                      t_now if cosmological else 1.0, diag)
         ghost_stats.record(int(diag.get("n_ghost_iter", 0)))
         if args.verbose and eng.step_count % 10 == 0:
             print(f"step {eng.step_count}  "

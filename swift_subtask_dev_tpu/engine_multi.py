@@ -189,6 +189,9 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     h_max_active = jnp.float32(0.0)
     n_converted = jnp.int32(0)
     sfr_total = jnp.float32(0.0)
+    sfrdt_total = jnp.float32(0.0)
+    sfr_inactive = jnp.float32(0.0)
+    m_stars_formed = jnp.float32(0.0)
     Z_smooth = None
 
     # --- drift + rebucket + SPH loops (gas) ---------------------------------
@@ -197,6 +200,8 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         if "a_grav_mesh" not in s:  # pre-split-mesh checkpoints
             s = {**s, "a_grav_mesh": jnp.zeros_like(s["a_grav"]),
                  "pot_mesh": jnp.zeros_like(s["m"])}
+        if sf is not None and "sfr" not in s:  # pre-SFH checkpoints
+            s = {**s, "sfr": jnp.zeros_like(s["m"])}
         mask_b, tb, active = _species_active(s, T)
         a_tot = s["a_hydro"] + s["a_grav"] + s["a_grav_mesh"]
         s = {**s,
@@ -700,11 +705,24 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
             conv, sfr = sf_model.conversion_mask(
                 gas_ch, cosmo, dt_star, T.ti_lo, T.ti_hi, sf_floor,
                 active)
+            # sticky per-particle SFR (star_formation_struct.h SFR —
+            # inactive particles keep their last value; active non-SF
+            # gas is reset to 0) + SFH bookkeeping for SFR.txt
+            # (star_formation_logger.h)
+            if "sfr" in gas:
+                gas = {**gas, "sfr": jnp.where(active, sfr, gas["sfr"])
+                       * gas["mask"]}
+                sfr_inactive = jnp.sum(
+                    jnp.where((gas["mask"] > 0) & ~active, gas["sfr"],
+                              0.0))
+            m_stars_formed = m_stars_formed + jnp.sum(
+                jnp.where(conv, gas["m"], 0.0))
             gas, stars, n_c, n_lost = _convert_gas_to_stars(
                 grid, gas, stars, conv, T)
             n_converted = n_converted + n_c
             n_overflow = n_overflow + n_lost
             sfr_total = sfr_total + jnp.sum(sfr)
+            sfrdt_total = sfrdt_total + jnp.sum(sfr * dt_star)
 
         # --- sink formation (runner_do_sink_formation, runner_others.c;
         # sink.h:149 sink_is_forming) --------------------------------------
@@ -799,6 +817,9 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         "h_max_active": h_max_active,
         "n_converted": n_converted,
         "sfr_total": sfr_total,
+        "sfrdt_total": sfrdt_total,
+        "sfr_inactive": sfr_inactive,
+        "m_stars_formed": m_stars_formed,
         # particle-splitting trigger (engine_split_gas_particles)
         "m_max_gas": (jnp.max(jnp.where(gas["mask"] > 0, gas["m"], 0.0))
                       if gas is not None else jnp.float32(0.0)),
@@ -943,6 +964,9 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
                          if gas is not None else jnp.float32(0.0)),
         "n_converted": jnp.int32(0),
         "sfr_total": jnp.float32(0.0),
+        "sfrdt_total": jnp.float32(0.0),
+        "sfr_inactive": jnp.float32(0.0),
+        "m_stars_formed": jnp.float32(0.0),
     }
     return out_state, diag
 
@@ -1057,6 +1081,11 @@ class MultiEngine(Engine):
         gas_engine.load_particles(pos, m, v, u, h, pid=pid, Z=Z,
                                   elem_frac=elem_frac)
         self.state["gas"] = gas_engine.state
+        if self.sf is not None:
+            # sticky per-particle SFR (star_formation_struct.h; feeds
+            # SFR.txt and the StarFormationRates snapshot field)
+            self.state["gas"]["sfr"] = jnp.zeros_like(
+                self.state["gas"]["m"])
         if self.tracers is not None:
             self.state["gas"].update(
                 self.tracers.init_fields(self.state["gas"]["m"].shape))

@@ -365,6 +365,9 @@ def gas_state_to_fields(grid, state) -> Dict[str, np.ndarray]:
                       # chemistry_write_particles)
                       ("Z", "Metallicities"),
                       ("elem_frac", "ElementMassFractions"),
+                      # star formation (star_formation_io.h
+                      # star_formation_write_particles)
+                      ("sfr", "StarFormationRates"),
                       # tracers (tracers_io.h tracers_write_particles)
                       ("T_max", "MaximalTemperatures"),
                       ("a_Tmax", "MaximalTemperatureScaleFactors"),

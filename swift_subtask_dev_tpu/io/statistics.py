@@ -110,6 +110,35 @@ def collect_statistics(grid, species: Dict[str, Dict]
     return out
 
 
+class SFHWriter:
+    """Star-formation-history log (SFR.txt), one line per step —
+    star_formation_logger.h:158 star_formation_logger_write_to_log_file.
+
+    Columns (internal physical units, like the reference):
+    step, time, a, z, new stellar mass this step, SFR of active
+    star-forming gas, SFR*dt of active gas, total SFR
+    (active + sticky inactive)."""
+
+    def __init__(self, path: str = "SFR.txt"):
+        self.path = path
+        with open(path, "w") as f:
+            f.write("# Star Formation History Logger file\n"
+                    "# (0) step  (1) time  (2) a  (3) z  "
+                    "(4) new stellar mass  (5) SFR (active)  "
+                    "(6) SFR*dt (active)  (7) total SFR\n")
+
+    def write(self, step: int, time: float, a: float, diag: Dict):
+        sfr_act = float(diag.get("sfr_total", 0.0))
+        total = sfr_act + float(diag.get("sfr_inactive", 0.0))
+        z = 1.0 / a - 1.0 if a > 0 else 0.0
+        with open(self.path, "a") as f:
+            f.write(f"{step:6d} {time:16e} {a:12.7f} {z:12.7f} "
+                    f"{float(diag.get('m_stars_formed', 0.0)):14e} "
+                    f"{sfr_act:14e} "
+                    f"{float(diag.get('sfrdt_total', 0.0)):14e} "
+                    f"{total:14e}\n")
+
+
 class StatisticsWriter:
     """Append-only statistics file matching the reference's column set
     (statistics.c:690 statistics_print_to_file)."""

@@ -45,16 +45,17 @@ OFFSETS_9 = [(0, 0)] + [(dx, dy)
                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                         if not (dx == 0 and dy == 0)]
 
-JB = 32          # default j-block rows (z-skip granularity); NBLK <= 32
+JB = 32          # default j-block rows (z-skip granularity); NBLK <= 255
 LANES = 128      # i-tile width
+NBLK_MAX = 128   # block starts/counts are packed as 4 x 8-bit fields
 
 
 def _jb_for(Wj: int) -> int:
-    """Block rows for a column capacity: the bitmask word holds 32 bits,
-    so JB doubles (32 -> 64 -> 128...) as W grows past 1024; W is always
+    """Block rows for a column capacity: starts/counts pack into 8-bit
+    fields, so JB doubles as W grows past NBLK_MAX blocks; W is always
     a multiple of 128 (build_columns w_align) so JB divides it."""
     jb = JB
-    while Wj // jb > 32:
+    while Wj // jb > NBLK_MAX:
         jb *= 2
     return jb
 
@@ -76,10 +77,17 @@ def nbr_col_table(grid: CellGrid) -> np.ndarray:
     return out
 
 
-def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
-                 sym_range: bool, maskf_j=None, zf_j=None, hf_j=None,
-                 jb: int = JB):
-    """(Ncol, TPC, 9) i32 bitmasks of live z-overlapping j-blocks.
+def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
+                  sym_range: bool, maskf_j=None, zf_j=None, hf_j=None,
+                  jb: int = JB):
+    """(Ncol, TPC, 9) i32 packed j-block ranges: s1|c1<<8|s2<<16|c2<<24.
+
+    Columns are z-sorted, so the j-blocks whose z-interval overlaps an
+    i-tile's reach-inflated z-range form a CONTIGUOUS run of block ids —
+    or two runs when the range wraps the periodic box.  The kernel loops
+    exactly ``c1 + c2`` times instead of scanning every block against a
+    bitmask, which removes the skipped-block visits entirely (measured
+    ~10 ms/pass of pure loop overhead at 93k particles).
 
     When the j-side arrays are given (cross-species loops: the i tiles of
     one species against the column blocks of another), the block windows
@@ -106,28 +114,58 @@ def _block_masks(grid: CellGrid, maskf, zf, hf, gamma: float,
     zb = jnp.where(live_j, zf_j, jnp.inf).reshape(Ncol, NBLK, jb)
     jb_lo = jnp.min(zb, axis=2)                                # (Ncol,NBLK)
     jb_hi = jnp.max(jnp.where(jnp.isfinite(zb), zb, -jnp.inf), axis=2)
+    # empty blocks (trailing, z-sorted): never "below" an interval, and
+    # excluded from the end count via jb_lo = +inf
+    empty = ~jnp.isfinite(jb_hi)
+    jb_hi_e = jnp.where(empty, jnp.inf, jb_hi)                 # (Ncol,NBLK)
 
     nbr = jnp.asarray(nbr_col_table(grid))                     # (Ncol, 9)
-    # (Ncol, TPC, 9, NBLK) overlap: |wrap(jc - ic)| <= halves + reach
-    ic = 0.5 * (iz_lo + iz_hi)[:, :, None, None]
-    ih = 0.5 * (iz_hi - iz_lo)[:, :, None, None]
-    jlo = jb_lo[nbr][:, None, :, :]                            # (Ncol,1,9,NBLK)
-    jhi = jb_hi[nbr][:, None, :, :]
-    jc = 0.5 * (jlo + jhi)
-    jh = 0.5 * (jhi - jlo)
     if sym_range:
         reach = jnp.float32(gamma) * jnp.maximum(
-            hmax_tile[:, :, None, None], hmax_col[nbr][:, None, :, None])
+            hmax_tile[:, :, None], hmax_col[nbr][:, None, :])
     else:
-        reach = jnp.float32(gamma) * hmax_tile[:, :, None, None]
-    dz = jc - ic
-    dz = dz - boxz * jnp.round(dz / boxz)
-    ok = (jnp.abs(dz) <= ih + jh + reach) & jnp.isfinite(jc) \
-        & jnp.isfinite(ic)
-    bits = jnp.sum(
-        jnp.where(ok, (1 << jnp.arange(NBLK, dtype=I32)), 0),
-        axis=3).astype(I32)                                    # (Ncol,TPC,9)
-    return bits
+        reach = jnp.float32(gamma) * hmax_tile[:, :, None]
+    lo = iz_lo[:, :, None] - reach                             # (Ncol,TPC,9)
+    hi = iz_hi[:, :, None] + reach
+
+    jlo = jb_lo[nbr]                                           # (Ncol,9,NBLK)
+    jhi = jb_hi_e[nbr]
+
+    def range_of(a, b):
+        """Blocks of the (wrapped-into-[0,boxz]) interval [a, b]:
+        start = #blocks entirely below a, end = NBLK - #blocks entirely
+        above b (both prefixes/suffixes by z-sortedness)."""
+        start = jnp.sum(jhi[:, None] < a[..., None], axis=-1)
+        end = NBLK - jnp.sum(jlo[:, None] > b[..., None], axis=-1)
+        return start.astype(I32), jnp.maximum(end - start, 0).astype(I32)
+
+    wrap_lo = lo < 0.0
+    wrap_hi = hi > boxz
+    full = (hi - lo) >= boxz                    # range covers the box
+    a1 = jnp.where(wrap_lo, 0.0, lo)
+    b1 = jnp.where(wrap_hi, boxz, hi)
+    # second image (empty sentinel a2 > b2 yields count 0)
+    a2 = jnp.where(wrap_lo, lo + boxz,
+                   jnp.where(wrap_hi, 0.0, boxz + 1.0))
+    b2 = jnp.where(wrap_lo, boxz,
+                   jnp.where(wrap_hi, hi - boxz, -1.0))
+    s1, c1 = range_of(a1, b1)
+    s2, c2 = range_of(a2, b2)
+    # a wide block can intersect both images, putting it in both ranges
+    # — visit it once: clip range 2 out of range 1's index interval.
+    # (wrap_lo: range1 = low prefix, range2 = high suffix; wrap_hi: the
+    # reverse; nesting impossible for prefix/suffix pairs.)
+    e1 = s1 + c1
+    e2 = s2 + c2
+    both = (c1 > 0) & (c2 > 0)
+    s2 = jnp.where(both & (s1 <= s2), jnp.maximum(s2, e1), s2)
+    e2 = jnp.where(both & (s1 > s2), jnp.minimum(e2, s1), e2)
+    c2 = jnp.maximum(e2 - s2, 0)
+    # empty i-tile: lo = +inf -> both images empty already; full box:
+    s1 = jnp.where(full, 0, s1)
+    c1 = jnp.where(full, NBLK, c1)
+    c2 = jnp.where(full, 0, c2)
+    return (s1 | (c1 << 8) | (s2 << 16) | (c2 << 24)).astype(I32)
 
 
 def pair_apply(grid: CellGrid,
@@ -166,7 +204,7 @@ def pair_apply(grid: CellGrid,
         fields_j, field_order_j = fields, field_order
     Wj = fields_j["mask"].shape[1]
     jb = _jb_for(Wj)
-    assert W % LANES == 0 and Wj % jb == 0 and Wj // jb <= 32
+    assert W % LANES == 0 and Wj % jb == 0 and Wj // jb <= NBLK_MAX
     TPC = W // LANES
     NBLK = Wj // jb
     Np = Ncol * W
@@ -194,7 +232,7 @@ def pair_apply(grid: CellGrid,
 
     counts = jnp.sum(fields["mask"] > 0, axis=1).astype(I32) \
         .reshape(1, Ncol)
-    bits = _block_masks(
+    ranges = _block_ranges(
         grid, fields["mask"], fields["off2"], fields["h"],
         range_scale, sym_range,
         *((fields_j["mask"], fields_j["off2"], fields_j["h"])
@@ -205,7 +243,7 @@ def pair_apply(grid: CellGrid,
     sc_arr = (jnp.stack([jnp.asarray(v, F32) for v in scalars])
               if n_sc else jnp.zeros((1,), F32)).reshape(1, -1)
 
-    def kernel(counts_ref, bits_ref, tab_ref, xi_ref, *rest):
+    def kernel(counts_ref, rng_ref, tab_ref, xi_ref, *rest):
         wrefs = rest[:9]
         out_ref = rest[9]
         acc = rest[10]
@@ -221,53 +259,60 @@ def pair_apply(grid: CellGrid,
             def sf(name):
                 return xi_ref[fidx[name], pl.ds(l0, LANES)][None, :]
 
+            # deferred reductions: accumulate (jb, LANES) per output and
+            # collapse the j-rows ONCE per i-tile, not per block
             for q in range(n_sum):
-                acc[q, :] = jnp.zeros_like(acc[q, :])
+                acc[q, :, :] = jnp.zeros_like(acc[q, :, :])
             for q in range(n_max):
-                acc[n_sum + q, :] = jnp.full_like(acc[n_sum + q, :],
-                                                  -jnp.inf)
+                acc[n_sum + q, :, :] = jnp.full_like(
+                    acc[n_sum + q, :, :], -jnp.inf)
 
             for o, (dx, dy) in enumerate(OFFSETS_9):
                 wref = wrefs[o]
-                word = bits_ref[0, (col * TPC + it) * 9 + o]
+                word = rng_ref[0, (col * TPC + it) * 9 + o]
+                s1 = word & 0xFF
+                c1 = (word >> 8) & 0xFF
+                s2 = (word >> 16) & 0xFF
+                c2 = (word >> 24) & 0xFF
                 sx = jnp.float32(dx * ex)
                 sy = jnp.float32(dy * ey)
 
-                def jblock(blk, _):
-                    @pl.when((word >> blk) & 1 != 0)
-                    def _():
-                        r0 = pl.multiple_of(blk * jb, jb)
-                        tile = wref[pl.ds(r0, jb), :]       # (jb, Fpj)
+                def jblock(n, _):
+                    blk = jnp.where(n < c1, s1 + n, s2 + (n - c1))
+                    r0 = pl.multiple_of(blk * jb, jb)
+                    tile = wref[pl.ds(r0, jb), :]           # (jb, Fpj)
 
-                        def nf(name):
-                            i = fidx_j[name]
-                            return tile[:, i:i + 1]         # (JB, 1)
+                    def nf(name):
+                        i = fidx_j[name]
+                        return tile[:, i:i + 1]             # (JB, 1)
 
-                        dz = sf("off2") - nf("off2")
-                        dz = dz - boxz * jnp.round(dz / boxz)
-                        dxv = (sf("off0") - (nf("off0") + sx),
-                               sf("off1") - (nf("off1") + sy),
-                               dz)
-                        r2 = (dxv[0] * dxv[0] + dxv[1] * dxv[1]
-                              + dxv[2] * dxv[2])
-                        ok_extra, sums, maxes = pair_fn(sf, nf, dxv,
-                                                        r2, sc)
-                        ok = (nf("mask") > 0) & (r2 > 0) & ok_extra
-                        w = ok.astype(F32)
-                        for q, val in enumerate(sums):
-                            acc[q, :] = acc[q, :] + jnp.sum(
-                                val * w, axis=0)
-                        for q, val in enumerate(maxes):
-                            acc[n_sum + q, :] = jnp.maximum(
-                                acc[n_sum + q, :],
-                                jnp.max(jnp.where(ok, val, -jnp.inf),
-                                        axis=0))
+                    dz = sf("off2") - nf("off2")
+                    dz = dz - boxz * jnp.round(dz / boxz)
+                    dxv = (sf("off0") - (nf("off0") + sx),
+                           sf("off1") - (nf("off1") + sy),
+                           dz)
+                    r2 = (dxv[0] * dxv[0] + dxv[1] * dxv[1]
+                          + dxv[2] * dxv[2])
+                    ok_extra, sums, maxes = pair_fn(sf, nf, dxv,
+                                                    r2, sc)
+                    ok = (nf("mask") > 0) & (r2 > 0) & ok_extra
+                    w = ok.astype(F32)
+                    for q, val in enumerate(sums):
+                        acc[q, :, :] = acc[q, :, :] + val * w
+                    for q, val in enumerate(maxes):
+                        acc[n_sum + q, :, :] = jnp.maximum(
+                            acc[n_sum + q, :, :],
+                            jnp.where(ok, val, -jnp.inf))
                     return 0
 
-                jax.lax.fori_loop(0, NBLK, jblock, 0)
+                jax.lax.fori_loop(0, c1 + c2, jblock, 0)
 
-            for q in range(n_out):
-                out_ref[q, pl.ds(l0, LANES)] = acc[q, :]
+            for q in range(n_sum):
+                out_ref[q, pl.ds(l0, LANES)] = jnp.sum(acc[q, :, :],
+                                                       axis=0)
+            for q in range(n_max):
+                out_ref[n_sum + q, pl.ds(l0, LANES)] = jnp.max(
+                    acc[n_sum + q, :, :], axis=0)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -300,11 +345,11 @@ def pair_apply(grid: CellGrid,
         out_specs=pl.BlockSpec((n8, W), lambda c: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n8, Np), F32),
-        scratch_shapes=[pltpu.VMEM((n8, LANES), F32)],
+        scratch_shapes=[pltpu.VMEM((n8, jb, LANES), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(counts, bits, sc_arr, Xi, *([Xa] * 9))
+    )(counts, ranges, sc_arr, Xi, *([Xa] * 9))
 
     res = out.reshape(n8, Ncol, W)
     sums = [res[q] for q in range(n_sum)]

@@ -89,8 +89,14 @@ def main():
     eng.init_particles()
 
     # warm-up (compile the batched step); sync via host transfer —
-    # block_until_ready is a NO-OP through the axon tunnel
+    # block_until_ready is a NO-OP through the axon tunnel.  Each fused
+    # launch size k compiles its own program, so the warm-up must visit
+    # the full-size launch too, not only the min(16, k) tail — otherwise
+    # the timed region compiles a fresh k-step program (~50 s through
+    # the tunnel) and the sweep measures compile, not compute.
     eng.run_fixed_dt(16, per_launch=_PER_LAUNCH)
+    if _PER_LAUNCH > 16:
+        eng.run_fixed_dt(_PER_LAUNCH, per_launch=_PER_LAUNCH)
     np.asarray(eng.state["rho"])
 
     n_steps = 64

@@ -242,17 +242,24 @@ def _loops(cfg: EngineConfig):
 class _FlatPallas:
     """hydro_pallas loops on the column/z-sorted flat kernel."""
 
-    @staticmethod
-    def density_loop(grid, s, p):
-        return hydro_pallas.density_loop(grid, s, p, engine="flat")
+    # the flat kernel can skip fully-converged i-tiles via zeroed range
+    # words (ghost subset re-runs, runner_ghost.c:1085)
+    SUPPORTS_ACTIVE_I = True
 
     @staticmethod
-    def gradient_loop(grid, s, p, cosmo):
-        return hydro_pallas.gradient_loop(grid, s, p, cosmo, engine="flat")
+    def density_loop(grid, s, p, active_i=None):
+        return hydro_pallas.density_loop(grid, s, p, engine="flat",
+                                         active_i=active_i)
 
     @staticmethod
-    def force_loop(grid, s, p, cosmo):
-        return hydro_pallas.force_loop(grid, s, p, cosmo, engine="flat")
+    def gradient_loop(grid, s, p, cosmo, active_i=None):
+        return hydro_pallas.gradient_loop(grid, s, p, cosmo, engine="flat",
+                                          active_i=active_i)
+
+    @staticmethod
+    def force_loop(grid, s, p, cosmo, active_i=None):
+        return hydro_pallas.force_loop(grid, s, p, cosmo, engine="flat",
+                                       active_i=active_i)
 
 
 class _ShardedFlat:
@@ -346,9 +353,15 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
     kroot = jnp.float32(p.kernel.root)
 
     extra_keys = tuple(getattr(p.mod, "DENSITY_EXTRA_KEYS", ()))
+    # flat engine: re-run only i-tiles holding unconverged particles
+    # (the reference's unconverged-subset loops, runner_ghost.c:1085);
+    # exact because rho_i depends on h_i only, so skipped tiles' old
+    # values stay valid and mixed tiles recompute in full
+    subset = getattr(loops, "SUPPORTS_ACTIVE_I", False)
 
-    def density_pass(h):
-        dens = loops.density_loop(grid, {**s, "h": h}, p)
+    def density_pass(h, act=None):
+        kw = {"active_i": act} if (act is not None and subset) else {}
+        dens = loops.density_loop(grid, {**s, "h": h}, p, **kw)
         full = p.mod.end_density(p, {**s, "h": h, **dens}, cosmo)
         return {k: full[k] for k in
                 ("rho", "rho_dh", "wcount", "wcount_dh", "div_v", "rot_v")
@@ -373,7 +386,9 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
     left0 = jnp.zeros_like(h0)
     right0 = (jnp.full_like(h0, p.h_max) if h_cap is None
               else jnp.minimum(h_cap, p.h_max))
-    d0 = density_pass(h0)
+    # tiles with no ACTIVE particle skip even the first pass: their old
+    # densities are kept by _gas_loops' active-masked merge
+    d0 = density_pass(h0, act=active)
     _, _, _, conv0 = h_update(h0, d0, left0, right0)
     conv0 = conv0 | ~active
 
@@ -396,7 +411,16 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
         h_new, left, right, c_new = h_update(h, d, left, right)
         upd = active & ~conv
         h = jnp.where(upd, h_new, h)
-        d = density_pass(h)
+        d_new = density_pass(h, act=upd)
+        if subset:
+            C, W = h.shape
+            tflag = jnp.any(upd.reshape(C, W // 128, 128), axis=2)
+            fp = jnp.broadcast_to(
+                tflag[:, :, None], (C, W // 128, 128)).reshape(C, W)
+            d = {k: jnp.where(fp[..., None] if d[k].ndim == 3 else fp,
+                              d_new[k], d[k]) for k in d}
+        else:
+            d = d_new
         h2_new, _, _, c2 = h_update(h, d, left, right)
         conv = conv | ~upd | (upd & c2)
         return (h, d, left, right, conv, it + 1)
@@ -427,6 +451,11 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     """
     tb = jnp.clip(s["time_bin"], 0, NBINS)
     loops = _loops(cfg)
+    # flat backend: i-tiles with no active particle skip the pair loops
+    # entirely (zeroed range words) — the active-masked merges below keep
+    # their old values, so hierarchical-timestep steps cost O(active)
+    akw = ({"active_i": active}
+           if getattr(loops, "SUPPORTS_ACTIVE_I", False) else {})
     h_new, dens, n_ghost_iter = _ghost_density(
         grid, p, cosmo, s, active, cfg.max_ghost_iterations, loops,
         unroll=cfg.ghost_unroll)
@@ -453,7 +482,7 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         s = {**s, **cfg.pressure_floor.apply(s, cosmo, active)}
 
     if getattr(p.mod, "HAS_GRADIENT_LOOP", True):
-        grad = loops.gradient_loop(grid, s, p, cosmo)
+        grad = loops.gradient_loop(grid, s, p, cosmo, **akw)
         for k, v in grad.items():
             s = {**s, k: jnp.where(active, v, s[k])}
         eg = p.mod.end_gradient(s)
@@ -473,7 +502,7 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
 
-    force = loops.force_loop(grid, s, p, cosmo)
+    force = loops.force_loop(grid, s, p, cosmo, **akw)
     for k, v in force.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}

@@ -63,8 +63,8 @@ def _san(s, key, fill=1.0):
 
 
 def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
-                 interpret: bool = False, engine: str = "packed"
-                 ) -> Dict[str, jnp.ndarray]:
+                 interpret: bool = False, engine: str = "packed",
+                 active_i: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
@@ -88,10 +88,16 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         sums += [t[k] for k in extra_keys]
         return ok, sums, []
 
+    # tile-level unconverged-subset masking: only the flat engine's
+    # range words support skipping (other engines ignore the hint and
+    # recompute everything — still exact, the caller's merge is a no-op)
+    mask_kw = ({"active_i": active_i}
+               if active_i is not None and engine == "flat" else {})
     sums, _ = ENGINES[engine](
         grid, fields, order, pair_fn, n_sum=8 + len(extra_keys), n_max=0,
         shifts_scale=grid.edge, pad_fills={"h": 1.0},
-        interpret=interpret, range_scale=float(p.kernel.gamma))
+        interpret=interpret, range_scale=float(p.kernel.gamma),
+        **mask_kw)
     m = s["mask"]
     res = {
         "rho": sums[0] * m, "rho_dh": sums[1] * m, "wcount": sums[2] * m,
@@ -105,7 +111,8 @@ def density_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 
 def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
                   cosmo: CosmoFactors, interpret: bool = False,
-                  engine: str = "packed") -> Dict[str, jnp.ndarray]:
+                  engine: str = "packed",
+                  active_i: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
@@ -137,11 +144,13 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         return ok, [t["sum"][k] for k in sum_keys], \
             [t["max"]["v_sig"], t["max"]["alpha_visc_max_ngb"]]
 
+    mask_kw = ({"active_i": active_i}
+               if active_i is not None and engine == "flat" else {})
     sums, maxes = ENGINES[engine](
         grid, fields, order, pair_fn, n_sum=len(sum_keys), n_max=2,
         shifts_scale=grid.edge, scalars=scal,
         pad_fills={"h": 1.0, "rho": 1.0}, interpret=interpret,
-        range_scale=float(p.kernel.gamma))
+        range_scale=float(p.kernel.gamma), **mask_kw)
     m = s["mask"]
     out = {k: sums[i] * m for i, k in enumerate(sum_keys)}
     out["v_sig"] = jnp.maximum(s["v_sig"], maxes[0])
@@ -152,7 +161,8 @@ def gradient_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
 
 def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
                cosmo: CosmoFactors, interpret: bool = False,
-               engine: str = "packed") -> Dict[str, jnp.ndarray]:
+               engine: str = "packed",
+               active_i: jnp.ndarray = None) -> Dict[str, jnp.ndarray]:
     fields = _common_fields(s)
     _vec(fields, s, "v")
     fields["h"] = _san(s, "h")
@@ -195,12 +205,14 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
         neg_tb = jnp.where(nf("tb") > 0, -nf("tb"), -jnp.float32(big_bin))
         return ok, sums, [t["max"]["v_sig"], neg_tb]
 
+    mask_kw = ({"active_i": active_i}
+               if active_i is not None and engine == "flat" else {})
     sums, maxes = ENGINES[engine](
         grid, fields, order, pair_fn, n_sum=5, n_max=2,
         shifts_scale=grid.edge, scalars=scal,
         pad_fills={"h": 1.0, "m": 1.0, "rho": 1.0, "P": 1.0},
         interpret=interpret, range_scale=float(p.kernel.gamma),
-        sym_range=True)
+        sym_range=True, **mask_kw)
     m = s["mask"]
     min_tb = jnp.minimum(-maxes[1], jnp.float32(big_bin))
     return {

@@ -181,7 +181,8 @@ def pair_apply(grid: CellGrid,
                range_scale: float = 2.0,
                sym_range: bool = False,
                fields_j: Dict[str, jnp.ndarray] = None,
-               field_order_j: Sequence[str] = None):
+               field_order_j: Sequence[str] = None,
+               active_i: jnp.ndarray = None):
     """Run ``pair_fn`` over all pairs of the column/z-sorted layout.
 
     fields are (Ncol, W) tiles, z-sorted within each column (the engine's
@@ -192,6 +193,14 @@ def pair_apply(grid: CellGrid,
     ``fields_j``/``field_order_j``: the i-side tiles come from ``fields``
     and the j-side windows from ``fields_j`` — both on the same column
     grid, each with its own per-column capacity.
+
+    ``active_i`` ((Ncol, W) bool/0-1): i-tiles (128-lane slices) with NO
+    active particle get zeroed range words, so the kernel skips them in
+    O(9 scalar reads) — the ghost's unconverged-subset re-run
+    (runner_ghost.c:1085 subset loops).  Outputs for skipped tiles are 0
+    (sums) / -inf (maxes); the caller merges previous values.  Tiles
+    with ANY active particle are computed in full (exact for every
+    particle in them).
     """
     if jax.default_backend() == "cpu":
         # no Mosaic on CPU: run the kernel through the interpreter so the
@@ -237,7 +246,12 @@ def pair_apply(grid: CellGrid,
         range_scale, sym_range,
         *((fields_j["mask"], fields_j["off2"], fields_j["h"])
           if cross else (None, None, None)),
-        jb=jb).reshape(1, Ncol * TPC * 9)
+        jb=jb)
+    if active_i is not None:
+        tile_act = jnp.any((active_i > 0).reshape(Ncol, TPC, LANES),
+                           axis=2)
+        ranges = jnp.where(tile_act[:, :, None], ranges, 0)
+    ranges = ranges.reshape(1, Ncol * TPC * 9)
 
     n_sc = len(scalars)
     sc_arr = (jnp.stack([jnp.asarray(v, F32) for v in scalars])

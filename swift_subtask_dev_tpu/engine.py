@@ -443,11 +443,18 @@ def _ghost_density(grid: CellGrid, p: SPHENIXParams, cosmo: CosmoFactors,
 
 
 def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
-               cosmo: CosmoFactors, s: Dict, active, dt_alpha_table):
+               cosmo: CosmoFactors, s: Dict, active, dt_alpha_table,
+               fuse_spec: Optional[Dict] = None):
     """The SPH loop chain on gas tiles: density+ghost -> gradient -> force.
 
     Shared by the single-species hydro_step and the multi-species engine.
     Updates only active particles; returns (state, n_ghost_iter).
+
+    ``fuse_spec`` (flat backend only): gravity literals
+    {G, H_soft, r_s, r_cut, periodic_truncation} — the force loop then
+    also computes short-range P2P self-gravity in the SAME pair pass
+    (hydro_pallas.force_gravity_loop) and merges a_grav/pot here; the
+    caller skips its separate gravity_fn call.
     """
     tb = jnp.clip(s["time_bin"], 0, NBINS)
     loops = _loops(cfg)
@@ -502,7 +509,17 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
 
-    force = loops.force_loop(grid, s, p, cosmo, **akw)
+    if fuse_spec is not None:
+        force = hydro_pallas.force_gravity_loop(grid, s, p, cosmo,
+                                                **fuse_spec, **akw)
+        a_grav = force.pop("a_grav")
+        pot = force.pop("pot")
+        s = {**s, "a_grav": jnp.where(active[..., None], a_grav,
+                                      s["a_grav"])}
+        if "pot" in s:
+            s = {**s, "pot": jnp.where(active, pot, s["pot"])}
+    else:
+        force = loops.force_loop(grid, s, p, cosmo, **akw)
     for k, v in force.items():
         act = active[..., None] if v.ndim == 3 else active
         s = {**s, k: jnp.where(act, v, s[k])}
@@ -552,10 +569,16 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     active = mask_b & T.active[tb]
 
     # --- density/ghost/gradient/force loops (active only) -------------------
-    s, n_ghost_iter = _gas_loops(grid, p, cfg, cosmo, s, active, T.dt_alpha)
+    # flat backend + a gravity_fn that advertises its P2P literals: run
+    # short-range gravity INSIDE the force pass (one traversal, shared
+    # j-windows) instead of as a separate pair loop
+    fuse_spec = (getattr(gravity_fn, "fuse_spec", None)
+                 if cfg.backend == "flat" and cfg.shard_n == 0 else None)
+    s, n_ghost_iter = _gas_loops(grid, p, cfg, cosmo, s, active,
+                                 T.dt_alpha, fuse_spec=fuse_spec)
 
     # --- gravity ------------------------------------------------------------
-    if gravity_fn is not None:
+    if gravity_fn is not None and fuse_spec is None:
         a_grav, pot = _call_gravity(gravity_fn, s)
         s = {**s, "a_grav": jnp.where(active[..., None], a_grav,
                                       s["a_grav"])}

@@ -183,10 +183,22 @@ class GravitySolver:
         return outs
 
     def gas_short_range_fn(self):
-        """Near-field gravity_fn for an engine running split mesh kicks."""
+        """Near-field gravity_fn for an engine running split mesh kicks.
+
+        On the flat/column solver the returned fn carries ``fuse_spec`` —
+        the P2P literals — so the engine can fold the gravity pair pass
+        into the hydro force pass (hydro_pallas.force_gravity_loop: one
+        column traversal computes both)."""
         def fn(s: Dict):
             [(acc, pot)] = self.short_range_accelerations([s])
             return acc, pot
+        if self.flat:
+            gp = self.gp
+            fn.fuse_spec = dict(
+                G=gp.G, H_soft=self._H_list(1)[0],
+                r_s=self.pm.r_s if gp.periodic else 0.0,
+                r_cut=self.pm.r_cut,
+                periodic_truncation=gp.periodic)
         return fn
 
     def short_range_sharded_fn(self, shard_n: int, axis: str = "x"):

@@ -224,6 +224,110 @@ def force_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
     }
 
 
+def force_gravity_loop(grid: CellGrid, s: Dict, p: SPHENIXParams,
+                       cosmo: CosmoFactors, G: float, H_soft: float,
+                       r_s: float, r_cut: float,
+                       periodic_truncation: bool = True,
+                       interpret: bool = False,
+                       active_i: jnp.ndarray = None) -> Dict:
+    """Fused hydro force + short-range P2P self-gravity in ONE flat pass.
+
+    The force loop and the P2P gravity loop walk the same column layout
+    with near-identical reaches (gamma*h vs r_cut — the column width is
+    sized by their max), so running them as one traversal halves the
+    candidate-pair walks, j-window loads and accumulator collapses.  The
+    reference keeps these as separate task types (runner_doiact_grav.c vs
+    runner_doiact_functions_hydro.h) because its pair lists differ; here
+    the window machinery is shared, so fusion is free parallelism.
+
+    Per-output masking: hydro sums are pre-multiplied by the hydro
+    acceptance (r2 < gamma^2 max(h_i,h_j)^2), gravity sums by r2 < r_cut^2,
+    and the kernel-level mask is their union.  Max outputs (v_sig, the
+    limiter's neighbour bin) are pre-masked to their identity outside the
+    hydro range.  Results match force_loop + p2p_gravity_loop exactly.
+
+    Returns the force_loop dict plus "a_grav" (C,W,3) and "pot" (C,W).
+    """
+    from . import p2p_gravity as pg
+
+    fields = _common_fields(s)
+    _vec(fields, s, "v")
+    fields["h"] = _san(s, "h")
+    fields["m"] = _san(s, "m")
+    fields["u"] = _san(s, "u", 0.0)
+    fields["rho"] = jnp.maximum(_san(s, "rho"), 1e-30)
+    fields["P"] = _san(s, "pressure")
+    fields["cs"] = _san(s, "soundspeed", 0.0)
+    fields["fgh"] = _san(s, "f_gradh", 0.0)
+    fields["bal"] = _san(s, "balsara", 0.0)
+    fields["al"] = _san(s, "alpha_visc", 0.0)
+    fields["ad"] = _san(s, "alpha_diff", 0.0)
+    fields["tb"] = s["time_bin"].astype(F32)
+    fields["hinv"] = 1.0 / fields["h"]
+    fields["minv"] = 1.0 / fields["m"]
+    fields["rhoinv"] = 1.0 / fields["rho"]
+    fields["pr2"] = fields["P"] * fields["rhoinv"] * fields["rhoinv"]
+    # gravity mass: zero in empty slots so padded lanes contribute nothing
+    # (the hydro "m" is pad-filled to 1 for division safety)
+    fields["gm"] = s["m"] * s["mask"]
+    order = list(fields)
+    gamma2 = float(p.kernel.gamma2)
+    big_bin = float(stencil.NBIN_SENTINEL)
+    scal, getcf = _cosmo_binding(cosmo)
+    # gravity literals (Mosaic folds python floats at trace time)
+    r_cut2 = float(r_cut) ** 2
+    r_s_inv = 1.0 / float(r_s) if r_s > 0 else 0.0
+    H_inv = 1.0 / float(H_soft)
+    Gf = float(G)
+    trunc = periodic_truncation and r_s > 0
+
+    def pair_fn(sf, nf, dx, r2, sc):
+        h_i, h_j = sf("h"), nf("h")
+        ok_h = r2 < gamma2 * jnp.maximum(h_i, h_j) ** 2
+        dv = tuple(sf(f"v{k}") - nf(f"v{k}") for k in range(3))
+        t = p.mod.force_terms(
+            p, dx, r2, sf("hinv"), nf("hinv"), sf("m"), nf("m"),
+            sf("minv"), nf("minv"), dv,
+            sf("rho"), nf("rho"), sf("rhoinv"), nf("rhoinv"),
+            sf("pr2"), nf("pr2"),
+            sf("P"), nf("P"), sf("cs"), nf("cs"),
+            sf("fgh"), nf("fgh"), sf("bal"), nf("bal"),
+            sf("al"), nf("al"), sf("ad"), nf("ad"), sf("u"), nf("u"),
+            getcf(sc))
+        wh = ok_h.astype(F32)
+        ok_g = r2 < r_cut2
+        F, P = pg.force_pot_factors(r2, H_inv, r_s_inv, trunc)
+        gm = (Gf * ok_g.astype(F32)) * nf("gm")
+        gmF = gm * F
+        sums = [t["sum"]["a_hydro0"] * wh, t["sum"]["a_hydro1"] * wh,
+                t["sum"]["a_hydro2"] * wh, t["sum"]["u_dt"] * wh,
+                t["sum"]["h_dt"] * wh,
+                -gmF * dx[0], -gmF * dx[1], -gmF * dx[2], -gm * P]
+        neg_tb = jnp.where(ok_h & (nf("tb") > 0), -nf("tb"),
+                           -jnp.float32(big_bin))
+        v_sig = jnp.where(ok_h, t["max"]["v_sig"], -jnp.inf)
+        return ok_h | ok_g, sums, [v_sig, neg_tb]
+
+    mask_kw = {"active_i": active_i} if active_i is not None else {}
+    sums, maxes = pallas_flat.pair_apply(
+        grid, fields, order, pair_fn, n_sum=9, n_max=2,
+        shifts_scale=grid.edge, scalars=scal,
+        pad_fills={"h": 1.0, "m": 1.0, "rho": 1.0, "P": 1.0},
+        interpret=interpret, range_scale=float(p.kernel.gamma),
+        sym_range=True, reach_floor=float(r_cut), **mask_kw)
+    m = s["mask"]
+    min_tb = jnp.minimum(-maxes[1], jnp.float32(big_bin))
+    return {
+        "a_hydro": jnp.stack([sums[0] * m, sums[1] * m, sums[2] * m], -1),
+        "u_dt": sums[3] * m,
+        "h_dt": sums[4] * m,
+        "v_sig": jnp.maximum(s["v_sig"], maxes[0]),
+        "min_ngb_time_bin": min_tb.astype(jnp.int32),
+        "a_grav": jnp.stack([sums[5] * m, sums[6] * m, sums[7] * m], -1),
+        "pot": sums[8] * m,
+    }
+
+
 def p2p_gravity_loop(grid: CellGrid, s_i: Dict, species_j,
                      G: float, H_soft: float, r_s: float, r_cut: float,
                      periodic_truncation: bool = True,

@@ -79,7 +79,7 @@ def nbr_col_table(grid: CellGrid) -> np.ndarray:
 
 def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
                   sym_range: bool, maskf_j=None, zf_j=None, hf_j=None,
-                  jb: int = JB):
+                  jb: int = JB, reach_floor: float = 0.0):
     """(Ncol, TPC, 9) i32 packed j-block ranges: s1|c1<<8|s2<<16|c2<<24.
 
     Columns are z-sorted, so the j-blocks whose z-interval overlaps an
@@ -125,6 +125,10 @@ def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
             hmax_tile[:, :, None], hmax_col[nbr][:, None, :])
     else:
         reach = jnp.float32(gamma) * hmax_tile[:, :, None]
+    if reach_floor > 0.0:
+        # fused passes (hydro force + P2P gravity) need the window to
+        # cover BOTH interaction ranges: max(gamma*h, r_cut)
+        reach = jnp.maximum(reach, jnp.float32(reach_floor))
     lo = iz_lo[:, :, None] - reach                             # (Ncol,TPC,9)
     hi = iz_hi[:, :, None] + reach
 
@@ -182,7 +186,8 @@ def pair_apply(grid: CellGrid,
                sym_range: bool = False,
                fields_j: Dict[str, jnp.ndarray] = None,
                field_order_j: Sequence[str] = None,
-               active_i: jnp.ndarray = None):
+               active_i: jnp.ndarray = None,
+               reach_floor: float = 0.0):
     """Run ``pair_fn`` over all pairs of the column/z-sorted layout.
 
     fields are (Ncol, W) tiles, z-sorted within each column (the engine's
@@ -246,7 +251,7 @@ def pair_apply(grid: CellGrid,
         range_scale, sym_range,
         *((fields_j["mask"], fields_j["off2"], fields_j["h"])
           if cross else (None, None, None)),
-        jb=jb)
+        jb=jb, reach_floor=reach_floor)
     if active_i is not None:
         tile_act = jnp.any((active_i > 0).reshape(Ncol, TPC, LANES),
                            axis=2)

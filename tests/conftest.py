@@ -11,6 +11,14 @@ import os
 # NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME +
 # jax.config both work.
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+# Subprocess tests (CLI end-to-end) run with cwd=tmp_path; the package is
+# used from the source tree (not pip-installed), so child interpreters
+# need the repo root on PYTHONPATH.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (_REPO + os.pathsep + _pp) if _pp else _REPO
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -31,10 +31,11 @@ BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
 #   BENCH_PER_LAUNCH  steps fused per device launch
 #   BENCH_SLACK     hydro reach slack factor (column width driver)
 _N1 = int(os.environ.get("BENCH_N1", "36"))
-# mesh_N=96 measured best at 93k with the block-range kernel: denser PM
-# mesh -> smaller r_cut -> narrower columns -> fewer candidate slots
-# (NOTES_ROUND4 algebra; 1.21e6 @ 64 -> 1.43e6 @ 96 steps/s)
-_MESH_N = int(os.environ.get("BENCH_MESH_N", "96"))
+# mesh_N=128 measured best at 93k with the fused force+gravity pass:
+# denser PM mesh -> smaller r_cut -> narrower j-block ranges for the
+# fused pass (reach_floor=r_cut), with the FFT amortised by the split
+# mesh timestep (1.57e6 @ 96 -> 1.62e6 @ 128 steps/s; 64 gave 1.21e6)
+_MESH_N = int(os.environ.get("BENCH_MESH_N", "128"))
 _JB = int(os.environ.get("BENCH_JB", "0"))
 _PER_LAUNCH = int(os.environ.get("BENCH_PER_LAUNCH", "16"))
 _SLACK = float(os.environ.get("BENCH_SLACK", "1.25"))

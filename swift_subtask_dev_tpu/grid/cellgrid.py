@@ -214,7 +214,17 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
       off: (C, K, 3) f32 cell-local offsets; n_overflow: particles dropped
       because their cell exceeded K (must be 0 — caller re-grids otherwise,
       the analog of space_regrid).
+
+    Eager calls (IC ingestion, re-grids — every caller outside jit) take a
+    host numpy fast path: op-by-op dispatch of the sort/scatter chain
+    through a remote-device transport costs minutes at 3e5+ particles
+    (measured 200 s at 351k through the axon tunnel), while the identical
+    numpy chain is < 1 s.  Inside jit the traced path below runs unchanged.
     """
+    import jax.core as _jc
+    leaves = [pos, *fields.values()]
+    if not any(isinstance(x, _jc.Tracer) for x in leaves):
+        return _bucket_fields_host(grid, pos, fields, zsort)
     box = jnp.asarray(grid.box, pos.dtype)
     edge = jnp.asarray(grid.edge_arr, pos.dtype)
     ncx, ncy, ncz = grid.cdim
@@ -249,6 +259,53 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
 
     out_fields = {name: scatter(arr[order]) for name, arr in fields.items()}
     mask = scatter(jnp.ones((N,), F32))
+    off_t = scatter(off[order])
+    return out_fields, mask, off_t, n_overflow
+
+
+def _bucket_fields_host(grid: CellGrid, pos, fields, zsort: bool):
+    """Numpy mirror of the traced bucket_fields path (bit-identical: the
+    same f32 mod/floor/lexsort/rank chain, just on host)."""
+    # the traced path sees f32 (jnp converts f64 inputs under x64=off)
+    pos = np.asarray(pos, np.float32)
+    box = np.asarray(grid.box, np.float32)
+    edge = np.asarray(grid.edge_arr, np.float32)
+    C, K = grid.C, grid.K
+    N = pos.shape[0]
+
+    p = np.mod(pos, box)
+    ixyz = np.floor(p / edge).astype(np.int32)
+    ixyz = np.clip(ixyz, 0, np.asarray(grid.cdim, np.int32) - 1)
+    ncx, ncy, ncz = grid.cdim
+    cell = ((ixyz[:, 0] % ncx) * ncy + ixyz[:, 1] % ncy) * ncz \
+        + ixyz[:, 2] % ncz
+    off = (p - ixyz.astype(np.float32) * edge).astype(np.float32)
+
+    if zsort:
+        order = np.lexsort((p[:, 2], cell))
+    else:
+        order = np.argsort(cell, kind="stable")
+    cell_s = cell[order]
+    first = np.searchsorted(cell_s, cell_s, side="left")
+    rank = np.arange(N, dtype=np.int32) - first.astype(np.int32)
+
+    ok = rank < K
+    n_overflow = jnp.asarray(int(np.sum(~ok)), jnp.int32)
+    slot = np.where(ok, cell_s * K + rank, C * K)
+
+    def scatter(x_sorted, fill=0.0):
+        out = np.full((C * K + 1,) + x_sorted.shape[1:], fill,
+                      x_sorted.dtype)
+        out[slot] = x_sorted
+        return jnp.asarray(out[:-1].reshape((C, K) + x_sorted.shape[1:]))
+
+    out_fields = {}
+    for name, arr in fields.items():
+        a = np.asarray(arr)
+        if a.dtype == np.float64:
+            a = a.astype(np.float32)
+        out_fields[name] = scatter(a[order])
+    mask = scatter(np.ones((N,), np.float32))
     off_t = scatter(off[order])
     return out_fields, mask, off_t, n_overflow
 

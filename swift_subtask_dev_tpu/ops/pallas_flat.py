@@ -45,7 +45,12 @@ OFFSETS_9 = [(0, 0)] + [(dx, dy)
                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                         if not (dx == 0 and dy == 0)]
 
-JB = 32          # default j-block rows (z-skip granularity); NBLK <= 255
+JB = 64          # default j-block rows (z-skip granularity); NBLK <= 255
+# JB=64 measured fastest with the contiguous-range kernel at the bench
+# geometry (1.69e6 vs 1.59e6 @32, 1.33e6 @128 steps/s): the ~230-cycle
+# per-block walk floor (dependent VMEM slice + field lane-broadcasts)
+# amortises over 2x the pairs, and the +16% candidate inflation from
+# coarser z-granularity costs less than the floor saved.
 LANES = 128      # i-tile width
 NBLK_MAX = 128   # block starts/counts are packed as 4 x 8-bit fields
 
@@ -306,7 +311,8 @@ def pair_apply(grid: CellGrid,
                         return tile[:, i:i + 1]             # (JB, 1)
 
                     dz = sf("off2") - nf("off2")
-                    dz = dz - boxz * jnp.round(dz / boxz)
+                    # reciprocal-multiply, not a per-pair divide
+                    dz = dz - boxz * jnp.round(dz * (1.0 / boxz))
                     dxv = (sf("off0") - (nf("off0") + sx),
                            sf("off1") - (nf("off1") + sy),
                            dz)

@@ -6,7 +6,8 @@ reference sorts particles along the pair axis and only walks overlapping
 sorted ranges; here the domain is decomposed into **(x, y) columns** (a
 CellGrid with cdim=(ncx, ncy, 1)), particles are kept **z-sorted inside
 each column tile**, and the kernel walks, for each 128-particle i-tile,
-only the z-overlapping 32-row blocks of its 9 neighbour columns:
+only the z-overlapping JB-row blocks (default 64) of its 9 neighbour
+columns:
 
 * i-side: (F, W) SoA column blocks — fields are rows, particles lanes;
   i-tiles are 128-lane slices, so there is no per-cell padding waste.
@@ -14,10 +15,11 @@ only the z-overlapping 32-row blocks of its 9 neighbour columns:
   standard BlockSpec pipelining (index maps compute the wrapped
   neighbour-column id), one fetch per column per pass.
 * The block-level work list is decided OUTSIDE the kernel: XLA computes,
-  per (i-tile, neighbour), a 32-bit mask of which 32-row j-blocks
-  z-overlap the tile's reach-inflated z-range (periodic) and are within
-  the column's live count.  The kernel just tests bits — no per-block
-  loads or reductions for skipped work.
+  per (i-tile, neighbour), a packed contiguous-range word
+  (s1|c1<<8|s2<<16|c2<<24, 8 bits each) of which JB-row j-blocks
+  z-overlap the tile's reach-inflated z-range — one run of block ids,
+  or two when the range wraps the periodic box.  The kernel loops
+  exactly c1+c2 times — no per-block loads or tests for skipped work.
 
 Pair physics comes in through the same callback protocol as
 pallas_pairs/pallas_packed.pair_apply, so ops/hydro_pallas.py drives all

@@ -31,7 +31,7 @@ def main():
     from swift_subtask_dev_tpu.ics import uniform_box_ic
     from swift_subtask_dev_tpu.ops import pallas_flat
 
-    jb = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    jb = int(sys.argv[1]) if len(sys.argv) > 1 else pallas_flat.JB
     # match the bench geometry (mesh_N=128: hydro_reach 0.0621 wins)
     reach = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0621
     ic = uniform_box_ic(n=36, jitter=0.2, seed=3)
@@ -57,7 +57,7 @@ def main():
 
     # exact visited-block count (per pass) from the range words
     rng = pallas_flat._block_ranges(
-        grid, F["mask"], F["off2"], F["h"], 1.0, False)
+        grid, F["mask"], F["off2"], F["h"], 1.0, False, jb=jb)
     rr = np.asarray(rng)
     c1 = (rr >> 8) & 0xFF
     c2 = (rr >> 24) & 0xFF
@@ -109,7 +109,8 @@ def main():
     fD = run({k: F[k] for k in oB}, oB, pfD, 1)
     print(f"D walk+transc   {timed(fD):8.2f} ms")
 
-    # E: D with pl.reciprocal(approx=True) for the divide and no exp
+    # E: D with pl.reciprocal(approx=True) for the divide and
+    # rsqrt-composed sqrt (exp kept, so E-D isolates the divide/sqrt swap)
     from jax.experimental import pallas as pl
 
     def pfE(sf, nf, dx, r2, sc):

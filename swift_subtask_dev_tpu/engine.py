@@ -95,6 +95,10 @@ class EngineConfig:
     # rebuild triggers (engine.c:2392-2448) vs per-step rebuilds.
     rebucket_trigger: bool = True
     rebucket_safety: float = 0.9  # fraction of the safe margin to use
+    # star/BH density-ghost: iterate their smoothing lengths to the
+    # neighbour target over gas each step (runner_ghost.c:72,577); 0
+    # keeps load-time h fixed (pre-round-4 behavior, debugging only)
+    species_ghost_iterations: int = 8
     p2p_reach: float = 0.0    # P2P gravity r_cut (coverage margin term);
     # set by callers that wire a stencil-based gravity_fn
     shard_n: int = 0          # >0 with backend='flat': run the pair passes

@@ -316,6 +316,31 @@ def multi_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         nu_act = _species_active(d, T)
         n_active = n_active + jnp.sum(nu_act[2])
 
+    # --- star/BH density ghost: adaptive smoothing lengths -------------------
+    # (runner_ghost.c:72 runner_do_stars_ghost, :577 BH density ghost):
+    # iterate each species' h to the neighbour target over gas BEFORE any
+    # consumer — feedback deposition weights, Bondi densities and
+    # reposition/merger radii all use the converged ball.
+    if cfg.species_ghost_iterations > 0 and gas is not None:
+        from .ops import species_ghost as _sg
+        if stars is not None and (feedback is not None
+                                  or enrichment is not None):
+            h_s, _, _ = _sg.species_h_iterate(
+                grid, stars, gas, p, stars_act[2],
+                max_iter=cfg.species_ghost_iterations,
+                use_scan=cfg.stencil_scan)
+            stars = {**stars, "h": h_s}
+            h_max_active = jnp.maximum(
+                h_max_active, jnp.max(jnp.where(stars_act[2], h_s, 0.0)))
+        if bh is not None and bh_model is not None:
+            h_b, _, _ = _sg.species_h_iterate(
+                grid, bh, gas, p, bh_act[2],
+                max_iter=cfg.species_ghost_iterations,
+                use_scan=cfg.stencil_scan)
+            bh = {**bh, "h": h_b}
+            h_max_active = jnp.maximum(
+                h_max_active, jnp.max(jnp.where(bh_act[2], h_b, 0.0)))
+
     # --- joint gravity (all species source; all receive) ---------------------
     if gravity_fn is not None:
         # neutrinos are mesh-only (neutrino.h): excluded from the
@@ -856,6 +881,22 @@ def multi_init(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         mask_b = gas["mask"] > 0
         gas, n_ghost_iter = _gas_loops(grid, p, cfg, cosmo, gas, mask_b,
                                        T.dt_alpha * 0.0)
+
+    # star/BH h start converged (the load-time h is only a guess)
+    if cfg.species_ghost_iterations > 0 and gas is not None:
+        from .ops import species_ghost as _sg
+        for nm in ("stars", "bh"):
+            sp = stars if nm == "stars" else bh
+            if sp is None:
+                continue
+            h_n, _, _ = _sg.species_h_iterate(
+                grid, sp, gas, p, sp["mask"] > 0,
+                max_iter=cfg.species_ghost_iterations,
+                use_scan=cfg.stencil_scan)
+            if nm == "stars":
+                stars = {**stars, "h": h_n}
+            else:
+                bh = {**bh, "h": h_n}
 
     if gravity_fn is not None:
         # neutrinos are mesh-only sources/receivers: never in the

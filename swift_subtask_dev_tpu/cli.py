@@ -122,6 +122,8 @@ def _build_planetary_eos(params):
     like convert_units_Til)."""
     from .models.sph import planetary_eos as pe
 
+    from .models.sph import eos_tables as et
+
     flags = (("planetary_use_idg_def", pe.ID_IDG_DEF),
              ("planetary_use_Til_iron", pe.ID_TIL_IRON),
              ("planetary_use_Til_granite", pe.ID_TIL_GRANITE),
@@ -129,19 +131,41 @@ def _build_planetary_eos(params):
              ("planetary_use_Til_basalt", pe.ID_TIL_BASALT))
     mats = tuple(mid for name, mid in flags
                  if params.opt_int("EoS", name, 0))
-    if not mats:
-        mats = (pe.ID_IDG_DEF,)
     # internal -> SI factors from the InternalUnitSystem section
     UM = params.opt_float("InternalUnitSystem", "UnitMass_in_cgs", 1e3)
     UL = params.opt_float("InternalUnitSystem", "UnitLength_in_cgs", 1e2)
     UV = params.opt_float("InternalUnitSystem", "UnitVelocity_in_cgs", 1e2)
     rho_to_si = (UM * 1e-3) / (UL * 1e-2) ** 3
     u_to_si = (UV * 1e-2) ** 2
+    P_from_si = 1.0 / (rho_to_si * u_to_si)
+    # table-based families: planetary_use_* flag + *_table_file path
+    # (equation_of_state.h:1140 eos_init reads the same pairs)
+    hm80, sesame = [], []
+    table_flags = (("HM80_HHe", 200), ("HM80_ice", 201),
+                   ("HM80_rock", 202), ("SESAME_iron", 300),
+                   ("SESAME_basalt", 301), ("SESAME_water", 302),
+                   ("SS08_water", 303), ("ANEOS_forsterite", 400),
+                   ("ANEOS_iron", 401), ("ANEOS_Fe85Si15", 402))
+    for name, mid in table_flags:
+        if not params.opt_int("EoS", f"planetary_use_{name}", 0):
+            continue
+        path = params.get_string("EoS", f"planetary_{name}_table_file")
+        mats = mats + (mid,)
+        if mid // 100 == 2:
+            kw = et.HM80_DEFAULTS[mid]
+            hm80.append((mid, et.load_hm80(path, **kw)
+                         .in_internal(rho_to_si, u_to_si, P_from_si)))
+        else:
+            sesame.append((mid, et.load_sesame(path)
+                           .in_internal(rho_to_si, u_to_si, P_from_si)))
+    if not mats:
+        mats = (pe.ID_IDG_DEF,)
     return pe.PlanetaryEOS(
         materials=mats,
         gamma=params.opt_float("EoS", "planetary_idg_gamma", 5.0 / 3.0),
         rho_to_si=rho_to_si, u_to_si=u_to_si,
-        P_from_si=1.0 / (rho_to_si * u_to_si))
+        P_from_si=P_from_si,
+        hm80_tables=tuple(hm80), sesame_tables=tuple(sesame))
 
 
 def _needs_xla_backend(sph) -> bool:

@@ -10,10 +10,12 @@ parameters live in a tiny table gathered per particle (a handful of rows;
 the gather is from registers, not HBM).
 
 Material IDs follow the reference convention (equation_of_state.h:47):
-``mat_id = type * 100 + unit``, with type 0 = ideal gas, 1 = Tillotson.
-The table-based families (HM80 type 2, SESAME type 3) need external data
-tables that are not shipped (the reference downloads them via
-get_eos_tables.sh); requesting such an id raises at construction.
+``mat_id = type * 100 + unit``, with type 0 = ideal gas, 1 = Tillotson,
+2 = HM80, 3 = SESAME (4 = ANEOS, 9 = custom, both SESAME-format).  The
+table families read the reference's shipped file formats via
+``eos_tables.load_hm80``/``load_sesame`` (the data files themselves are
+downloaded by get_eos_tables.sh); requesting a table id without its
+table raises at construction.
 
 Tillotson parameters (tillotson.h:50-118) are defined in SI and converted
 to internal units at construction, mirroring convert_units_Til
@@ -150,6 +152,13 @@ class PlanetaryEOS:
     rho_to_si: float = 1.0
     u_to_si: float = 1.0
     P_from_si: float = 1.0
+    # table-based families: {mat_id: HM80Table} / {mat_id: SESAMETable}
+    # (eos_tables.load_hm80/load_sesame), already converted to INTERNAL
+    # units via .in_internal(rho_to_si, u_to_si, P_from_si).  Passed as
+    # ((mat_id, table), ...) tuples so the dataclass stays hashable for
+    # jit static args.
+    hm80_tables: Tuple = ()
+    sesame_tables: Tuple = ()
     # filled in __post_init__: dense row per known Tillotson id.  Excluded
     # from eq/hash — the params object is a jit static arg and the table
     # is a pure function of the compared fields.
@@ -157,13 +166,21 @@ class PlanetaryEOS:
         default=None, repr=False, compare=False)
 
     def __post_init__(self):
+        tabbed = {mid for mid, _ in self.hm80_tables} \
+            | {mid for mid, _ in self.sesame_tables}
         for mid in self.materials:
             t = mid // 100
-            if t in (2, 3):
+            if t == 2 and mid not in tabbed:
                 raise ValueError(
-                    f"material id {mid}: HM80/SESAME need external tables "
-                    "(get_eos_tables.sh) that are not shipped")
-            if t not in (0, 1):
+                    f"material id {mid}: HM80 needs its table — pass "
+                    "hm80_tables=((id, eos_tables.load_hm80(path)"
+                    ".in_internal(...)),) (EoS:planetary_HM80_*_table_file)")
+            if t in (3, 4, 9) and mid not in tabbed:
+                raise ValueError(
+                    f"material id {mid}: SESAME/ANEOS needs its table — "
+                    "pass sesame_tables=((id, eos_tables.load_sesame(path)"
+                    ".in_internal(...)),)")
+            if t not in (0, 1, 2, 3, 4, 9):
                 raise ValueError(f"unknown material id {mid}")
             if t == 1 and mid not in _TIL_SI:
                 raise ValueError(f"unknown Tillotson material id {mid}")
@@ -200,20 +217,37 @@ class PlanetaryEOS:
 
     def pressure_from_internal_energy(self, rho, u, mat_id):
         is_til = (mat_id // 100) == 1
-        P_idg = (self.gamma - 1.0) * rho * u
-        if not any(m // 100 == 1 for m in self.materials):
-            return P_idg
-        P_til = _til_pressure(rho, u, self._til_params(mat_id))
-        return jnp.where(is_til, P_til, P_idg)
+        P = (self.gamma - 1.0) * rho * u
+        if any(m // 100 == 1 for m in self.materials):
+            P = jnp.where(is_til,
+                          _til_pressure(rho, u, self._til_params(mat_id)), P)
+        if self.hm80_tables or self.sesame_tables:
+            from . import eos_tables as et
+            for mid, tab in self.hm80_tables:
+                P = jnp.where(mat_id == mid,
+                              et.hm80_pressure(rho, u, tab), P)
+            for mid, tab in self.sesame_tables:
+                P = jnp.where(mat_id == mid,
+                              et.sesame_pressure(rho, u, tab), P)
+        return P
 
     def soundspeed_from_internal_energy(self, rho, u, mat_id):
         is_til = (mat_id // 100) == 1
-        cs_idg = jnp.sqrt(self.gamma * (self.gamma - 1.0)
-                          * jnp.maximum(u, 0.0))
-        if not any(m // 100 == 1 for m in self.materials):
-            return cs_idg
-        cs_til = _til_soundspeed(rho, u, self._til_params(mat_id))
-        return jnp.where(is_til, cs_til, cs_idg)
+        cs = jnp.sqrt(self.gamma * (self.gamma - 1.0)
+                      * jnp.maximum(u, 0.0))
+        if any(m // 100 == 1 for m in self.materials):
+            cs = jnp.where(is_til,
+                           _til_soundspeed(rho, u, self._til_params(mat_id)),
+                           cs)
+        if self.hm80_tables or self.sesame_tables:
+            from . import eos_tables as et
+            for mid, tab in self.hm80_tables:
+                cs = jnp.where(mat_id == mid,
+                               et.hm80_soundspeed(rho, u, tab), cs)
+            for mid, tab in self.sesame_tables:
+                cs = jnp.where(mat_id == mid,
+                               et.sesame_soundspeed(rho, u, tab), cs)
+        return cs
 
     def soundspeed_from_pressure(self, rho, P, mat_id, u=None):
         """The scheme calls cs(rho, u) everywhere it can (the reference's

@@ -235,8 +235,22 @@ def build_subgrid(params, units, args, cosmology, sph):
                 model = EagleCooling.from_params(
                     params, units, phys_const, section="COLIBRECooling")
             else:
-                model = EagleCooling.from_params(params, units,
-                                                 phys_const)
+                # real Wiersma tables when EAGLECooling:dir_name points
+                # at a table directory (the reference's required
+                # parameter, EAGLE/cooling.c:939); synthesized analytic
+                # stand-ins otherwise
+                import os as _os
+                tdir = params.opt_string("EAGLECooling", "dir_name", "")
+                if tdir and _os.path.isdir(tdir):
+                    model = EagleCooling.from_wiersma(
+                        tdir, units,
+                        hydrogen_mass_fraction=params.opt_float(
+                            "EAGLECooling", "H_mass_fraction", 0.752),
+                        helium_mass_fraction=params.opt_float(
+                            "EAGLECooling", "He_mass_fraction", 0.248))
+                else:
+                    model = EagleCooling.from_params(params, units,
+                                                     phys_const)
             cooling_fn = make_eagle_cooling_fn(model, floor,
                                                u_minimal=u_min)
         else:

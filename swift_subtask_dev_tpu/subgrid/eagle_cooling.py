@@ -98,7 +98,14 @@ class EagleCooling:
     """
 
     table: tuple = ()             # primordial+UVB net rate (as nested tuple)
-    metal_table: tuple = ()       # solar-metal Λ_Z(T)
+    metal_table: tuple = ()       # solar-metal Λ_Z: (N_T,) synthesized, or
+    # (N_Z, N_NH, N_T) from real Wiersma tables (z- and nH-dependent)
+    # real-table axes (from_wiersma): when set they replace the module's
+    # synthesized-axis constants.  log10 T and log10 n_H are uniform in
+    # the Wiersma files; redshift is NOT (z interp uses searchsorted).
+    z_axis: tuple = ()
+    log_T_axis: tuple = ()        # (min, max, n)
+    log_nH_axis: tuple = ()       # (min, max, n)
     # unit conversions (host-precomputed, f64 folded to f32 on device)
     nH_from_rho: float = 1.0      # internal rho -> n_H [cm^-3]
     T_from_u: float = 1.0         # internal u -> K (at mu=1)
@@ -151,6 +158,86 @@ class EagleCooling:
             metal_free=metal_free,
         )
 
+    @staticmethod
+    def from_wiersma(dir_name: str, units,
+                     hydrogen_mass_fraction: float = 0.752,
+                     helium_mass_fraction: float = 0.248,
+                     metal_free: bool = False) -> "EagleCooling":
+        """Read a real Wiersma+(2009) EAGLE cooling-table directory
+        (cooling_tables.c: get_cooling_redshifts reads
+        ``<dir>/redshifts.dat``; get_redshift_invariant_table /
+        get_cooling_table read ``z_X.XXX.hdf5`` files with
+        /Metal_free/Net_Cooling (He,T,nH), /<Element>/Net_Cooling (T,nH),
+        /Solar/Temperature_bins, /Solar/Hydrogen_density_bins,
+        /Metal_free/Helium_mass_fraction_bins).
+
+        The He axis is collapsed at ``helium_mass_fraction`` (linear
+        interpolation over the He-fraction bins — the reference carries
+        the axis to per-particle He abundances; a single primordial He
+        fraction is the engine-wide equivalent used here).  Element
+        tables are summed into one solar-abundance metal table kept on
+        its full (z, nH, T) grid.
+        """
+        import os
+
+        import h5py
+
+        elements = ("Carbon", "Nitrogen", "Oxygen", "Neon", "Magnesium",
+                    "Silicon", "Sulphur", "Calcium", "Iron")
+        with open(os.path.join(dir_name, "redshifts.dat")) as f:
+            nz = int(f.readline())
+            zs = np.array([float(f.readline()) for _ in range(nz)])
+        order = np.argsort(zs)
+        zs = zs[order]
+
+        prim = None
+        metal = None
+        for k, z in enumerate(zs):
+            fname = os.path.join(dir_name, f"z_{z:1.3f}.hdf5")
+            with h5py.File(fname, "r") as f:
+                Tb = f["/Solar/Temperature_bins"][:]
+                nHb = f["/Solar/Hydrogen_density_bins"][:]
+                Heb = f["/Metal_free/Helium_mass_fraction_bins"][:]
+                mf = f["/Metal_free/Net_Cooling"][:]      # (He, T, nH)
+                msum = np.zeros_like(f[f"/{elements[0]}/Net_Cooling"][:])
+                for el in elements:
+                    msum = msum + f[f"/{el}/Net_Cooling"][:]  # (T, nH)
+            if prim is None:
+                prim = np.zeros((nz, len(nHb), len(Tb)))
+                metal = np.zeros((nz, len(nHb), len(Tb)))
+                logT = np.log10(Tb)
+                lognH = np.log10(nHb)
+            # collapse the He axis at the run's He mass fraction
+            ih = np.clip(np.searchsorted(Heb, helium_mass_fraction) - 1,
+                         0, max(len(Heb) - 2, 0))
+            if len(Heb) > 1:
+                fh = np.clip((helium_mass_fraction - Heb[ih])
+                             / (Heb[ih + 1] - Heb[ih]), 0.0, 1.0)
+                mf_h = (1 - fh) * mf[ih] + fh * mf[ih + 1]   # (T, nH)
+            else:
+                mf_h = mf[0]
+            # net-rate sign convention: the synthesized table stores
+            # heating-positive net rates; Wiersma Net_Cooling is
+            # cooling-positive (eagle_cooling_rate, cooling_rates.h)
+            prim[k] = -mf_h.T                                # (nH, T)
+            metal[k] = msum.T
+        rho_to_cgs = 1.0 / units.from_cgs("density")
+        u_to_cgs = (1.0 / units.from_cgs("velocity")) ** 2
+        t_int = 1.0 / units.from_cgs("time")
+        return EagleCooling(
+            table=tuple(map(tuple, (map(tuple, r) for r in prim))),
+            metal_table=tuple(map(tuple, (map(tuple, r) for r in metal))),
+            z_axis=tuple(zs),
+            log_T_axis=(float(logT[0]), float(logT[-1]), len(logT)),
+            log_nH_axis=(float(lognH[0]), float(lognH[-1]), len(lognH)),
+            nH_from_rho=float(hydrogen_mass_fraction / M_P * rho_to_cgs),
+            T_from_u=float(u_to_cgs * M_P / K_B),
+            dudt_from_cgs=float(t_int / u_to_cgs),
+            compton_pref=5.65e-36,
+            hydrogen_mass_fraction=float(hydrogen_mass_fraction),
+            metal_free=metal_free,
+        )
+
     # --- device-side interpolation ---------------------------------------
     def _tables_dev(self):
         return (jnp.asarray(np.asarray(self.table), F32),
@@ -160,16 +247,31 @@ class EagleCooling:
         """Λ_net/n_H² [erg cm³/s] via trilinear table interpolation +
         metallicity scaling + Compton (interpolate.h analog)."""
         tab, mtab = self._tables_dev()
-        ti = (logT - LOG_T_MIN) / (LOG_T_MAX - LOG_T_MIN) * (N_T - 1)
-        ni = (lognH - LOG_NH_MIN) / (LOG_NH_MAX - LOG_NH_MIN) * (N_NH - 1)
-        zi = (z - Z_MIN) / (Z_MAX - Z_MIN) * (N_Z - 1)
-        ti = jnp.clip(ti, 0.0, N_T - 1.001)
-        ni = jnp.clip(ni, 0.0, N_NH - 1.001)
-        zi = jnp.clip(zi, 0.0, N_Z - 1.001)
+        lt0, lt1, n_t = self.log_T_axis or (LOG_T_MIN, LOG_T_MAX, N_T)
+        ln0, ln1, n_n = self.log_nH_axis or (LOG_NH_MIN, LOG_NH_MAX, N_NH)
+        ti = (logT - lt0) / (lt1 - lt0) * (n_t - 1)
+        ni = (lognH - ln0) / (ln1 - ln0) * (n_n - 1)
+        if self.z_axis:
+            # real Wiersma tables: non-uniform redshift list
+            # (get_cooling_redshifts, cooling_tables.c:81)
+            zax = jnp.asarray(np.asarray(self.z_axis, np.float32))
+            n_z = len(self.z_axis)
+            z0 = jnp.clip(jnp.sum(zax <= z) - 1, 0, n_z - 2) \
+                .astype(jnp.int32)
+            dz_ax = zax[z0 + 1] - zax[z0]
+            fz = jnp.clip((z - zax[z0]) / jnp.where(dz_ax != 0, dz_ax, 1.0),
+                          0.0, 1.0)
+        else:
+            n_z = N_Z
+            zi = jnp.clip((z - Z_MIN) / (Z_MAX - Z_MIN) * (N_Z - 1),
+                          0.0, N_Z - 1.001)
+            z0 = jnp.floor(zi).astype(jnp.int32)
+            fz = zi - z0
+        ti = jnp.clip(ti, 0.0, n_t - 1.001)
+        ni = jnp.clip(ni, 0.0, n_n - 1.001)
         t0 = jnp.floor(ti).astype(jnp.int32)
         n0 = jnp.floor(ni).astype(jnp.int32)
-        z0 = jnp.floor(zi).astype(jnp.int32)
-        ft, fn, fz = ti - t0, ni - n0, zi - z0
+        ft, fn = ti - t0, ni - n0
 
         def g(dz, dn, dt):
             return tab[z0 + dz, n0 + dn, t0 + dt]
@@ -180,13 +282,27 @@ class EagleCooling:
                 for dt, wt in ((0, 1 - ft), (1, ft)):
                     lam = lam + wz * wn * wt * g(dz, dn, dt)
         if not self.metal_free:
-            lam_Z = (1 - ft) * mtab[t0] + ft * mtab[t0 + 1]
+            if mtab.ndim == 3:
+                # real tables: metal contribution interpolated in
+                # (z, n_H, T) exactly like the primordial part
+                # (elements summed at load; scaled by Z/Z_sun below)
+                lam_Z = 0.0
+                for dz, wz in ((0, 1 - fz), (1, fz)):
+                    for dn, wn in ((0, 1 - fn), (1, fn)):
+                        for dt, wt in ((0, 1 - ft), (1, ft)):
+                            lam_Z = lam_Z + wz * wn * wt * \
+                                mtab[z0 + dz, n0 + dn, t0 + dt]
+            else:
+                lam_Z = (1 - ft) * mtab[t0] + ft * mtab[t0 + 1]
             lam = lam - lam_Z * (Z_metal / Z_SUN)
-        # Compton off the CMB: Λ_C = pref n_e (T - T_CMB) T_CMB^4 / n_H^2
+        # Compton off the CMB: Λ_C = pref n_e (T - T_CMB) T_CMB^4 / n_H^2;
+        # n_e = 1.16 n_H x_e, so n_e/n_H^2 = 1.16 x_e/n_H — cancel one
+        # n_H analytically (n_H^2 underflows f32 below 1e-19)
         T_cmb = T_CMB0 * (1.0 + z)
-        n_e = 1.16 * n_H * jax.nn.sigmoid((logT - 4.1) / 0.08)
+        ne_nH2 = 1.16 * jax.nn.sigmoid((logT - 4.1) / 0.08) \
+            / jnp.maximum(n_H, 1e-30)
         lam = lam - jnp.float32(5.65e-36) * (T_cmb ** 4) \
-            * (T - T_cmb) * n_e / jnp.maximum(n_H, 1e-30) ** 2
+            * (T - T_cmb) * ne_nH2
         return lam
 
     def du_dt_internal(self, rho_phys, u_phys, z, Z_metal):

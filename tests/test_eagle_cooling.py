@@ -114,3 +114,98 @@ def test_cosmological_frame_conversion():
         jnp.float32(1.0 / a - 1.0), jnp.float32(0.0)))
     ref = rate_phys * a * a / a_u
     assert abs(got - ref) / max(abs(ref), 1e-30) < 1e-3, (got, ref)
+
+
+def _write_wiersma_dir(tmp_path):
+    """Emit a miniature Wiersma-layout table directory: redshifts.dat +
+    z_X.XXX.hdf5 files with the dataset names the reference reads
+    (cooling_tables.c:250-280, 422, 454)."""
+    import h5py
+
+    elements = ("Carbon", "Nitrogen", "Oxygen", "Neon", "Magnesium",
+                "Silicon", "Sulphur", "Calcium", "Iron")
+    zs = np.array([0.0, 1.0, 3.017])
+    Tb = np.logspace(3.0, 8.0, 12)
+    nHb = np.logspace(-6.0, 2.0, 7)
+    Heb = np.array([0.2, 0.25, 0.3])
+    with open(tmp_path / "redshifts.dat", "w") as f:
+        f.write(f"{len(zs)}\n")
+        for z in zs:
+            f.write(f"{z}\n")
+
+    # analytic generator so the test can compute expected values:
+    # metal-free net COOLING (positive) and per-element contributions
+    def mf_rate(z, He, T, nH):
+        return 1e-23 * (1 + z) * (He / 0.25) \
+            * (np.log10(T) - 2.0) * (1 + 0.1 * np.log10(nH))
+
+    def el_rate(i, z, T, nH):
+        return 1e-25 * (i + 1) * (1 + 0.5 * z) * np.log10(T)
+
+    for z in zs:
+        with h5py.File(tmp_path / f"z_{z:1.3f}.hdf5", "w") as f:
+            f["/Solar/Temperature_bins"] = Tb
+            f["/Solar/Hydrogen_density_bins"] = nHb
+            f["/Metal_free/Helium_mass_fraction_bins"] = Heb
+            mf = np.empty((len(Heb), len(Tb), len(nHb)))
+            for ih, He in enumerate(Heb):
+                mf[ih] = mf_rate(z, He, Tb[:, None], nHb[None, :])
+            f["/Metal_free/Net_Cooling"] = mf
+            for i, el in enumerate(elements):
+                f[f"/{el}/Net_Cooling"] = el_rate(
+                    i, z, Tb[:, None], nHb[None, :])
+    return zs, Tb, nHb, Heb, mf_rate, el_rate
+
+
+def test_wiersma_reader_interpolation(tmp_path):
+    """from_wiersma loads the reference table layout and net_rate_cgs
+    reproduces the generator at interior points (He collapsed at 0.25,
+    sign flipped to heating-positive, elements summed)."""
+    zs, Tb, nHb, Heb, mf_rate, el_rate = _write_wiersma_dir(tmp_path)
+    units = UnitSystem(1.98841e43, 3.08567758e24, 1e5, 1.0, 1.0)
+    model = EagleCooling.from_wiersma(str(tmp_path), units,
+                                      helium_mass_fraction=0.25)
+    assert model.z_axis == tuple(zs)
+    # knot point: z=1, He=0.25 exactly on bins
+    iT, inH = 5, 3
+    T, nH = Tb[iT], nHb[inH]
+    # T argument feeds only the Compton term: T = T_cmb(z=1) zeroes it
+    T_cmb1 = jnp.float32(2.7255 * 2.0)
+    got = float(model.net_rate_cgs(
+        jnp.float32(np.log10(T)), jnp.float32(np.log10(nH)),
+        jnp.float32(1.0), jnp.float32(0.0), T_cmb1, jnp.float32(1.0)))
+    want = -mf_rate(1.0, 0.25, T, nH)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    # metal scaling: Z = Z_sun subtracts exactly the summed element rate
+    from swift_subtask_dev_tpu.subgrid.eagle_cooling import Z_SUN
+    got_Z = float(model.net_rate_cgs(
+        jnp.float32(np.log10(T)), jnp.float32(np.log10(nH)),
+        jnp.float32(1.0), jnp.float32(Z_SUN), T_cmb1, jnp.float32(1.0)))
+    want_Z = want - sum(el_rate(i, 1.0, T, nH) for i in range(9))
+    np.testing.assert_allclose(got_Z, want_Z, rtol=1e-4)
+    # between redshift knots (non-uniform axis): linear in z
+    zq = 2.0
+    fz = (zq - 1.0) / (3.017 - 1.0)
+    got_mid = float(model.net_rate_cgs(
+        jnp.float32(np.log10(T)), jnp.float32(np.log10(nH)),
+        jnp.float32(zq), jnp.float32(0.0),
+        jnp.float32(2.7255 * (1.0 + zq)), jnp.float32(1.0)))
+    want_mid = -((1 - fz) * mf_rate(1.0, 0.25, T, nH)
+                 + fz * mf_rate(3.017, 0.25, T, nH))
+    np.testing.assert_allclose(got_mid, want_mid, rtol=1e-4)
+
+
+def test_wiersma_cooling_fn_runs(tmp_path):
+    """The loaded model drives the implicit-solve cooling hook."""
+    _write_wiersma_dir(tmp_path)
+    units = UnitSystem(1.98841e43, 3.08567758e24, 1e5, 1.0, 1.0)
+    model = EagleCooling.from_wiersma(str(tmp_path), units)
+    fn = make_eagle_cooling_fn(model)
+    n = 8
+    s = {"u_full": jnp.full((1, n), 1e-2, jnp.float32),
+         "u_dt": jnp.zeros((1, n), jnp.float32),
+         "rho": jnp.full((1, n), 1e5, jnp.float32),
+         "Z": jnp.full((1, n), 0.01, jnp.float32)}
+    cosmo = CosmoFactors.no_cosmo()
+    out = fn(s, cosmo, jnp.float32(1e-4))
+    assert np.all(np.isfinite(np.asarray(out["u_dt"])))

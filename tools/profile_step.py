@@ -118,7 +118,8 @@ def main():
         grid, m, off, f, zsort=True))
     mesh = jax.jit(lambda st: solver.mesh_accelerations([st])[0])
 
-    fkeys = [k for k in s if k not in ("mask", "off")]
+    fkeys = [k for k in s if k not in ("mask", "off")
+             and getattr(s[k], "ndim", 0) >= 2]
     print(f"density     {timed(dens, s):8.2f} ms")
     print(f"gradient    {timed(grad, s):8.2f} ms")
     print(f"force       {timed(forc, s):8.2f} ms")

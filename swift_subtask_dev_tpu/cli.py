@@ -550,7 +550,10 @@ def main(argv=None) -> int:
             eta=params.opt_float("Gravity", "eta", 0.025),
             theta_cr=params.opt_float("Gravity", "theta_cr", 0.7),
             multipole_order=params.opt_int("Gravity",
-                                           "multipole_order", 5))
+                                           "multipole_order", 5),
+            mac=params.opt_string("Gravity", "MAC", "geometric"),
+            adaptive_eps=params.opt_float("Gravity", "epsilon_fmm",
+                                          1e-3))
 
     # --- observability + restart policy --------------------------------------
     stats_every = params.opt_float("Statistics", "delta_time", 0.0)
@@ -655,7 +658,16 @@ def main(argv=None) -> int:
             mesh_kw = dict(mesh_fn=mfn, mesh_dt_scale=solver.pm.r_s)
         else:
             def gfn(s):
-                [(acc, pot)] = solver.accelerations([s])
+                # adaptive MAC (Gravity:MAC: adaptive): feed last-step
+                # accelerations so the Dehnen criterion can move
+                # outermost-shell pairs from P2P to masked M2L
+                a_prev = None
+                if gp.mac == "adaptive" and "a_grav" in s:
+                    import jax.numpy as jnp
+                    a_prev = s["a_grav"] + s.get(
+                        "a_grav_mesh", jnp.zeros_like(s["a_grav"]))
+                [(acc, pot)] = solver.accelerations([s],
+                                                    a_old=[a_prev])
                 return acc, pot
             mesh_kw = {}
 

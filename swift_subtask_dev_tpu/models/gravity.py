@@ -48,6 +48,14 @@ class GravityParams:
     # uses a fixed >=3-cell separation instead — see ops/fmm.py)
     periodic: bool = True
     multipole_order: int = 5     # FMM expansion order (SWIFT_MULTIPOLE_ORDER)
+    # Gravity:MAC — "geometric" (theta_cr -> fixed near radius) or
+    # "adaptive": the Dehnen 2014 MAC (multipole_accept.h:160) promotes
+    # outermost-shell P2P pairs to M2L per (cell, offset) wherever the
+    # error estimate stays below adaptive_eps * min|a_old| (the
+    # Gravity:epsilon_fmm tolerance); needs last-step accelerations fed
+    # through accelerations(..., a_old=...)
+    mac: str = "geometric"
+    adaptive_eps: float = 1e-3   # Gravity:epsilon_fmm
 
     @property
     def H_soft(self) -> float:
@@ -113,6 +121,15 @@ class GravitySolver:
             self.fmm_T = fmm.build_t_matrices(
                 grid, self.fmm_offsets, gp.multipole_order,
                 gp.H_soft, self.pm.r_s)
+            if gp.mac == "adaptive":
+                # the outermost P2P shell is the adaptive-MAC candidate
+                # band: per-(cell, offset) accept masks move pairs from
+                # the direct pass to masked M2L (multipole_accept.h:160)
+                self.shell_offs = fmm.shell_offsets(grid,
+                                                    self.near_radius)
+                self.shell_T = fmm.build_t_matrices(
+                    grid, self.shell_offs, gp.multipole_order,
+                    gp.H_soft, self.pm.r_s)
         # cell corner positions (C, 3) — static constant for global pos
         self.corners = jnp.asarray(grid.cell_corners(), jnp.float32)
 
@@ -280,9 +297,16 @@ class GravitySolver:
             return acc, pot
         return fn
 
-    def accelerations(self, species: Sequence[Dict]) -> List:
+    def accelerations(self, species: Sequence[Dict],
+                      a_old: Sequence = None) -> List:
         """P3M accelerations + potentials for each species dict
-        (mask/off/m).  Returns [(acc (C,K,3), pot (C,K)), ...]."""
+        (mask/off/m).  Returns [(acc (C,K,3), pot (C,K)), ...].
+
+        ``a_old``: previous-step acceleration norms or vectors per
+        species ((C,K) or (C,K,3)), enabling the adaptive Dehnen MAC
+        (GravityParams.mac == "adaptive"): outermost-shell P2P pairs
+        whose multipole error estimate stays below
+        adaptive_eps * min|a_old| run as masked M2L instead."""
         gp = self.gp
         # --- PM long range over ALL species ---------------------------------
         pos_all = [self.positions_of(s) for s in species]
@@ -297,8 +321,37 @@ class GravitySolver:
             phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
         acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
 
-        # --- P2P short range -------------------------------------------------
+        # --- FMM far field (near_radius-cell .. r_cut band) ------------------
+        fmm_each = None
+        offset_skip = None
         H = self._H_list(len(species))
+        if self.use_fmm:
+            p_ord = gp.multipole_order
+            M = fmm.p2m(self.grid, species, p_ord)
+            L = fmm.m2l(self.grid, M, self.fmm_offsets, self.fmm_T)
+            if gp.mac == "adaptive" and a_old is not None \
+                    and any(a is not None for a in a_old):
+                # per-cell min |a_old| over every species' live
+                # particles (m_pole.min_old_a_grav_norm analog)
+                min_a = jnp.full((self.grid.C,), jnp.inf, F32)
+                for s, a in zip(species, a_old):
+                    if a is None:
+                        continue
+                    an = jnp.linalg.norm(a, axis=-1) if a.ndim == 3 \
+                        else a
+                    an = jnp.where(s["mask"] > 0, an, jnp.inf)
+                    min_a = jnp.minimum(min_a, jnp.min(an, axis=1))
+                accept = fmm.adaptive_accept(
+                    self.grid, M, p_ord, self.shell_offs, min_a,
+                    gp.adaptive_eps, max(H))
+                L = L + fmm.m2l_masked(self.grid, M, self.shell_offs,
+                                       self.shell_T, accept)
+                offset_skip = {tuple(int(x) for x in d): accept[:, i]
+                               for i, d in enumerate(self.shell_offs)}
+            fmm_each = [fmm.l2p(self.grid, L, s, p_ord, gp.G)
+                        for s in species]
+
+        # --- P2P short range -------------------------------------------------
         if self.flat:
             from ..ops import hydro_pallas
             pp = [hydro_pallas.p2p_gravity_loop(
@@ -311,16 +364,8 @@ class GravitySolver:
                 self.grid, species, gp.G, H_soft=H,
                 r_s=self.pm.r_s if gp.periodic else 0.0,
                 periodic_truncation=gp.periodic,
-                radius=self.near_radius if self.use_fmm else 1)
-
-        # --- FMM far field (3-cell .. r_cut band) ----------------------------
-        fmm_each = None
-        if self.use_fmm:
-            p_ord = gp.multipole_order
-            M = fmm.p2m(self.grid, species, p_ord)
-            L = fmm.m2l(self.grid, M, self.fmm_offsets, self.fmm_T)
-            fmm_each = [fmm.l2p(self.grid, L, s, p_ord, gp.G)
-                        for s in species]
+                radius=self.near_radius if self.use_fmm else 1,
+                offset_skip=offset_skip)
 
         outs = []
         for i, (s, pos, (acc_pp, pot_pp)) in enumerate(

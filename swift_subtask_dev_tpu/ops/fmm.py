@@ -236,3 +236,103 @@ def l2p(grid: CellGrid, L: jnp.ndarray, s: Dict, p: int, G: float):
     acc = jnp.stack(acc, axis=-1)
     mask = s["mask"]
     return acc * mask[..., None], pot * mask
+
+
+# ---------------------------------------------------------------------------
+# Adaptive (Dehnen 2014) MAC — multipole_accept.h:108-171
+# ---------------------------------------------------------------------------
+
+def multipole_power(M: jnp.ndarray, p: int) -> jnp.ndarray:
+    """(C, p+1) Dehnen power estimates (multipole.h:878
+    gravity_multipole_compute_power): power[n] = sqrt(sum_{|a|=n}
+    w_a M_swift_a^2) with w_a = a!/n!.  This module's moments are
+    UNNORMALIZED (M_a = sum m b^a = a! M_swift_a), so the weight becomes
+    1/(a! n!).  Unlike the reference we expand about geometric cell
+    centres, not the CoM, so the dipole power (n=1) is kept (the
+    reference zeroes it, multipole.h:893)."""
+    idx = multi_indices(p)
+    cols = []
+    for n_ord in range(p + 1):
+        if n_ord == 0:
+            cols.append(jnp.abs(M[:, 0]))
+            continue
+        s = 0.0
+        for i, a in enumerate(idx):
+            if sum(a) != n_ord:
+                continue
+            s = s + M[:, i] ** 2 / (_alpha_fact(a) * _fact(n_ord))
+        cols.append(jnp.sqrt(s))
+    return jnp.stack(cols, axis=1)
+
+
+def shell_offsets(grid: CellGrid, radius: int) -> np.ndarray:
+    """(O, 3) integer separations with |d|_inf == radius (the outermost
+    P2P shell — the candidates the adaptive MAC may promote to M2L)."""
+    out = []
+    for dx in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            for dz in range(-radius, radius + 1):
+                if max(abs(dx), abs(dy), abs(dz)) == radius:
+                    out.append((dx, dy, dz))
+    return np.asarray(out, np.int32)
+
+
+def adaptive_accept(grid: CellGrid, M: jnp.ndarray, p: int,
+                    offsets: np.ndarray, min_a_grav: jnp.ndarray,
+                    eps_mac: float, H_soft: float) -> jnp.ndarray:
+    """(C, O) accept mask: Dehnen MAC per (receiver cell A, offset o)
+    with source B = A + o (multipole_accept.h:160-171, uniform grid:
+    rho_A = rho_B = half cell diagonal):
+
+      E_BA = 8 * [sum_n C(p,n) power_B[n] rho^(p-n)] * rho_max/rho_sum
+      accept iff rho_sum^2 < r^2  AND  H_soft^2 < r^2
+             AND E_BA < eps * min|a_old|_A * r^p * r^2
+
+    min_a_grav: (C,) minimum old acceleration norm among the receiver
+    cell's particles (engine feeds |a_grav + a_grav_mesh| from the
+    previous step; the reference carries the same min through its
+    multipoles, m_pole.min_old_a_grav_norm).  Cells with min_a = 0
+    (first step) accept nothing — pure geometric behaviour.
+    """
+    e = np.asarray(grid.edge)
+    rho = 0.5 * float(np.linalg.norm(e))
+    pw = multipole_power(M, p)                                # (C, p+1)
+    binom = [math.comb(p, n_) for n_ in range(p + 1)]
+    E = 0.0
+    for n_ in range(p + 1):
+        E = E + binom[n_] * pw[:, n_] * rho ** (p - n_)
+    E = E * 8.0 * 0.5                                        # rho_max/rho_sum
+    ncx, ncy, ncz = grid.cdim
+    Eg = E.reshape(ncx, ncy, ncz)
+    cols = []
+    for d in offsets:
+        r2 = float(np.sum((np.asarray(d) * e) ** 2))
+        E_B = jnp.roll(Eg, shift=(-d[0], -d[1], -d[2]),
+                       axis=(0, 1, 2)).reshape(-1)
+        ok_geo = (2.0 * rho) ** 2 < r2
+        ok_soft = H_soft * H_soft < r2
+        ok_err = E_B < (eps_mac * min_a_grav
+                        * r2 ** (p / 2.0) * r2)
+        cols.append(jnp.where(ok_geo & ok_soft, ok_err, False))
+    return jnp.stack(cols, axis=1)                            # (C, O)
+
+
+def m2l_masked(grid: CellGrid, M: jnp.ndarray, offsets: np.ndarray,
+               T: np.ndarray, accept: jnp.ndarray) -> jnp.ndarray:
+    """m2l with a per-(cell, offset) accept mask: rejected pairs
+    contribute nothing (their interaction stays in the P2P pass)."""
+    nt = M.shape[-1]
+    Mg = M.reshape(grid.cdim + (nt,))
+    ds = jnp.asarray(offsets)
+    Ts = jnp.asarray(T)
+
+    def body(L, inp):
+        o, d, Td = inp
+        Mr = jnp.roll(Mg, shift=(-d[0], -d[1], -d[2]), axis=(0, 1, 2))
+        contrib = Mr.reshape(-1, nt) @ Td
+        return L + contrib * accept[:, o, None], None
+
+    L0 = jnp.zeros((grid.C, nt), F32)
+    L, _ = jax.lax.scan(body, L0,
+                        (jnp.arange(len(offsets)), ds, Ts))
+    return L

@@ -147,7 +147,7 @@ def p2p_accelerations(grid: CellGrid,
                       species: Sequence[Dict[str, jnp.ndarray]],
                       G: float, H_soft: float,
                       r_s: float = 0.0, periodic_truncation: bool = True,
-                      radius: int = 1):
+                      radius: int = 1, offset_skip=None):
     """Short-range gravity between all species bucketed on the same grid.
 
     species: list of dicts with keys mask, off, m — each (C, K_s) tiles on
@@ -195,6 +195,12 @@ def p2p_accelerations(grid: CellGrid,
                 dx, r2 = _pair_geometry_shift(off_i, off_j, shift)
                 ok = ok & (r2 > 0)
                 w = ok.astype(F32)
+                if offset_skip is not None and tuple(d) in offset_skip:
+                    # adaptive MAC: (cell, offset) pairs promoted to M2L
+                    # are removed from the direct pass (the masked m2l
+                    # adds their far-field instead)
+                    keep = 1.0 - offset_skip[tuple(d)].astype(F32)
+                    w = w * keep.reshape(grid.cdim)[..., None, None]
 
                 F = softened_force_factor(r2, H)
                 if periodic_truncation and r_s > 0:

@@ -1,0 +1,121 @@
+"""Adaptive (Dehnen 2014) MAC on the uniform-grid FMM.
+
+The geometric MAC maps theta_cr to a fixed near radius; the adaptive
+MAC (multipole_accept.h:160, Gravity:MAC: adaptive) promotes
+outermost-shell P2P cell pairs to masked M2L wherever the per-pair
+multipole error estimate stays below epsilon_fmm * min|a_old|.  On a
+clustered volume this must (a) accept a substantial fraction of the
+shell (the flop saving), (b) accept LESS around the cluster core than
+in the smooth region (the adaptivity), and (c) change the forces by no
+more than the advertised tolerance."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from swift_subtask_dev_tpu.grid import CellGrid
+from swift_subtask_dev_tpu.grid.cellgrid import bucket_fields
+from swift_subtask_dev_tpu.models.gravity import GravityParams, GravitySolver
+from swift_subtask_dev_tpu.ops import fmm
+
+
+def _clustered_ic(n_cluster=600, n_field=400, seed=9):
+    rng = np.random.default_rng(seed)
+    # dense Gaussian clump + smooth background: >= 1e3 density contrast
+    clump = 0.5 + rng.normal(0, 0.02, (n_cluster, 3))
+    field = rng.uniform(0, 1, (n_field, 3))
+    pos = np.concatenate([clump, field]) % 1.0
+    m = rng.uniform(0.5, 1.5, n_cluster + n_field).astype(np.float32)
+    return pos.astype(np.float32), m
+
+
+def _solve(gp, grid, s, a_old=None):
+    solver = GravitySolver(gp, grid)
+    assert solver.use_fmm
+    [(acc, pot)] = solver.accelerations([s], a_old=a_old)
+    return solver, acc
+
+
+def test_adaptive_mac_accepts_and_bounds_error():
+    pos, m = _clustered_ic()
+    # FMM regime: cell edge < r_cut (mesh_N small -> r_cut large)
+    gp_geo = GravityParams(G=1.0, eps=2e-3, mesh_N=24, theta_cr=0.5)
+    grid = CellGrid.build_for_positions((1.0, 1.0, 1.0), 0.125, pos)
+    base = {"m": jnp.asarray(m)}
+    out, mask, off, nov = bucket_fields(grid, jnp.asarray(pos), base)
+    assert int(nov) == 0
+    s = {"mask": mask, "off": off, "m": out["m"]}
+
+    solver_geo, acc_geo = _solve(gp_geo, grid, s)
+    # adaptive, fed with the geometric answer as a_old
+    gp_ada = GravityParams(G=1.0, eps=2e-3, mesh_N=24, theta_cr=0.5,
+                           mac="adaptive", adaptive_eps=1e-3)
+    solver_ada = GravitySolver(gp_ada, grid)
+    [(acc_ada, _)] = solver_ada.accelerations([s], a_old=[acc_geo])
+
+    msk = np.asarray(mask) > 0
+    a_g = np.asarray(acc_geo)[msk]
+    a_a = np.asarray(acc_ada)[msk]
+    ref = np.linalg.norm(a_g, axis=1)
+    err = np.linalg.norm(a_a - a_g, axis=1)
+    rms = np.sqrt(np.mean((err / np.maximum(ref, 1e-30)) ** 2))
+    # the MAC admits eps * min|a_old| per accepted pair; the summed
+    # shell error stays within a few eps
+    assert rms < 5e-3, f"adaptive MAC changed forces by {rms:.2e} RMS"
+
+    # acceptance structure: recompute the mask directly
+    p_ord = gp_ada.multipole_order
+    M = fmm.p2m(grid, [s], p_ord)
+    an = jnp.where(mask > 0, jnp.linalg.norm(acc_geo, axis=-1), jnp.inf)
+    min_a = jnp.min(an, axis=1)
+    accept = np.asarray(fmm.adaptive_accept(
+        grid, M, p_ord, solver_ada.shell_offs, min_a,
+        gp_ada.adaptive_eps, gp_ada.H_soft))
+    live = np.asarray(mask).sum(1) > 0
+    frac = accept[live].mean()
+    assert frac > 0.3, f"adaptive MAC accepted only {frac:.1%} of the shell"
+
+    # adaptivity, source side: pairs whose SOURCE is a clump cell carry
+    # large multipole power -> their receivers reject them more often
+    # than the average pair (receiver side: strong-field cells get a
+    # LOOSER tolerance since the admitted error is relative to |a_old|)
+    counts = np.asarray(mask).sum(1)
+    clump_cells = set(np.argsort(counts)[-4:].tolist())
+    ncx, ncy, ncz = grid.cdim
+    ids = np.arange(grid.C)
+    ix, iy, iz = (ids // (ncy * ncz), (ids // ncz) % ncy, ids % ncz)
+    src_accept = []
+    for o, d in enumerate(solver_ada.shell_offs):
+        src = (((ix + d[0]) % ncx) * ncy + (iy + d[1]) % ncy) * ncz \
+            + (iz + d[2]) % ncz
+        sel = live & np.isin(src, list(clump_cells))
+        if sel.any():
+            src_accept.append(accept[sel, o])
+    src_frac = np.concatenate(src_accept).mean()
+    assert src_frac < frac, (
+        f"clump-sourced pairs accepted at {src_frac:.1%} vs "
+        f"average {frac:.1%} — power term not discriminating")
+
+    # first step (a_old = 0): accept nothing, pure geometric
+    accept0 = np.asarray(fmm.adaptive_accept(
+        grid, M, p_ord, solver_ada.shell_offs,
+        jnp.zeros((grid.C,), jnp.float32), gp_ada.adaptive_eps,
+        gp_ada.H_soft))
+    assert not accept0[live].any()
+
+
+def test_adaptive_matches_geometric_without_a_old():
+    pos, m = _clustered_ic(n_cluster=100, n_field=100)
+    gp = GravityParams(G=1.0, eps=2e-3, mesh_N=24, theta_cr=0.5,
+                       mac="adaptive")
+    grid = CellGrid.build_for_positions((1.0, 1.0, 1.0), 0.125, pos)
+    base = {"m": jnp.asarray(m)}
+    out, mask, off, nov = bucket_fields(grid, jnp.asarray(pos), base)
+    s = {"mask": mask, "off": off, "m": out["m"]}
+    solver = GravitySolver(gp, grid)
+    [(a1, _)] = solver.accelerations([s])                 # no a_old
+    [(a2, _)] = solver.accelerations([s], a_old=[None])
+    gp_geo = GravityParams(G=1.0, eps=2e-3, mesh_N=24, theta_cr=0.5)
+    [(a3, _)] = GravitySolver(gp_geo, grid).accelerations([s])
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a3), atol=1e-6)

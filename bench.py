@@ -30,6 +30,12 @@ BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
 #   BENCH_JB        flat-engine j-block rows (pallas_flat.JB)
 #   BENCH_PER_LAUNCH  steps fused per device launch
 #   BENCH_SLACK     hydro reach slack factor (column width driver)
+#   BENCH_IC        "uniform" (default) or "zel": Zel'dovich-displaced
+#                   lattice (clustered variant — the all-active uniform
+#                   box is this design's EASIEST case; VERDICT r3 #2)
+#   BENCH_ZEL_AMP   Zel'dovich displacement amplitude in interparticle
+#                   spacings (default 1.2 -> shell-crossed, ~10x
+#                   density contrast on the CIC grid)
 _N1 = int(os.environ.get("BENCH_N1", "36"))
 # mesh_N=128 measured best at 93k with the fused force+gravity pass:
 # denser PM mesh -> smaller r_cut -> narrower j-block ranges for the
@@ -39,6 +45,42 @@ _MESH_N = int(os.environ.get("BENCH_MESH_N", "128"))
 _JB = int(os.environ.get("BENCH_JB", "0"))
 _PER_LAUNCH = int(os.environ.get("BENCH_PER_LAUNCH", "16"))
 _SLACK = float(os.environ.get("BENCH_SLACK", "1.25"))
+_IC = os.environ.get("BENCH_IC", "uniform")
+_ZEL_AMP = float(os.environ.get("BENCH_ZEL_AMP", "1.2"))
+
+
+def zeldovich_ic(n1: int, amp_spacings: float, seed: int = 3):
+    """Clustered IC: Zel'dovich displacements (power-law P(k) ~ k^-2.5
+    Gaussian field) applied to the same 2*n1^3 bcc lattice the uniform
+    bench uses.  amp in units of the interparticle spacing; ~1+ gives
+    shell crossing and an order-of-magnitude density contrast — the
+    clustered stress case for column capacity + candidate windows."""
+    import numpy as np
+
+    from swift_subtask_dev_tpu.ics import uniform_box_ic
+
+    ic = uniform_box_ic(n=n1, jitter=0.05, seed=seed)
+    pos = np.asarray(ic["pos"], np.float64)
+    rng = np.random.default_rng(seed + 1)
+    ng = 64
+    k1 = np.fft.fftfreq(ng, d=1.0 / ng) * 2 * np.pi
+    kx, ky, kz = np.meshgrid(k1, k1, k1, indexing="ij")
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
+    k2[0, 0, 0] = 1.0
+    phase = (rng.standard_normal((ng, ng, ng))
+             + 1j * rng.standard_normal((ng, ng, ng)))
+    pk = np.maximum(k2, 1e-30) ** (-2.5 / 2.0)
+    pk[0, 0, 0] = 0.0
+    dk = phase * np.sqrt(pk)
+    psi = np.stack([np.real(np.fft.ifftn(1j * kk / k2 * dk))
+                    for kk in (kx, ky, kz)], axis=-1)
+    # sample the displacement field at particle positions (NGP)
+    idx = np.minimum((pos * ng).astype(np.int64), ng - 1)
+    disp = psi[idx[:, 0], idx[:, 1], idx[:, 2]]
+    spacing = 1.0 / (2 * n1 ** 3) ** (1.0 / 3.0)
+    disp *= amp_spacings * spacing / max(np.abs(disp).max(), 1e-30)
+    ic["pos"] = np.mod(pos + disp, 1.0).astype(np.float32)
+    return ic
 
 
 def main():
@@ -58,7 +100,8 @@ def main():
 
     # Uniform jittered box — all particles active every step.
     n1 = _N1                     # 2*n1^3 = 93k particles at 36
-    ic = uniform_box_ic(n=n1, jitter=0.2, seed=3)
+    ic = (zeldovich_ic(n1, _ZEL_AMP) if _IC == "zel"
+          else uniform_box_ic(n=n1, jitter=0.2, seed=3))
     n_parts = len(ic["pos"])
 
     P = SPHENIXParams(h_max=float(ic["h"].max() * 3))
@@ -116,6 +159,7 @@ def main():
         "n_particles": n_parts,
         "grid": list(grid.cdim) + [grid.K],
         "mesh_N": gp.mesh_N,
+        "ic": _IC,
         "steps_timed": n_steps,
         "wall_s": round(elapsed, 2),
     }))

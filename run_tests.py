@@ -48,6 +48,9 @@ SLOW = {
     "test_multi_flat.py",       # multi-species flat engine matches
     "test_cli_eagle.py",        # full EAGLE volume CLI subprocess
     "test_small_cosmo.py",      # comoving conservation gate (long run)
+    "test_moving_mesh_3d.py",   # 3D Voronoi Sod evolution (~15 min)
+    "test_adaptive_mac.py",     # order-5 T-matrix builds x2 (~12 min)
+    "test_cosmo_conservation.py",  # 60-step comoving DMO run
 }
 
 

@@ -349,8 +349,20 @@ def build_subgrid(params, units, args, cosmology, sph):
     enrichment = None
     if args.feedback and params.opt_int("EAGLEFeedback",
                                         "with_enrichment", 1):
-        from .subgrid.enrichment import EagleEnrichment
+        from .subgrid.enrichment import (EagleEnrichment,
+                                         load_yield_tables)
         enrichment = EagleEnrichment.from_params(params, units)
+        # real Portinari/Marigo/Thielemann yield tables when
+        # EAGLEFeedback:filename points at the table directory
+        # (feedback.c:728; yield_tables.h read_yield_tables); the
+        # shipped EAGLE files store lifetimes in years
+        import os as _os
+        ypath = params.opt_string("EAGLEFeedback", "filename", "")
+        if ypath and _os.path.isdir(ypath):
+            enrichment = load_yield_tables(
+                ypath, enrichment,
+                lifetime_unit_Gyr=params.opt_float(
+                    "EAGLEFeedback", "lifetime_unit_Gyr", 1e-9))
     return (cooling_fn, star_formation, floor, feedback, bh_model,
             sink_model, enrichment)
 

@@ -141,3 +141,106 @@ def test_engine_enrichment_conserves_and_enriches():
     assert Z1.max() > 0
     ef1 = np.asarray(gas["elem_frac"])[gmask]
     np.testing.assert_allclose(ef1.sum(axis=1), 1.0, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Real yield-table reader (yield_tables.h:87)
+# ---------------------------------------------------------------------------
+
+def _write_yield_dir(tmp_path):
+    """Miniature yield-table directory in the reference's exact layout:
+    SNII.hdf5 / AGB.hdf5 with /Yields/<Z_name>/{Yield,Ejected_mass,
+    Total_Metals}, SNIa.hdf5 with a flat Yield, Lifetimes.hdf5 with the
+    (Z, mass) lifetime grid."""
+    import h5py
+
+    def channel(fname, masses, zbins, ej_frac, z_frac, o_weight):
+        names = [b"Hydrogen", b"Helium", b"Carbon", b"Oxygen", b"Iron"]
+        with h5py.File(tmp_path / fname, "w") as f:
+            f["Species_names"] = np.array(names, dtype="S16")
+            f["Masses"] = masses
+            f["Metallicities"] = zbins
+            f["Yield_names"] = np.array(
+                [f"Z_{z:.4f}".encode() for z in zbins], dtype="S16")
+            for z in zbins:
+                g = f.create_group(f"Yields/Z_{z:.4f}")
+                ejm = ej_frac * masses
+                totz = z_frac(z) * masses
+                yld = np.zeros((len(names), len(masses)))
+                yld[3] = o_weight * totz          # Oxygen
+                yld[4] = (1 - o_weight) * totz    # Iron
+                g["Yield"] = yld
+                g["Ejected_mass"] = ejm
+                g["Total_Metals"] = totz
+        return np.asarray(masses), np.asarray(zbins)
+
+    snii_m, snii_z = channel(
+        "SNII.hdf5", np.linspace(8.0, 40.0, 9), np.array([0.001, 0.02]),
+        0.8, lambda z: 0.10 * (1 - z), 0.7)
+    agb_m, agb_z = channel(
+        "AGB.hdf5", np.linspace(1.0, 7.0, 13),
+        np.array([0.001, 0.008, 0.02]),
+        0.5, lambda z: 0.01 + 0.2 * z, 0.2)
+    with h5py.File(tmp_path / "SNIa.hdf5", "w") as f:
+        f["Species_names"] = np.array(
+            [b"Oxygen", b"Silicon", b"Iron", b"Nickel56"], dtype="S16")
+        f["Yield"] = np.array([0.14, 0.15, 0.74, 0.37])
+        f["Total_Metals"] = 1.4
+    # lifetimes: t(m, Z) = 10 m^-2.5 (1 + 2 Z) Gyr
+    lt_m = np.geomspace(0.8, 100.0, 20)
+    lt_z = np.array([0.0004, 0.004, 0.019, 0.05])
+    lt = 10.0 * lt_m[None, :] ** -2.5 * (1 + 2 * lt_z[:, None])
+    with h5py.File(tmp_path / "Lifetimes.hdf5", "w") as f:
+        f["Masses"] = lt_m
+        f["Metallicities"] = lt_z
+        f["Lifetimes"] = lt
+    return snii_m, snii_z, agb_z
+
+
+def test_yield_table_reader(tmp_path):
+    from swift_subtask_dev_tpu.subgrid.enrichment import (
+        EagleEnrichment, load_yield_tables, chabrier_imf)
+
+    _write_yield_dir(tmp_path)
+    base = EagleEnrichment()
+    enr = load_yield_tables(str(tmp_path), base, lifetime_unit_Gyr=1.0)
+    assert enr.z_bins_snii == (0.001, 0.02)
+    assert len(enr.z_bins_agb) == 3
+
+    # dying mass from the table inversion: t = 10 m^-2.5 (1+2Z) Gyr
+    for t, Z in ((0.02, 0.019), (1.0, 0.0004)):
+        m = float(enr.dying_mass(jnp.float32(t), jnp.float32(Z)))
+        m_want = ((t / (1 + 2 * Z)) / 10.0) ** (-1 / 2.5)
+        np.testing.assert_allclose(m, m_want, rtol=0.05)
+
+    # SNII metal window at a table Z bin matches direct IMF integration
+    lg = np.linspace(np.log10(0.1), np.log10(100.0), 4001)
+    m = 10.0 ** lg
+    xi = chabrier_imf(m)
+    xi = xi / np.trapezoid(m * xi * m * np.log(10), lg)
+    dndlg = xi * m * np.log(10)
+    w = (m >= 8.0) & (m <= 40.0) & (m >= 10.0) & (m <= 30.0)
+    want = np.trapezoid(0.10 * (1 - 0.001) * m * dndlg * w, lg)
+    got = float(enr.window_z(enr.cum_Z_snii, jnp.float32(10.0),
+                             jnp.float32(30.0), jnp.float32(0.001),
+                             enr.z_bins_snii))
+    np.testing.assert_allclose(got, want, rtol=0.02)
+
+    # compositions: SNII 70% O / 30% Fe from the tables
+    comp = np.asarray(enr._comp_z(enr.comp_snii, jnp.float32(0.001),
+                                  enr.z_bins_snii))
+    assert abs(comp[4] - 0.7) < 0.02      # Oxygen index in ELEMENT_NAMES
+    assert abs(comp[8] - 0.3) < 0.02      # Iron
+
+    # SNIa vector: name-matched (Nickel56 ignored), Fe-dominated
+    v = np.asarray(enr.snia_vec)
+    assert v[8] == 0.74 and v[4] == 0.14 and v.sum() < 1.2
+
+    # full ejecta call runs and conserves sanity: dmZ <= dm
+    dm, dmZ, delem = enr.ejecta(
+        jnp.float32(1.0), jnp.float32(0.004),
+        jnp.full((9,), 1.0 / 9, jnp.float32),
+        jnp.float32(0.01 * enr.Gyr), jnp.float32(1.0 * enr.Gyr))
+    assert 0 < float(dmZ) < float(dm) < 0.6
+    np.testing.assert_allclose(float(jnp.sum(delem)), float(dm),
+                               rtol=0.25)

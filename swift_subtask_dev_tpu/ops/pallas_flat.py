@@ -48,6 +48,16 @@ OFFSETS_9 = [(0, 0)] + [(dx, dy)
                         if not (dx == 0 and dy == 0)]
 
 JB = 64          # default j-block rows (z-skip granularity); NBLK <= 255
+# j-field broadcast path: True = MXU selector matmul (tile @ one-hot
+# column -> already-broadcast (jb, 128) lanes; the matrix unit is idle
+# in this kernel and the matmul overlaps VPU work), False = VPU lane
+# broadcast of the (jb, 1) slice.  The probe (tools/probe_kernel.py B)
+# measured the VPU lane-broadcast as the dominant per-field cost of the
+# force pass; the MXU path measured ~17% faster on the synthetic
+# 9-field probe.  FLAT_MXU_BCAST=0 switches back for A/B runs.
+import os as _os
+_mb = _os.environ.get("FLAT_MXU_BCAST", "0")
+MXU_BCAST = "wide" if _mb == "wide" else _mb != "0"
 # JB=64 measured fastest with the contiguous-range kernel at the bench
 # geometry (1.69e6 vs 1.59e6 @32, 1.33e6 @128 steps/s): the ~230-cycle
 # per-block walk floor (dependent VMEM slice + field lane-broadcasts)
@@ -308,9 +318,49 @@ def pair_apply(grid: CellGrid,
                     r0 = pl.multiple_of(blk * jb, jb)
                     tile = wref[pl.ds(r0, jb), :]           # (jb, Fpj)
 
-                    def nf(name):
-                        i = fidx_j[name]
-                        return tile[:, i:i + 1]             # (JB, 1)
+                    if MXU_BCAST == "wide" and not interpret:
+                        # ONE wide selector matmul lane-broadcasts ALL
+                        # fields per block: (jb, Fpj) @ (Fpj, Fpj*128)
+                        # with sel[r, c] = (r == c // 128).  HIGHEST
+                        # precision (3-pass f32 decomposition) is exact
+                        # for 0/1 selectors and amortises over every
+                        # field; nf() is then a static free slice.
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (Fpj, Fpj * LANES), 0)
+                        cols = jax.lax.broadcasted_iota(
+                            jnp.int32, (Fpj, Fpj * LANES), 1)
+                        sel = (rows == cols // LANES).astype(F32)
+                        bc = jax.lax.dot_general(
+                            tile, sel,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=F32,
+                            precision=jax.lax.Precision.HIGHEST)
+
+                        def nf(name):
+                            i = fidx_j[name]
+                            return bc[:, i * LANES:(i + 1) * LANES]
+                    elif MXU_BCAST and not interpret:
+                        # per-field selector matmul: tile @ e_i 1^T on
+                        # the MXU (f32-exact: 0/1 selector, HIGHEST
+                        # precision — the default bf16 pass rounds the
+                        # field values ~1e-3 relative).  Measured ~par
+                        # with the VPU lane-broadcast once HIGHEST is
+                        # on (the 3-pass decomposition costs the gain).
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (Fpj, LANES), 0)
+
+                        def nf(name):
+                            i = fidx_j[name]
+                            sel = (rows == i).astype(F32)
+                            return jax.lax.dot_general(
+                                tile, sel,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=F32,
+                                precision=jax.lax.Precision.HIGHEST)
+                    else:
+                        def nf(name):
+                            i = fidx_j[name]
+                            return tile[:, i:i + 1]         # (JB, 1)
 
                     dz = sf("off2") - nf("off2")
                     # reciprocal-multiply, not a per-pair divide

@@ -64,7 +64,17 @@ MXU_BCAST = "wide" if _mb == "wide" else _mb != "0"
 # amortises over 2x the pairs, and the +16% candidate inflation from
 # coarser z-granularity costs less than the floor saved.
 LANES = 128      # i-tile width
-NBLK_MAX = 128   # block starts/counts are packed as 4 x 8-bit fields
+# Fine z-ranges: the block-range words are computed at jb/4-row
+# granularity (16 rows at the default jb=64) while the kernel still
+# PROCESSES 64-row chunks (dynamic slices at 16-row-aligned starts,
+# overhang rows masked).  This keeps the per-chunk walk floor of jb=64
+# but cuts the ~half-block candidate waste at each window end 4x —
+# the round-3 jb=16 experiment lost because it also quartered the
+# processing chunk; this decouples the two.  FLAT_FINE_RANGES=0 to A/B.
+FINE_RANGES = _os.environ.get("FLAT_FINE_RANGES", "1") != "0"
+FINE_DIV = 4
+NBLK_MAX = 63    # fine starts/counts pack into 4 x 8-bit fields
+# (Wj/jb <= 63 so Wj/(jb/4) <= 252 fits 8 bits)
 
 
 def _jb_for(Wj: int) -> int:
@@ -235,6 +245,10 @@ def pair_apply(grid: CellGrid,
         fields_j, field_order_j = fields, field_order
     Wj = fields_j["mask"].shape[1]
     jb = _jb_for(Wj)
+    # fine mode needs at least one full chunk per column and a
+    # fine-divisible capacity (Wj is 128-aligned so 16 | Wj)
+    fine = FINE_RANGES and Wj >= jb and (jb % FINE_DIV == 0)
+    jb_rng = jb // FINE_DIV if fine else jb
     assert W % LANES == 0 and Wj % jb == 0 and Wj // jb <= NBLK_MAX
     TPC = W // LANES
     NBLK = Wj // jb
@@ -268,7 +282,7 @@ def pair_apply(grid: CellGrid,
         range_scale, sym_range,
         *((fields_j["mask"], fields_j["off2"], fields_j["h"])
           if cross else (None, None, None)),
-        jb=jb, reach_floor=reach_floor)
+        jb=jb_rng, reach_floor=reach_floor)
     if active_i is not None:
         tile_act = jnp.any((active_i > 0).reshape(Ncol, TPC, LANES),
                            axis=2)
@@ -303,6 +317,7 @@ def pair_apply(grid: CellGrid,
                 acc[n_sum + q, :, :] = jnp.full_like(
                     acc[n_sum + q, :, :], -jnp.inf)
 
+            row_iota = jax.lax.broadcasted_iota(I32, (jb, 1), 0)
             for o, (dx, dy) in enumerate(OFFSETS_9):
                 wref = wrefs[o]
                 word = rng_ref[0, (col * TPC + it) * 9 + o]
@@ -312,10 +327,32 @@ def pair_apply(grid: CellGrid,
                 c2 = (word >> 24) & 0xFF
                 sx = jnp.float32(dx * ex)
                 sy = jnp.float32(dy * ey)
+                if fine:
+                    # counts in FINE units; each loop trip processes a
+                    # jb-row chunk at a fine-aligned start, masking the
+                    # overhang rows past the fine range end
+                    nc1 = (c1 + FINE_DIV - 1) // FINE_DIV
+                    nc2 = (c2 + FINE_DIV - 1) // FINE_DIV
+                else:
+                    nc1, nc2 = c1, c2
 
                 def jblock(n, _):
-                    blk = jnp.where(n < c1, s1 + n, s2 + (n - c1))
-                    r0 = pl.multiple_of(blk * jb, jb)
+                    if fine:
+                        in1 = n < nc1
+                        base = jnp.where(in1, s1 + n * FINE_DIV,
+                                         s2 + (n - nc1) * FINE_DIV)
+                        hi_f = jnp.where(in1, s1 + c1, s2 + c2)
+                        lo_row = base * jb_rng
+                        hi_row = jnp.minimum(hi_f, base + FINE_DIV) \
+                            * jb_rng
+                        r0 = pl.multiple_of(
+                            jnp.minimum(lo_row, Wj - jb), jb_rng)
+                        row_ok = (row_iota + r0 >= lo_row) \
+                            & (row_iota + r0 < hi_row)
+                    else:
+                        blk = jnp.where(n < c1, s1 + n, s2 + (n - c1))
+                        r0 = pl.multiple_of(blk * jb, jb)
+                        row_ok = True
                     tile = wref[pl.ds(r0, jb), :]           # (jb, Fpj)
 
                     if MXU_BCAST == "wide" and not interpret:
@@ -372,7 +409,8 @@ def pair_apply(grid: CellGrid,
                           + dxv[2] * dxv[2])
                     ok_extra, sums, maxes = pair_fn(sf, nf, dxv,
                                                     r2, sc)
-                    ok = (nf("mask") > 0) & (r2 > 0) & ok_extra
+                    ok = (nf("mask") > 0) & (r2 > 0) & ok_extra \
+                        & row_ok
                     w = ok.astype(F32)
                     for q, val in enumerate(sums):
                         acc[q, :, :] = acc[q, :, :] + val * w
@@ -382,7 +420,7 @@ def pair_apply(grid: CellGrid,
                             jnp.where(ok, val, -jnp.inf))
                     return 0
 
-                jax.lax.fori_loop(0, c1 + c2, jblock, 0)
+                jax.lax.fori_loop(0, nc1 + nc2, jblock, 0)
 
             for q in range(n_sum):
                 out_ref[q, pl.ds(l0, LANES)] = jnp.sum(acc[q, :, :],

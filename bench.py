@@ -111,7 +111,7 @@ def main():
     hydro_reach = float(ic["h"].max() * P.kernel.gamma * _SLACK)
     # column/z-sorted layout for the flat Pallas engine (the fast path)
     grid = CellGrid.build_columns(
-        ic["box"], interaction_range=max(hydro_reach, r_cut * 1.0001),
+        ic["box"], interaction_range=max(hydro_reach, r_cut * 1.15),
         pos=ic["pos"])
     solver = GravitySolver(gp, grid)
 
@@ -129,6 +129,9 @@ def main():
                  0.0, 1.0, gravity_fn=solver.gas_short_range_fn(),
                  mesh_fn=solver.gas_mesh_fn(),
                  mesh_dt_scale=solver.pm.r_s)
+    # auto re-grid support (tight-slack sweeps trigger coverage walls):
+    # the engine rebinds gravity/mesh hooks from the returned solver
+    eng.solver_builder = lambda g: GravitySolver(gp, g)
     eng.load_particles(ic["pos"], ic["m"], ic["v"], ic["u"], ic["h"])
     eng.init_particles()
 

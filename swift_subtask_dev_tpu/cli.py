@@ -633,7 +633,7 @@ def main(argv=None) -> int:
         r_cut = gp.r_cut_ratio * gp.a_smooth * float(box[0]) / mesh_N
         if args.backend == "flat":
             # column layout: the flat Pallas P2P kernel drives the DMO run
-            grid = CellGrid.build_columns(tuple(box), r_cut * 1.0001, pos,
+            grid = CellGrid.build_columns(tuple(box), r_cut * 1.15, pos,
                                           n_shards=max(args.shards, 0))
         else:
             grid = CellGrid.build_for_positions(tuple(box), r_cut * 1.05,
@@ -753,7 +753,7 @@ def main(argv=None) -> int:
             r_cut = (gp.r_cut_ratio * gp.a_smooth
                      * float(box[0]) / gp.mesh_N)
             grid = CellGrid.build_columns(
-                tuple(box), max(reach, r_cut * 1.0001),
+                tuple(box), max(reach, r_cut * 1.15),
                 np.concatenate(pos_all), n_shards=max(args.shards, 0))
             solver = GravitySolver(gp, grid)
         else:
@@ -972,7 +972,7 @@ def main(argv=None) -> int:
             if args.self_gravity:
                 r_cut = (gp.r_cut_ratio * gp.a_smooth
                          * float(box[0]) / gp.mesh_N)
-                reach_grid = max(reach, r_cut * 1.0001)
+                reach_grid = max(reach, r_cut * 1.15)
             grid = CellGrid.build_columns(tuple(box), reach_grid, pos,
                                           n_shards=max(args.shards, 0))
         else:

@@ -354,19 +354,27 @@ def rebucket_offsets(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
     n_overflow = jnp.sum((cell_s < C) & (rank >= K)).astype(I32)
     slot = jnp.where(ok, cell_s * K + rank, C * K)
 
-    def scatter(x, fill):
-        flat = x.reshape((C * K,) + x.shape[2:])[order]
-        out_shape = (C * K + 1,) + flat.shape[1:]
-        out = jnp.full(out_shape, fill, flat.dtype)
-        out = out.at[slot].set(flat)
-        return out[:-1].reshape((C, K) + flat.shape[1:])
+    # ONE i32 scatter builds the destination->source map; every field
+    # then moves with a single gather (TPU scatters are far slower than
+    # gathers — the previous per-field gather+scatter made the rebucket
+    # dominate the step at 1e6+ particles).  Sentinel source C*K reads
+    # the appended fill row.
+    src = jnp.full((C * K + 1,), C * K, I32)
+    src = src.at[slot].set(order.astype(I32))
+    src = src[:-1]
+
+    def move(x, fill):
+        flat = x.reshape((C * K,) + x.shape[2:])
+        fill_row = jnp.full((1,) + flat.shape[1:], fill, flat.dtype)
+        flat = jnp.concatenate([flat, fill_row], axis=0)
+        return flat[src].reshape((C, K) + x.shape[2:])
 
     out_fields = {}
     for name, arr in fields.items():
         fill = -1 if arr.dtype in (jnp.int32, jnp.int64) and name == "pid" else 0
-        out_fields[name] = scatter(arr, fill)
-    new_mask = scatter(mask, 0.0)
-    out_off = scatter(new_off, 0.0)
+        out_fields[name] = move(arr, fill)
+    new_mask = move(mask, 0.0)
+    out_off = move(new_off, 0.0)
     return out_fields, new_mask, out_off, n_overflow
 
 

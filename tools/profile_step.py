@@ -63,7 +63,7 @@ def main():
     hydro_reach = float(ic["h"].max() * P.kernel.gamma * slack)
     r_cut = gp.r_cut_ratio * gp.a_smooth / gp.mesh_N
     grid = CellGrid.build_columns(
-        ic["box"], interaction_range=max(hydro_reach, r_cut * 1.0001),
+        ic["box"], interaction_range=max(hydro_reach, r_cut * 1.15),
         pos=ic["pos"])
     solver = GravitySolver(gp, grid)
     cfg = EngineConfig(dt_max=2e-4, backend="flat", with_self_gravity=True,

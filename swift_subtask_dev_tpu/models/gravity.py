@@ -102,6 +102,18 @@ class GravitySolver:
             # 3-cell..r_cut band
             self.use_fmm = (gp.periodic
                             and min(grid.edge) < self.pm.r_cut * (1 - 1e-6))
+        if gp.mac == "adaptive" and not self.use_fmm:
+            # Gravity:MAC: adaptive needs the FMM band (non-flat cell
+            # grid with cells finer than r_cut) to have any M2L pairs to
+            # promote; on the flat/column or pure-P3M paths it silently
+            # degrades to geometric — tell the user (advisor r4 finding)
+            import warnings
+            warnings.warn(
+                "Gravity:MAC: adaptive is inert on this configuration "
+                f"(flat={self.flat}, use_fmm={self.use_fmm}): the Dehnen "
+                "MAC only activates on the FMM cell grid (cdim[2]>1 with "
+                "cell edges < r_cut). Falling back to geometric P2P.",
+                stacklevel=2)
         if self.use_fmm:
             # geometric MAC on the uniform grid: a multipole pair at
             # |d|_inf cells has opening ratio s/((|d|-1)s); accepting it

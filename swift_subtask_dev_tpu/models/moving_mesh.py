@@ -295,7 +295,7 @@ def voronoi2d(pos: jnp.ndarray, box: float, M: int = 20):
     cen_rel = jnp.sum(jnp.where(val_s[..., None], cross[..., None] * tri_c,
                                 0.0), axis=1) \
         / jnp.maximum(2.0 * area, 1e-30)[..., None]
-    centroid = jnp.mod(pc + cen_rel, box)
+    centroid = jnp.mod(pos + cen_rel, box)
 
     # --- completeness certificate ------------------------------------------
     rv = jnp.sqrt(jnp.where(valid, rv2, 0.0))

@@ -205,6 +205,12 @@ def load_sesame(path: str) -> SESAMETable:
     c = body[..., 2].T
     u = np.where(u <= 0, 1e-20, u)           # u_tiny guard (sesame.h:286)
     c = np.where(c <= 0, 1e-20, c)
+    # Enforce monotonically increasing u along each rho row, sweeping
+    # from high T downward (sesame.h:245-260): real ANEOS/SESAME tables
+    # have slightly non-monotonic u at low T, which would break
+    # _row_search's rank-count bracket.
+    for j in range(u.shape[1] - 2, -1, -1):
+        u[:, j] = np.minimum(u[:, j], u[:, j + 1] * (1.0 - 1e-12))
     return SESAMETable(log_rho=tuple(np.log(rho)),
                        log_u=tuple(map(tuple, np.log(u))),
                        P=tuple(map(tuple, P)),

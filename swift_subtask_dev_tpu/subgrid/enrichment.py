@@ -196,11 +196,16 @@ class EagleEnrichment:
             zi = jnp.clip(jnp.searchsorted(lzb, lz) - 1, 0, len(zb) - 2)
             zf = jnp.clip((lz - lzb[zi]) / (lzb[zi + 1] - lzb[zi]),
                           0.0, 1.0)
-            m_lo = jax.vmap(lambda r, q: jnp.interp(q, grid, r))(
-                rows[zi.reshape(-1)], lt.reshape(-1)).reshape(lt.shape)                 if lt.ndim else jnp.interp(lt, grid, rows[zi])
-            m_hi = jax.vmap(lambda r, q: jnp.interp(q, grid, r))(
-                rows[(zi + 1).reshape(-1)], lt.reshape(-1))                 .reshape(lt.shape) if lt.ndim                 else jnp.interp(lt, grid, rows[zi + 1])
-            return (1.0 - zf) * m_lo + zf * m_hi
+            # mixed scalar/array age and Z are legal: broadcast to a
+            # common shape before the per-row vmap (advisor r4 finding)
+            lt_b, zi_b, zf_b = jnp.broadcast_arrays(lt, zi, zf)
+            shape = lt_b.shape
+            row_interp = jax.vmap(lambda r, q: jnp.interp(q, grid, r))
+            m_lo = row_interp(rows[zi_b.reshape(-1)],
+                              lt_b.reshape(-1)).reshape(shape)
+            m_hi = row_interp(rows[(zi_b + 1).reshape(-1)],
+                              lt_b.reshape(-1)).reshape(shape)
+            return (1.0 - zf_b) * m_lo + zf_b * m_hi
         if Z is not None:
             f_L = jnp.clip(1.0 + 0.04 * jnp.log(
                 jnp.maximum(Z, 1e-8) / 0.019), 0.75, 1.10)

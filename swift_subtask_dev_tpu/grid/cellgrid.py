@@ -153,6 +153,11 @@ class CellGrid:
         cd = []
         for b in box[:2]:
             n = int(math.floor(b / max(interaction_range, 1e-30)))
+            # prefer even counts >= 4 so the pair kernel can bundle 2x2
+            # column groups per program (pallas_flat.bundle_ok); the one
+            # dropped column only widens the edge slightly
+            if n >= 5 and n % 2:
+                n -= 1
             cd.append(int(np.clip(n, 3, max_cdim)))
         if n_shards > 0:
             nx_max = int(math.floor(box[0] / max(interaction_range, 1e-30)))

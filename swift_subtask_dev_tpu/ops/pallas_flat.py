@@ -46,6 +46,10 @@ I32 = jnp.int32
 OFFSETS_9 = [(0, 0)] + [(dx, dy)
                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)
                         if not (dx == 0 and dy == 0)]
+# 16 (dx, dy) offsets of a 2x2 column bundle (relative to the bundle's
+# origin column): the 4x4 window covers every column within one edge of
+# the 2-column-wide footprint
+OFFSETS_16 = [(dx, dy) for dx in (-1, 0, 1, 2) for dy in (-1, 0, 1, 2)]
 
 JB = 64          # default j-block rows (z-skip granularity); NBLK <= 255
 # j-field broadcast path: True = MXU selector matmul (tile @ one-hot
@@ -75,6 +79,17 @@ FINE_RANGES = _os.environ.get("FLAT_FINE_RANGES", "1") != "0"
 FINE_DIV = 4
 NBLK_MAX = 63    # fine starts/counts pack into 4 x 8-bit fields
 # (Wj/jb <= 63 so Wj/(jb/4) <= 252 fits 8 bits)
+# Bundled-path chunking: ranges at 8-row granularity, processing chunks
+# of 8 granules (64 rows).  Measured on TPU (in-process A/B, density
+# pass, 93k): stride 8 = 9.55 ms vs 10.08 non-bundled, stride 9 (72-row
+# chunks) = 11.2 (non-8x64 slices regress more than the saved trips),
+# stride 11 = 10.1.  The paper 4x z-span quartering does NOT
+# materialise: member columns' independent z-sorts misalign by their
+# count differences (~span 32 -> ~60 rows), leaving ~13% fewer
+# candidate rows + fuller i-tiles.  FLAT_CHUNK_STRIDE granules/trip to
+# A/B.
+GRAN_BUNDLED = 8
+CHUNK_STRIDE = int(_os.environ.get("FLAT_CHUNK_STRIDE", "8"))
 
 
 def _jb_for(Wj: int) -> int:
@@ -104,10 +119,50 @@ def nbr_col_table(grid: CellGrid) -> np.ndarray:
     return out
 
 
+def nbr_col_table_bundled(grid: CellGrid) -> np.ndarray:
+    """(Ngrp, 16) i32 linear column ids of each 2x2 bundle's window."""
+    ncx, ncy, _ = _column_geometry(grid)
+    ngx, ngy = ncx // 2, ncy // 2
+    g = np.arange(ngx * ngy)
+    gx, gy = g // ngy, g % ngy
+    out = np.empty((ngx * ngy, 16), np.int32)
+    for o, (dx, dy) in enumerate(OFFSETS_16):
+        out[:, o] = ((2 * gx + dx) % ncx) * ncy + (2 * gy + dy) % ncy
+    return out
+
+
+def bundle_ok(grid: CellGrid) -> bool:
+    """2x2 bundling needs even column counts and a window whose 16
+    columns are distinct under periodic wrap (ncx, ncy >= 4)."""
+    ncx, ncy, _ = _column_geometry(grid)
+    return ncx >= 4 and ncy >= 4 and ncx % 2 == 0 and ncy % 2 == 0
+
+
+def _to_bundled(arr: jnp.ndarray, ncx: int, ncy: int) -> jnp.ndarray:
+    """(Ncol, W) column tiles -> (Ngrp, 4W) bundle tiles.
+
+    Bundle lane order (within each 128-lane i-tile t): member (mx, my)
+    contributes its z-rows [32t, 32t+32) as lanes [32(2mx+my),
+    32(2mx+my)+32) — four quarter-tiles of z-sorted rows, so a bundled
+    tile's z-span is ~1/4 of a single-column 128-row tile's."""
+    W = arr.shape[1]
+    a = arr.reshape(ncx // 2, 2, ncy // 2, 2, W // 32, 32)
+    a = a.transpose(0, 2, 4, 1, 3, 5)     # gx, gy, t, mx, my, r
+    return a.reshape((ncx // 2) * (ncy // 2), 4 * W)
+
+
+def _from_bundled(arr: jnp.ndarray, ncx: int, ncy: int,
+                  W: int) -> jnp.ndarray:
+    """(n, Ngrp*4W) kernel output -> (n, Ncol, W) column layout."""
+    a = arr.reshape(-1, ncx // 2, ncy // 2, W // 32, 2, 2, 32)
+    a = a.transpose(0, 1, 4, 2, 5, 3, 6)
+    return a.reshape(-1, ncx * ncy, W)
+
+
 def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
                   sym_range: bool, maskf_j=None, zf_j=None, hf_j=None,
-                  jb: int = JB, reach_floor: float = 0.0):
-    """(Ncol, TPC, 9) i32 packed j-block ranges: s1|c1<<8|s2<<16|c2<<24.
+                  jb: int = JB, reach_floor: float = 0.0, nbr=None):
+    """(NI, TPC, NO) i32 packed j-block ranges: s1|c1<<8|s2<<16|c2<<24.
 
     Columns are z-sorted, so the j-blocks whose z-interval overlaps an
     i-tile's reach-inflated z-range form a CONTIGUOUS run of block ids —
@@ -122,7 +177,7 @@ def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
     loop is the usual self-pairing.
     """
     ncx, ncy, Ncol = _column_geometry(grid)
-    W = maskf.shape[1]
+    NI, W = maskf.shape                  # i-side programs (cols or bundles)
     TPC = W // LANES
     boxz = jnp.float32(grid.box[2])
     live = maskf > 0
@@ -131,14 +186,15 @@ def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
     live_j = maskf_j > 0
     NBLK = maskf_j.shape[1] // jb
 
-    zi = jnp.where(live, zf, jnp.inf).reshape(Ncol, TPC, LANES)
-    iz_lo = jnp.min(zi, axis=2)                                # (Ncol,TPC)
+    zi = jnp.where(live, zf, jnp.inf).reshape(NI, TPC, LANES)
+    iz_lo = jnp.min(zi, axis=2)                                # (NI,TPC)
     iz_hi = jnp.max(jnp.where(jnp.isfinite(zi), zi, -jnp.inf), axis=2)
     hmax_tile = jnp.max(
-        jnp.where(live, hf, 0.0).reshape(Ncol, TPC, LANES), axis=2)
+        jnp.where(live, hf, 0.0).reshape(NI, TPC, LANES), axis=2)
     hmax_col = jnp.max(jnp.where(live_j, hf_j, 0.0), axis=1)   # (Ncol,)
 
-    zb = jnp.where(live_j, zf_j, jnp.inf).reshape(Ncol, NBLK, jb)
+    zb = jnp.where(live_j, zf_j, jnp.inf) \
+        .reshape(maskf_j.shape[0], NBLK, jb)
     jb_lo = jnp.min(zb, axis=2)                                # (Ncol,NBLK)
     jb_hi = jnp.max(jnp.where(jnp.isfinite(zb), zb, -jnp.inf), axis=2)
     # empty blocks (trailing, z-sorted): never "below" an interval, and
@@ -146,7 +202,8 @@ def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
     empty = ~jnp.isfinite(jb_hi)
     jb_hi_e = jnp.where(empty, jnp.inf, jb_hi)                 # (Ncol,NBLK)
 
-    nbr = jnp.asarray(nbr_col_table(grid))                     # (Ncol, 9)
+    if nbr is None:
+        nbr = jnp.asarray(nbr_col_table(grid))                 # (NI, NO)
     if sym_range:
         reach = jnp.float32(gamma) * jnp.maximum(
             hmax_tile[:, :, None], hmax_col[nbr][:, None, :])
@@ -156,10 +213,10 @@ def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
         # fused passes (hydro force + P2P gravity) need the window to
         # cover BOTH interaction ranges: max(gamma*h, r_cut)
         reach = jnp.maximum(reach, jnp.float32(reach_floor))
-    lo = iz_lo[:, :, None] - reach                             # (Ncol,TPC,9)
+    lo = iz_lo[:, :, None] - reach                             # (NI,TPC,NO)
     hi = iz_hi[:, :, None] + reach
 
-    jlo = jb_lo[nbr]                                           # (Ncol,9,NBLK)
+    jlo = jb_lo[nbr]                                           # (NI,NO,NBLK)
     jhi = jb_hi_e[nbr]
 
     def range_of(a, b):
@@ -214,7 +271,8 @@ def pair_apply(grid: CellGrid,
                fields_j: Dict[str, jnp.ndarray] = None,
                field_order_j: Sequence[str] = None,
                active_i: jnp.ndarray = None,
-               reach_floor: float = 0.0):
+               reach_floor: float = 0.0,
+               bundle: bool = None):
     """Run ``pair_fn`` over all pairs of the column/z-sorted layout.
 
     fields are (Ncol, W) tiles, z-sorted within each column (the engine's
@@ -233,6 +291,14 @@ def pair_apply(grid: CellGrid,
     (sums) / -inf (maxes); the caller merges previous values.  Tiles
     with ANY active particle are computed in full (exact for every
     particle in them).
+
+    ``bundle`` (default: env FLAT_BUNDLE, on): process 2x2 column
+    bundles per program.  Each 128-lane i-tile interleaves four 32-row
+    z-slices (one per member column), quartering the tile's z-span, and
+    the j-side visits the bundle's 16-column window — 4 window fetches
+    per column instead of 9 and ~30% fewer candidate rows per tile at
+    uniform density.  Falls back to per-column automatically when the
+    grid cannot bundle (odd or <4 column counts).
     """
     if jax.default_backend() == "cpu":
         # no Mosaic on CPU: run the kernel through the interpreter so the
@@ -248,10 +314,22 @@ def pair_apply(grid: CellGrid,
     # fine mode needs at least one full chunk per column and a
     # fine-divisible capacity (Wj is 128-aligned so 16 | Wj)
     fine = FINE_RANGES and Wj >= jb and (jb % FINE_DIV == 0)
-    jb_rng = jb // FINE_DIV if fine else jb
-    assert W % LANES == 0 and Wj % jb == 0 and Wj // jb <= NBLK_MAX
-    TPC = W // LANES
-    NBLK = Wj // jb
+    use_bundle = (bundle if bundle is not None
+                  else _os.environ.get("FLAT_BUNDLE", "1") != "0")
+    use_bundle = use_bundle and bundle_ok(grid)
+    if use_bundle and fine:
+        # finer grain + wider chunk: one trip covers a whole bundled
+        # z-window (see GRAN_BUNDLED note above)
+        gran = GRAN_BUNDLED
+        while Wj // gran > 255:         # 8-bit range-word fields
+            gran *= 2
+        ch = min(CHUNK_STRIDE * gran, Wj)
+    else:
+        gran = jb // FINE_DIV if fine else jb
+        ch = jb
+    stride = ch // gran                  # granules advanced per trip
+    assert W % LANES == 0 and Wj % gran == 0 and Wj // gran <= 255 \
+        and ch % gran == 0
     Np = Ncol * W
     Npj = Ncol * Wj
     F = len(field_order)
@@ -265,8 +343,34 @@ def pair_apply(grid: CellGrid,
     ex, ey = float(grid.edge[0]), float(grid.edge[1])
     boxz = float(grid.box[2])
 
+    # ---- i-side layout: per-column tiles or 2x2 bundle tiles ------------
+    col_counts = jnp.sum(fields["mask"] > 0, axis=1).astype(I32)  # (Ncol,)
+    if use_bundle:
+        NPROG, WI, offsets = Ncol // 4, 4 * W, OFFSETS_16
+        fi = {n: _to_bundled(fields[n].reshape(Ncol, W), ncx, ncy)
+              for n in field_order}
+        # positions become bundle-corner-relative so the per-offset
+        # (dx*ex, dy*ey) shifts stay lane-uniform
+        lane_m = (np.arange(WI) % LANES) // 32          # member per lane
+        fi["off0"] = fi["off0"] + jnp.asarray((lane_m // 2) * ex, F32)
+        fi["off1"] = fi["off1"] + jnp.asarray((lane_m % 2) * ey, F32)
+        nbr_i = jnp.asarray(nbr_col_table_bundled(grid))
+        # live particles are a z-sorted prefix per member column; a
+        # bundled tile t is live iff any member has > 32*t particles
+        cmax = jnp.max(col_counts.reshape(ncx // 2, 2, ncy // 2, 2),
+                       axis=(1, 3)).reshape(NPROG)
+        tcounts = ((cmax + 31) // 32).reshape(1, NPROG)
+        act = (_to_bundled(active_i.reshape(Ncol, W), ncx, ncy)
+               if active_i is not None else None)
+    else:
+        NPROG, WI, offsets = Ncol, W, OFFSETS_9
+        fi, nbr_i, act = fields, None, active_i
+        tcounts = ((col_counts + (LANES - 1)) // LANES).reshape(1, Ncol)
+    TPC = WI // LANES
+    n_off = len(offsets)
+
     # ---- SoA (F, Np) for i-side lane blocks -----------------------------
-    Xi = jnp.stack([fields[n].reshape(Np) for n in field_order], axis=0)
+    Xi = jnp.stack([fi[n].reshape(Np) for n in field_order], axis=0)
     if Fp > F:
         Xi = jnp.pad(Xi, ((0, Fp - F), (0, 0)))
     # ---- AoS (Npj, Fpj) for j-side row windows --------------------------
@@ -275,33 +379,30 @@ def pair_apply(grid: CellGrid,
     if Fpj > Fj:
         Xa = jnp.pad(Xa, ((0, 0), (0, Fpj - Fj)))
 
-    counts = jnp.sum(fields["mask"] > 0, axis=1).astype(I32) \
-        .reshape(1, Ncol)
     ranges = _block_ranges(
-        grid, fields["mask"], fields["off2"], fields["h"],
+        grid, fi["mask"], fi["off2"], fi["h"],
         range_scale, sym_range,
         *((fields_j["mask"], fields_j["off2"], fields_j["h"])
-          if cross else (None, None, None)),
-        jb=jb_rng, reach_floor=reach_floor)
-    if active_i is not None:
-        tile_act = jnp.any((active_i > 0).reshape(Ncol, TPC, LANES),
+          if (cross or use_bundle) else (None, None, None)),
+        jb=gran, reach_floor=reach_floor, nbr=nbr_i)
+    if act is not None:
+        tile_act = jnp.any((act > 0).reshape(NPROG, TPC, LANES),
                            axis=2)
         ranges = jnp.where(tile_act[:, :, None], ranges, 0)
-    ranges = ranges.reshape(1, Ncol * TPC * 9)
+    ranges = ranges.reshape(1, NPROG * TPC * n_off)
 
     n_sc = len(scalars)
     sc_arr = (jnp.stack([jnp.asarray(v, F32) for v in scalars])
               if n_sc else jnp.zeros((1,), F32)).reshape(1, -1)
 
     def kernel(counts_ref, rng_ref, tab_ref, xi_ref, *rest):
-        wrefs = rest[:9]
-        out_ref = rest[9]
-        acc = rest[10]
+        wrefs = rest[:n_off]
+        out_ref = rest[n_off]
+        acc = rest[n_off + 1]
         col = pl.program_id(0)
-        my_count = counts_ref[0, col]
+        n_tiles = counts_ref[0, col]
         sc = tuple(tab_ref[0, i] for i in range(n_sc))
         out_ref[:] = jnp.zeros_like(out_ref)
-        n_tiles = (my_count + (LANES - 1)) // LANES
 
         def tile_body(it, _):
             l0 = pl.multiple_of(it * LANES, LANES)
@@ -309,7 +410,7 @@ def pair_apply(grid: CellGrid,
             def sf(name):
                 return xi_ref[fidx[name], pl.ds(l0, LANES)][None, :]
 
-            # deferred reductions: accumulate (jb, LANES) per output and
+            # deferred reductions: accumulate (ch, LANES) per output and
             # collapse the j-rows ONCE per i-tile, not per block
             for q in range(n_sum):
                 acc[q, :, :] = jnp.zeros_like(acc[q, :, :])
@@ -317,10 +418,10 @@ def pair_apply(grid: CellGrid,
                 acc[n_sum + q, :, :] = jnp.full_like(
                     acc[n_sum + q, :, :], -jnp.inf)
 
-            row_iota = jax.lax.broadcasted_iota(I32, (jb, 1), 0)
-            for o, (dx, dy) in enumerate(OFFSETS_9):
+            row_iota = jax.lax.broadcasted_iota(I32, (ch, 1), 0)
+            for o, (dx, dy) in enumerate(offsets):
                 wref = wrefs[o]
-                word = rng_ref[0, (col * TPC + it) * 9 + o]
+                word = rng_ref[0, (col * TPC + it) * n_off + o]
                 s1 = word & 0xFF
                 c1 = (word >> 8) & 0xFF
                 s2 = (word >> 16) & 0xFF
@@ -329,35 +430,35 @@ def pair_apply(grid: CellGrid,
                 sy = jnp.float32(dy * ey)
                 if fine:
                     # counts in FINE units; each loop trip processes a
-                    # jb-row chunk at a fine-aligned start, masking the
+                    # ch-row chunk at a granule-aligned start, masking
                     # overhang rows past the fine range end
-                    nc1 = (c1 + FINE_DIV - 1) // FINE_DIV
-                    nc2 = (c2 + FINE_DIV - 1) // FINE_DIV
+                    nc1 = (c1 + stride - 1) // stride
+                    nc2 = (c2 + stride - 1) // stride
                 else:
                     nc1, nc2 = c1, c2
 
                 def jblock(n, _):
                     if fine:
                         in1 = n < nc1
-                        base = jnp.where(in1, s1 + n * FINE_DIV,
-                                         s2 + (n - nc1) * FINE_DIV)
+                        base = jnp.where(in1, s1 + n * stride,
+                                         s2 + (n - nc1) * stride)
                         hi_f = jnp.where(in1, s1 + c1, s2 + c2)
-                        lo_row = base * jb_rng
-                        hi_row = jnp.minimum(hi_f, base + FINE_DIV) \
-                            * jb_rng
+                        lo_row = base * gran
+                        hi_row = jnp.minimum(hi_f, base + stride) \
+                            * gran
                         r0 = pl.multiple_of(
-                            jnp.minimum(lo_row, Wj - jb), jb_rng)
+                            jnp.minimum(lo_row, Wj - ch), gran)
                         row_ok = (row_iota + r0 >= lo_row) \
                             & (row_iota + r0 < hi_row)
                     else:
                         blk = jnp.where(n < c1, s1 + n, s2 + (n - c1))
-                        r0 = pl.multiple_of(blk * jb, jb)
+                        r0 = pl.multiple_of(blk * ch, ch)
                         row_ok = True
-                    tile = wref[pl.ds(r0, jb), :]           # (jb, Fpj)
+                    tile = wref[pl.ds(r0, ch), :]           # (ch, Fpj)
 
                     if MXU_BCAST == "wide" and not interpret:
                         # ONE wide selector matmul lane-broadcasts ALL
-                        # fields per block: (jb, Fpj) @ (Fpj, Fpj*128)
+                        # fields per block: (ch, Fpj) @ (Fpj, Fpj*128)
                         # with sel[r, c] = (r == c // 128).  HIGHEST
                         # precision (3-pass f32 decomposition) is exact
                         # for 0/1 selectors and amortises over every
@@ -433,15 +534,16 @@ def pair_apply(grid: CellGrid,
         jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
     in_specs = [
-        pl.BlockSpec((1, Ncol), lambda c: (0, 0),
+        pl.BlockSpec((1, NPROG), lambda c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, Ncol * TPC * 9), lambda c: (0, 0),
+        pl.BlockSpec((1, NPROG * TPC * n_off), lambda c: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, max(n_sc, 1)), lambda c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((Fp, W), lambda c: (0, c),
+        pl.BlockSpec((Fp, WI), lambda c: (0, c),
                      memory_space=pltpu.VMEM),
     ]
+
     def _nbr_map(dx, dy):
         # pure index arithmetic (index maps must not capture arrays)
         def im(c):
@@ -449,24 +551,36 @@ def pair_apply(grid: CellGrid,
             return ((ix + dx) % ncx * ncy + (iy + dy) % ncy, 0)
         return im
 
-    for (dx, dy) in OFFSETS_9:
-        in_specs.append(pl.BlockSpec((Wj, Fpj), _nbr_map(dx, dy),
+    def _nbr_map_bundled(dx, dy):
+        ngy = ncy // 2
+
+        def im(g):
+            gx, gy = g // ngy, g % ngy
+            return ((2 * gx + dx) % ncx * ncy + (2 * gy + dy) % ncy, 0)
+        return im
+
+    nbr_map = _nbr_map_bundled if use_bundle else _nbr_map
+    for (dx, dy) in offsets:
+        in_specs.append(pl.BlockSpec((Wj, Fpj), nbr_map(dx, dy),
                                      memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         kernel,
-        grid=(Ncol,),
+        grid=(NPROG,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n8, W), lambda c: (0, c),
+        out_specs=pl.BlockSpec((n8, WI), lambda c: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n8, Np), F32),
-        scratch_shapes=[pltpu.VMEM((n8, jb, LANES), F32)],
+        scratch_shapes=[pltpu.VMEM((n8, ch, LANES), F32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
-    )(counts, ranges, sc_arr, Xi, *([Xa] * 9))
+    )(tcounts, ranges, sc_arr, Xi, *([Xa] * n_off))
 
-    res = out.reshape(n8, Ncol, W)
+    if use_bundle:
+        res = _from_bundled(out, ncx, ncy, W)
+    else:
+        res = out.reshape(n8, Ncol, W)
     sums = [res[q] for q in range(n_sum)]
     maxes = [res[n_sum + q] for q in range(n_max)]
     return sums, maxes

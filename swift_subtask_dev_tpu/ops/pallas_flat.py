@@ -86,8 +86,10 @@ NBLK_MAX = 63    # fine starts/counts pack into 4 x 8-bit fields
 # stride 11 = 10.1.  The paper 4x z-span quartering does NOT
 # materialise: member columns' independent z-sorts misalign by their
 # count differences (~span 32 -> ~60 rows), leaving ~13% fewer
-# candidate rows + fuller i-tiles.  FLAT_CHUNK_STRIDE granules/trip to
-# A/B.
+# candidate rows + fuller i-tiles.  Step-level the per-pass transpose
+# to/from the bundled layout eats that margin (16-bit-range bench:
+# 0.414 non-bundled vs 0.394 bundled at 93k), so bundling is OPT-IN
+# via FLAT_BUNDLE=1; FLAT_CHUNK_STRIDE granules/trip to A/B.
 GRAN_BUNDLED = 8
 CHUNK_STRIDE = int(_os.environ.get("FLAT_CHUNK_STRIDE", "8"))
 
@@ -162,7 +164,10 @@ def _from_bundled(arr: jnp.ndarray, ncx: int, ncy: int,
 def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
                   sym_range: bool, maskf_j=None, zf_j=None, hf_j=None,
                   jb: int = JB, reach_floor: float = 0.0, nbr=None):
-    """(NI, TPC, NO) i32 packed j-block ranges: s1|c1<<8|s2<<16|c2<<24.
+    """(NI, TPC, NO, 2) i32 packed j-block ranges: word 0 = s1|c1<<16,
+    word 1 = s2|c2<<16 (16-bit fields — capacities up to 65535 granules,
+    where the old 8-bit quad-pack capped Wj/granularity at 255 and forced
+    coarse granules at 1e7-scale column heights).
 
     Columns are z-sorted, so the j-blocks whose z-interval overlaps an
     i-tile's reach-inflated z-range form a CONTIGUOUS run of block ids —
@@ -253,7 +258,8 @@ def _block_ranges(grid: CellGrid, maskf, zf, hf, gamma: float,
     s1 = jnp.where(full, 0, s1)
     c1 = jnp.where(full, NBLK, c1)
     c2 = jnp.where(full, 0, c2)
-    return (s1 | (c1 << 8) | (s2 << 16) | (c2 << 24)).astype(I32)
+    return jnp.stack([(s1 | (c1 << 16)).astype(I32),
+                      (s2 | (c2 << 16)).astype(I32)], axis=-1)
 
 
 def pair_apply(grid: CellGrid,
@@ -310,25 +316,22 @@ def pair_apply(grid: CellGrid,
     if not cross:
         fields_j, field_order_j = fields, field_order
     Wj = fields_j["mask"].shape[1]
-    jb = _jb_for(Wj)
+    jb = JB
     # fine mode needs at least one full chunk per column and a
     # fine-divisible capacity (Wj is 128-aligned so 16 | Wj)
     fine = FINE_RANGES and Wj >= jb and (jb % FINE_DIV == 0)
     use_bundle = (bundle if bundle is not None
-                  else _os.environ.get("FLAT_BUNDLE", "1") != "0")
+                  else _os.environ.get("FLAT_BUNDLE", "0") != "0")
     use_bundle = use_bundle and bundle_ok(grid)
     if use_bundle and fine:
-        # finer grain + wider chunk: one trip covers a whole bundled
-        # z-window (see GRAN_BUNDLED note above)
+        # finer grain + measured-best chunk (see GRAN_BUNDLED note)
         gran = GRAN_BUNDLED
-        while Wj // gran > 255:         # 8-bit range-word fields
-            gran *= 2
         ch = min(CHUNK_STRIDE * gran, Wj)
     else:
         gran = jb // FINE_DIV if fine else jb
         ch = jb
     stride = ch // gran                  # granules advanced per trip
-    assert W % LANES == 0 and Wj % gran == 0 and Wj // gran <= 255 \
+    assert W % LANES == 0 and Wj % gran == 0 and Wj // gran <= 65535 \
         and ch % gran == 0
     Np = Ncol * W
     Npj = Ncol * Wj
@@ -359,13 +362,14 @@ def pair_apply(grid: CellGrid,
         # bundled tile t is live iff any member has > 32*t particles
         cmax = jnp.max(col_counts.reshape(ncx // 2, 2, ncy // 2, 2),
                        axis=(1, 3)).reshape(NPROG)
-        tcounts = ((cmax + 31) // 32).reshape(1, NPROG)
+        tcounts = ((cmax + 31) // 32).reshape(NPROG, 1, 1)
         act = (_to_bundled(active_i.reshape(Ncol, W), ncx, ncy)
                if active_i is not None else None)
     else:
         NPROG, WI, offsets = Ncol, W, OFFSETS_9
         fi, nbr_i, act = fields, None, active_i
-        tcounts = ((col_counts + (LANES - 1)) // LANES).reshape(1, Ncol)
+        tcounts = ((col_counts + (LANES - 1)) // LANES) \
+            .reshape(Ncol, 1, 1)
     TPC = WI // LANES
     n_off = len(offsets)
 
@@ -388,8 +392,11 @@ def pair_apply(grid: CellGrid,
     if act is not None:
         tile_act = jnp.any((act > 0).reshape(NPROG, TPC, LANES),
                            axis=2)
-        ranges = jnp.where(tile_act[:, :, None], ranges, 0)
-    ranges = ranges.reshape(1, NPROG * TPC * n_off)
+        ranges = jnp.where(tile_act[:, :, None, None], ranges, 0)
+    # per-program SMEM blocks: (NPROG, TPC*n_off*2) so each program only
+    # prefetches its own tiles' words (the flat all-programs array would
+    # be MBs of SMEM at 1e7-scale grids)
+    ranges = ranges.reshape(NPROG, 1, TPC * n_off * 2)
 
     n_sc = len(scalars)
     sc_arr = (jnp.stack([jnp.asarray(v, F32) for v in scalars])
@@ -399,8 +406,7 @@ def pair_apply(grid: CellGrid,
         wrefs = rest[:n_off]
         out_ref = rest[n_off]
         acc = rest[n_off + 1]
-        col = pl.program_id(0)
-        n_tiles = counts_ref[0, col]
+        n_tiles = counts_ref[0, 0, 0]
         sc = tuple(tab_ref[0, i] for i in range(n_sc))
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -421,11 +427,12 @@ def pair_apply(grid: CellGrid,
             row_iota = jax.lax.broadcasted_iota(I32, (ch, 1), 0)
             for o, (dx, dy) in enumerate(offsets):
                 wref = wrefs[o]
-                word = rng_ref[0, (col * TPC + it) * n_off + o]
-                s1 = word & 0xFF
-                c1 = (word >> 8) & 0xFF
-                s2 = (word >> 16) & 0xFF
-                c2 = (word >> 24) & 0xFF
+                w1 = rng_ref[0, 0, (it * n_off + o) * 2]
+                w2 = rng_ref[0, 0, (it * n_off + o) * 2 + 1]
+                s1 = w1 & 0xFFFF
+                c1 = (w1 >> 16) & 0xFFFF
+                s2 = w2 & 0xFFFF
+                c2 = (w2 >> 16) & 0xFFFF
                 sx = jnp.float32(dx * ex)
                 sy = jnp.float32(dy * ey)
                 if fine:
@@ -534,9 +541,9 @@ def pair_apply(grid: CellGrid,
         jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
     in_specs = [
-        pl.BlockSpec((1, NPROG), lambda c: (0, 0),
+        pl.BlockSpec((1, 1, 1), lambda c: (c, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, NPROG * TPC * n_off), lambda c: (0, 0),
+        pl.BlockSpec((1, 1, TPC * n_off * 2), lambda c: (c, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, max(n_sc, 1)), lambda c: (0, 0),
                      memory_space=pltpu.SMEM),

@@ -59,8 +59,8 @@ def main():
     rng = pallas_flat._block_ranges(
         grid, F["mask"], F["off2"], F["h"], 1.0, False, jb=jb)
     rr = np.asarray(rng)
-    c1 = (rr >> 8) & 0xFF
-    c2 = (rr >> 24) & 0xFF
+    c1 = (rr[..., 0] >> 16) & 0xFFFF
+    c2 = (rr[..., 1] >> 16) & 0xFFFF
     nblocks = int((c1 + c2).sum())
     print(f"visited j-blocks/pass: {nblocks}  "
           f"candidate pairs: {nblocks * jb * 128 / 1e6:.1f} M")

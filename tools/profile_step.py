@@ -84,17 +84,16 @@ def main():
 
     # --- candidate diagnostic -------------------------------------------
     F = {"mask": s["mask"], "off2": s["off"][..., 2], "h": s["h"]}
-    jb = pallas_flat._jb_for(s["mask"].shape[1])
+    gran = 16
     rng = np.asarray(pallas_flat._block_ranges(
         grid, F["mask"], F["off2"], F["h"], float(P.kernel.gamma), True,
-        jb=jb, reach_floor=float(solver.pm.r_cut)))
-    cand_rows = ((rng >> 8) & 0xFF) + ((rng >> 24) & 0xFF)
+        jb=gran, reach_floor=float(solver.pm.r_cut)))
+    cand_rows = ((rng[..., 0] >> 16) & 0xFFFF) \
+        + ((rng[..., 1] >> 16) & 0xFFFF)
     n_tiles_live = (np.asarray(s["mask"]).reshape(
         grid.C, -1, 128).sum(2) > 0).sum()
-    cand_per_tile = cand_rows.sum(axis=2).reshape(-1)[
-        : grid.C * (s["mask"].shape[1] // 128)]
     mean_cand = float(cand_rows.reshape(grid.C, -1, 9).sum(2).sum()
-                      / max(n_tiles_live, 1)) * jb
+                      / max(n_tiles_live, 1)) * gran
     msk = np.asarray(s["mask"])
     ngb = float((np.asarray(s["wcount"]) * (4 / 3 * np.pi)
                  * (np.asarray(s["h"]) * P.kernel.gamma) ** 3

@@ -54,6 +54,12 @@ _ZEL_AMP = float(os.environ.get("BENCH_ZEL_AMP", "1.2"))
 #                   would dominate the wall clock
 _MODE = os.environ.get("BENCH_MODE", "sph")
 _STEPS = int(os.environ.get("BENCH_STEPS", "64"))
+_HEADROOM = float(os.environ.get("BENCH_HEADROOM", "1.4"))
+#   BENCH_VEL   rms velocity (box units/time) given to the IC so drift
+#               actually accumulates and the rebucket trigger fires at a
+#               realistic cadence (the v=0 uniform box never rebuckets —
+#               quote rows with BENCH_VEL>0 for honest amortised cost)
+_VEL = float(os.environ.get("BENCH_VEL", "0"))
 
 
 def _candidate_diag(grid, state, reach_scale, reach_floor, true_ngb):
@@ -133,6 +139,10 @@ def main():
     ic = (zeldovich_ic(n1, _ZEL_AMP) if _IC == "zel"
           else uniform_box_ic(n=n1, jitter=0.2, seed=3))
     n_parts = len(ic["pos"])
+    if _VEL > 0:
+        rng = np.random.default_rng(7)
+        ic["v"] = rng.normal(scale=_VEL,
+                             size=(n_parts, 3)).astype(np.float32)
 
     if _MODE == "dmo":
         return _main_dmo(ic, n_parts)
@@ -225,7 +235,7 @@ def _main_dmo(ic, n_parts):
     r_cut = gp.r_cut_ratio * gp.a_smooth * 1.0 / gp.mesh_N
     grid = CellGrid.build_columns(ic["box"],
                                   interaction_range=r_cut * _SLACK,
-                                  pos=ic["pos"])
+                                  pos=ic["pos"], headroom=_HEADROOM)
     solver = GravitySolver(gp, grid)
 
     def gfn(s):

@@ -253,6 +253,19 @@ def build_subgrid(params, units, args, cosmology, sph):
                                                      phys_const)
             cooling_fn = make_eagle_cooling_fn(model, floor,
                                                u_minimal=u_min)
+        elif params.has("GrackleCooling"):
+            # cooling/grackle analog: primordial H/He non-equilibrium
+            # network, substepped in the cooling hook
+            # (cooling/grackle/cooling.c:772)
+            from .subgrid.primordial import (PrimordialCooling,
+                                             initial_fractions,
+                                             make_primordial_cooling_fn)
+            model = PrimordialCooling.from_params(params, units)
+            cooling_fn = make_primordial_cooling_fn(model, floor,
+                                                    u_minimal=u_min)
+            # the run() path adds these species tiles to the gas state
+            cooling_fn.species_init = (
+                lambda shape, m=model: initial_fractions(m, shape))
         else:
             if params.has("LambdaCooling"):
                 model = ConstLambdaCooling.from_cgs(
@@ -265,7 +278,8 @@ def build_subgrid(params, units, args, cosmology, sph):
             else:
                 raise ValueError(
                     "--cooling given but no cooling section in the YAML "
-                    "(EAGLECooling / LambdaCooling / ConstCooling)")
+                    "(EAGLECooling / LambdaCooling / ConstCooling / "
+                    "GrackleCooling)")
             cooling_fn = make_cooling_fn(model, floor, u_minimal=u_min)
 
     star_formation = None
@@ -559,6 +573,8 @@ def main(argv=None) -> int:
             mesh_N=params.opt_int("Gravity", "mesh_side_length", 64),
             a_smooth=params.opt_float("Gravity", "a_smooth", 1.25),
             r_cut_ratio=params.opt_float("Gravity", "r_cut_max", 4.5),
+            mesh_gradient=params.opt_string("Gravity", "mesh_gradient",
+                                            "spectral"),
             eta=params.opt_float("Gravity", "eta", 0.025),
             theta_cr=params.opt_float("Gravity", "theta_cr", 0.7),
             multipole_order=params.opt_int("Gravity",
@@ -892,6 +908,10 @@ def main(argv=None) -> int:
         if rt_model is not None:
             from .rt import rt_init_state
             eng.state["gas"] = rt_init_state(eng.state["gas"], rt_model)
+        if cooling_fn is not None and hasattr(cooling_fn, "species_init"):
+            eng.state["gas"] = {
+                **eng.state["gas"],
+                **cooling_fn.species_init(eng.state["gas"]["mask"].shape)}
         if dm is not None:
             eng.load_dm(np.asarray(dm["Coordinates"], np.float64),
                         np.asarray(dm["Masses"], np.float32),
@@ -1098,6 +1118,9 @@ def main(argv=None) -> int:
         if rt_model is not None:
             from .rt import rt_init_state
             eng.state = rt_init_state(eng.state, rt_model)
+        if cooling_fn is not None and hasattr(cooling_fn, "species_init"):
+            eng.state = {**eng.state, **cooling_fn.species_init(
+                eng.state["mask"].shape)}
 
     # --- gas particle splitting (engine_split_gas_particles, engine.c:268;
     # SPH:particle_splitting / particle_splitting_mass_threshold) ------------

@@ -56,6 +56,11 @@ class GravityParams:
     # through accelerations(..., a_old=...)
     mac: str = "geometric"
     adaptive_eps: float = 1e-3   # Gravity:epsilon_fmm
+    # Gravity:mesh_gradient — "spectral" (default: exact k-space
+    # derivative; clears the reference-default-split Ewald gate at
+    # <1e-3 RMS) or "4pt" (the reference's finite-difference stencil,
+    # mesh_gravity.c)
+    mesh_gradient: str = "spectral"
 
     @property
     def H_soft(self) -> float:
@@ -85,7 +90,8 @@ class GravitySolver:
         self.fft_shard_n = int(fft_shard_n)
         self.pm = pm_gravity.PMMeshParams(
             N=gp.mesh_N, box=grid.box, a_smooth=gp.a_smooth,
-            r_cut_max_ratio=gp.r_cut_ratio)
+            r_cut_max_ratio=gp.r_cut_ratio,
+            gradient=getattr(gp, "mesh_gradient", "spectral"))
         # column grids (cdim z == 1) run the flat Pallas P2P kernel:
         # 9 neighbour columns cover x/y, z-block windows cover |dz|<=r_cut
         self.flat = grid.cdim[2] == 1
@@ -144,6 +150,9 @@ class GravitySolver:
                     gp.H_soft, self.pm.r_s)
         # cell corner positions (C, 3) — static constant for global pos
         self.corners = jnp.asarray(grid.cell_corners(), jnp.float32)
+        # eager Green-table build: the optimal influence function is far
+        # too expensive to evaluate inline per mesh solve
+        self.mesh_green = pm_gravity.green_table(self.pm, gp.G)
 
     def positions_of(self, s: Dict) -> jnp.ndarray:
         """(C, K, 3) absolute positions from tiled offsets (f32)."""
@@ -160,16 +169,17 @@ class GravitySolver:
         m_all = [s["m"] * s["mask"] for s in species]
         grid_mass = 0.0
         for pos, m in zip(pos_all, m_all):
-            grid_mass = grid_mass + pm_gravity.cic_deposit(self.pm, pos, m)
+            grid_mass = grid_mass + pm_gravity.deposit(self.pm, pos, m)
         if self.fft_shard_n > 0:
-            phi = pm_gravity.long_range_potential_sharded(
-                self.pm, grid_mass, gp.G, self.fft_shard_n)
+            acc_mesh, phi = pm_gravity.long_range_fields_sharded(
+                self.pm, grid_mass, gp.G, self.fft_shard_n,
+                green=self.mesh_green)
         else:
-            phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
-        acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
+            acc_mesh, phi = pm_gravity.long_range_fields(
+                self.pm, grid_mass, gp.G, green=self.mesh_green)
         outs = []
         for s, pos in zip(species, pos_all):
-            ax, ay, az, pot = pm_gravity.cic_gather_multi(
+            ax, ay, az, pot = pm_gravity.gather_multi(
                 self.pm, (acc_mesh[0], acc_mesh[1], acc_mesh[2], phi),
                 pos)
             outs.append((jnp.stack([ax, ay, az], -1)
@@ -325,13 +335,14 @@ class GravitySolver:
         m_all = [s["m"] * s["mask"] for s in species]
         grid_mass = 0.0
         for pos, m in zip(pos_all, m_all):
-            grid_mass = grid_mass + pm_gravity.cic_deposit(self.pm, pos, m)
+            grid_mass = grid_mass + pm_gravity.deposit(self.pm, pos, m)
         if self.fft_shard_n > 0:
-            phi = pm_gravity.long_range_potential_sharded(
-                self.pm, grid_mass, gp.G, self.fft_shard_n)
+            acc_mesh, phi = pm_gravity.long_range_fields_sharded(
+                self.pm, grid_mass, gp.G, self.fft_shard_n,
+                green=self.mesh_green)
         else:
-            phi = pm_gravity.long_range_potential(self.pm, grid_mass, gp.G)
-        acc_mesh = pm_gravity.potential_gradient(self.pm, phi)
+            acc_mesh, phi = pm_gravity.long_range_fields(
+                self.pm, grid_mass, gp.G, green=self.mesh_green)
 
         # --- FMM far field (near_radius-cell .. r_cut band) ------------------
         fmm_each = None
@@ -382,7 +393,7 @@ class GravitySolver:
         outs = []
         for i, (s, pos, (acc_pp, pot_pp)) in enumerate(
                 zip(species, pos_all, pp)):
-            ax, ay, az, pot = pm_gravity.cic_gather_multi(
+            ax, ay, az, pot = pm_gravity.gather_multi(
                 self.pm, (acc_mesh[0], acc_mesh[1], acc_mesh[2], phi),
                 pos)
             a_pm = jnp.stack([ax, ay, az], -1) * s["mask"][..., None]

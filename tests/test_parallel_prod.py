@@ -69,9 +69,13 @@ def test_sharded_dmo_step_matches_single_device():
     new_state, diag = step(st, T)
     assert int(diag["n_active"]) == int(ref_diag["n_active"])
     for key in ("a_grav", "v_full", "time_bin", "mask", "pot"):
+        # rtol 3e-5: the spectral-gradient mesh runs three extra inverse
+        # FFTs whose sharded (all_to_all slab) evaluation rounds in a
+        # different order than single-device rfftn — a halo bug shows
+        # as ~1e-2 errors across whole boundary cells, not 1e-5 noise
         np.testing.assert_allclose(
             np.asarray(new_state[key]), np.asarray(ref_state[key]),
-            rtol=1e-5, atol=1e-6, err_msg=key)
+            rtol=3e-5, atol=1e-6, err_msg=key)
 
 
 def test_sharded_multi_step_matches_single_device():

@@ -36,12 +36,16 @@ BASELINE_NODE = 4.4e6  # particle-steps/s per 64-core COSMA-5 node
 #   BENCH_ZEL_AMP   Zel'dovich displacement amplitude in interparticle
 #                   spacings (default 1.2 -> shell-crossed, ~10x
 #                   density contrast on the CIC grid)
-_N1 = int(os.environ.get("BENCH_N1", "36"))
-# mesh_N=128 measured best at 93k with the fused force+gravity pass:
-# denser PM mesh -> smaller r_cut -> narrower j-block ranges for the
-# fused pass (reach_floor=r_cut), with the FFT amortised by the split
-# mesh timestep (1.57e6 @ 96 -> 1.62e6 @ 128 steps/s; 64 gave 1.21e6)
-_MESH_N = int(os.environ.get("BENCH_MESH_N", "128"))
+# Default geometry (round 5): 2*80^3 = 1.02M particles — per-particle
+# throughput IMPROVES with N (fuller i-tiles; bench_sweep.jsonl r5 rows:
+# 93k 0.41x, 1M 0.51x, DMO 10M 1.69x), and 1M is the closest committed
+# size class to the reference's 5.1e7-particle baseline volumes.
+# BENCH_N1=36 BENCH_MESH_N=128 reproduces the old 93k row.
+_N1 = int(os.environ.get("BENCH_N1", "80"))
+# mesh_N: denser PM mesh -> smaller r_cut -> narrower j-block ranges for
+# the fused pass (reach_floor=r_cut), with the FFT amortised by the
+# split mesh timestep; 192 pairs with n1=80 (128 with n1=36)
+_MESH_N = int(os.environ.get("BENCH_MESH_N", "192"))
 _JB = int(os.environ.get("BENCH_JB", "0"))
 _PER_LAUNCH = int(os.environ.get("BENCH_PER_LAUNCH", "16"))
 _SLACK = float(os.environ.get("BENCH_SLACK", "1.25"))

@@ -20,8 +20,9 @@ Behavior:
 * exit 0 iff every file passed.
 
 Slow-tier files (huge interpret-mode Pallas compiles or long
-engine-convergence runs) are listed in SLOW below; CI runs the default
-tier on every change and --all nightly.
+engine-convergence runs) are listed in SLOW below; the committed CI
+config (.github/workflows/tests.yml) runs the default tier on pushes
+and the --all tier on a nightly schedule.
 """
 
 import argparse
@@ -47,10 +48,9 @@ SLOW = {
     "test_parallel_prod.py",    # 8-device sharded production step
     "test_multi_flat.py",       # multi-species flat engine matches
     "test_cli_eagle.py",        # full EAGLE volume CLI subprocess
-    "test_small_cosmo.py",      # comoving conservation gate (long run)
     "test_moving_mesh_3d.py",   # 3D Voronoi Sod evolution (~15 min)
     "test_adaptive_mac.py",     # order-5 T-matrix builds x2 (~12 min)
-    "test_cosmo_conservation.py",  # 60-step comoving DMO run
+    "test_cosmo_conservation.py",  # dt-refined comoving DMO runs
 }
 
 

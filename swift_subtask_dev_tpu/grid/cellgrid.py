@@ -38,6 +38,14 @@ class CellGrid:
     box: Tuple[float, float, float]
     cdim: Tuple[int, int, int]
     K: int
+    # Cyclic x relabeling: physical column ix maps to ARRAY index
+    # (ix + x_roll) % ncx.  Under shard_map every device owns an equal
+    # contiguous ARRAY slab, so this roll is the one load-balance knob
+    # equal-shape sharding leaves: it slides all shard boundaries by
+    # whole columns (the measured-cost analog of the reference's
+    # ParMETIS repartition, partition.c:1033 — see build_columns).
+    # Adjacency is cyclic, so rolls preserve every neighbour relation.
+    x_roll: int = 0
 
     def __post_init__(self):
         if any(c < 3 and c != 1 for c in self.cdim):
@@ -139,25 +147,26 @@ class CellGrid:
         cover all pairs); W sized from the actual fullest column, aligned
         to the kernel's 128-lane i-tiles.
 
-        With ``n_shards > 0`` the x-resolution is chosen **cost-balanced**
-        for an n-device x-slab decomposition — the TPU analog of the
-        reference's METIS repartition (partition.c:1033): shard_map demands
-        equal column counts per device, so the only load-balance knob is
-        WHERE the slab boundaries fall.  Among all feasible ncx that are
-        multiples of n_shards, pick the one minimizing the fullest slab's
-        particle count (ties -> larger ncx: narrower columns mean fewer
-        candidate slots in the pair kernel).
+        With ``n_shards > 0`` the x-resolution AND the cyclic x_roll are
+        chosen **cost-balanced** for an n-device x-slab decomposition —
+        the TPU analog of the reference's measured-cost repartition
+        (partition.c:1033): shard_map demands equal column counts per
+        device, so the load-balance knobs are the boundary GRANULARITY
+        (ncx) and the boundary PHASE (x_roll — a cyclic relabeling that
+        slides every slab boundary by whole columns).  Among feasible
+        (ncx multiple of n_shards, roll), pick the pair minimizing the
+        fullest slab's measured particle count.  Because auto-regrids
+        call back into this builder with the CURRENT positions
+        (Engine.regrid), the split re-balances as clustering develops.
         """
         box = tuple(float(b) for b in box)
         pos = np.asarray(pos, np.float64)
         cd = []
         for b in box[:2]:
             n = int(math.floor(b / max(interaction_range, 1e-30)))
-            # prefer even counts >= 4 so the pair kernel can bundle 2x2
-            # column groups per program (pallas_flat.bundle_ok); the one
-            # dropped column only widens the edge slightly
-            if n >= 5 and n % 2:
-                n -= 1
+            # (an even-count preference for the 2x2 bundling path was
+            # measured 6% SLOWER at 1M — dropping a column widens every
+            # tile's z-window — and bundling is opt-in, so no rounding)
             cd.append(int(np.clip(n, 3, max_cdim)))
         if n_shards > 0:
             nx_max = int(math.floor(box[0] / max(interaction_range, 1e-30)))
@@ -170,26 +179,47 @@ class CellGrid:
                     f">= interaction_range={interaction_range} columns")
             x = np.mod(pos[:, 0], box[0])
 
-            def worst_slab(nx):
-                ix = np.clip((x / (box[0] / nx)).astype(np.int64), 0, nx - 1)
-                per_row = np.bincount(ix, minlength=nx)
-                return per_row.reshape(n_shards, -1).sum(axis=1).max()
+            def best_roll(nx):
+                """(worst-slab count, roll) at this resolution: rolling
+                the column->array map by k slides every shard boundary
+                k columns; the per-shard sums are a cyclic windowed sum
+                of the per-column histogram."""
+                ix = np.clip((x / (box[0] / nx)).astype(np.int64), 0,
+                             nx - 1)
+                per_col = np.bincount(ix, minlength=nx)
+                width = nx // n_shards
+                best = (np.inf, 0)
+                for k in range(width):
+                    rolled = np.roll(per_col, k)
+                    worst = rolled.reshape(n_shards, -1).sum(axis=1).max()
+                    if worst < best[0]:
+                        best = (worst, k)
+                return best
 
-            cd[0] = max(cands, key=lambda n: (-worst_slab(n), n))
+            choice = min(((best_roll(n), -n) for n in cands),
+                         key=lambda t: (t[0][0], t[1]))
+            cd[0] = -choice[1]
+            x_roll = choice[0][1]
+        else:
+            x_roll = 0
         edge = np.asarray([box[0] / cd[0], box[1] / cd[1]])
         ij = np.floor(np.mod(pos[:, :2], box[:2]) / edge).astype(np.int64)
         ij = np.clip(ij, 0, np.asarray(cd) - 1)
         lin = ij[:, 0] * cd[1] + ij[:, 1]
         max_count = int(np.bincount(lin).max()) if len(lin) else 1
         W = int(math.ceil(max_count * headroom / w_align)) * w_align
-        return CellGrid(box=box, cdim=(cd[0], cd[1], 1), K=max(W, w_align))
+        return CellGrid(box=box, cdim=(cd[0], cd[1], 1),
+                        K=max(W, w_align), x_roll=x_roll)
 
     # --- coordinate helpers ---------------------------------------------------
     def cell_corners(self) -> np.ndarray:
-        """(C, 3) f64 cell corner positions (host-side, exact)."""
+        """(C, 3) f64 cell corner positions (host-side, exact).
+
+        Array x index j sits at physical column (j - x_roll) % ncx."""
         ix, iy, iz = np.meshgrid(np.arange(self.cdim[0]),
                                  np.arange(self.cdim[1]),
                                  np.arange(self.cdim[2]), indexing="ij")
+        ix = (ix - self.x_roll) % self.cdim[0]
         idx = np.stack([ix, iy, iz], axis=-1).reshape(-1, 3).astype(np.float64)
         return idx * self.edge_arr
 
@@ -239,8 +269,10 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
     p = jnp.mod(pos, box)
     ixyz = jnp.floor(p / edge).astype(I32)
     ixyz = jnp.clip(ixyz, 0, jnp.asarray(grid.cdim, I32) - 1)
-    cell = grid.linear_cell_of(ixyz)
     off = (p - ixyz.astype(pos.dtype) * edge).astype(F32)
+    if grid.x_roll:
+        ixyz = ixyz.at[..., 0].add(grid.x_roll)   # physical -> array x
+    cell = grid.linear_cell_of(ixyz)
 
     if zsort:
         # flat backend: z-sorted slot order within each column tile
@@ -282,9 +314,9 @@ def _bucket_fields_host(grid: CellGrid, pos, fields, zsort: bool):
     ixyz = np.floor(p / edge).astype(np.int32)
     ixyz = np.clip(ixyz, 0, np.asarray(grid.cdim, np.int32) - 1)
     ncx, ncy, ncz = grid.cdim
-    cell = ((ixyz[:, 0] % ncx) * ncy + ixyz[:, 1] % ncy) * ncz \
-        + ixyz[:, 2] % ncz
     off = (p - ixyz.astype(np.float32) * edge).astype(np.float32)
+    cell = (((ixyz[:, 0] + grid.x_roll) % ncx) * ncy
+            + ixyz[:, 1] % ncy) * ncz + ixyz[:, 2] % ncz
 
     if zsort:
         order = np.lexsort((p[:, 2], cell))

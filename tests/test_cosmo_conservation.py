@@ -93,42 +93,58 @@ def test_layzer_irvine_residual_dmo():
         [(acc, pot)] = solver.accelerations([s])
         return acc, pot
 
-    eng = DMEngine(grid, EngineConfig(dt_max=2e-5, backend="flat",
-                                      eta_grav=gp.eta,
-                                      p2p_reach=solver.pm.r_cut),
-                   0.0, 0.0, gravity_fn=gfn, eps_soft=gp.eps,
-                   cosmology=cosmo)
-    eng.load_dm(pos, m, v)
-    eng.init_particles()
+    def residual(dt_max, n_steps):
+        """LI residual (fraction of |W|) at this step size, with f64
+        host-side statistics accumulation (the on-device f32 sums add
+        ~1e-7 noise; the residual here is time discretization)."""
+        eng = DMEngine(grid, EngineConfig(dt_max=dt_max, backend="flat",
+                                          eta_grav=gp.eta,
+                                          p2p_reach=solver.pm.r_cut),
+                       0.0, 0.0, gravity_fn=gfn, eps_soft=gp.eps,
+                       cosmology=cosmo)
+        eng.load_dm(pos, m, v)
+        eng.init_particles()
 
-    rows = []
-    for _ in range(60):
-        a = cosmo.a_of_ti(eng.timeline.ti_current)
-        st = species_statistics(eng.grid, eng.state)
-        K = float(st["e_kin"]) / (a * a)       # peculiar kinetic
-        W = float(st["e_pot"]) / a             # peculiar potential
-        rows.append((a, K, W))
-        eng.step()
-    a = cosmo.a_of_ti(eng.timeline.ti_current)
-    st = species_statistics(eng.grid, eng.state)
-    rows.append((a, float(st["e_kin"]) / (a * a), float(st["e_pot"]) / a))
+        def row():
+            a = cosmo.a_of_ti(eng.timeline.ti_current)
+            s = eng.state
+            msk = np.asarray(s["mask"], np.float64)
+            mm = np.asarray(s["m"], np.float64) * msk
+            vv = np.asarray(s["v_full"], np.float64)
+            pot = np.asarray(s["pot"], np.float64) \
+                + np.asarray(s["pot_mesh"], np.float64)
+            K = 0.5 * float((mm * (vv ** 2).sum(-1)).sum()) / (a * a)
+            W = 0.5 * float((mm * pot).sum()) / a
+            return (a, K, W)
 
-    rows = np.asarray(rows)
-    a_s, K_s, W_s = rows[:, 0], rows[:, 1], rows[:, 2]
-    assert a_s[-1] > a_s[0], "scale factor did not advance"
-    # trapezoid integral of (2K + W)/a da
-    integrand = (2 * K_s + W_s) / a_s
-    integral = np.trapezoid(integrand, a_s)
-    R = (K_s[-1] + W_s[-1]) - (K_s[0] + W_s[0]) + integral
-    scale = max(abs(W_s).max(), 1e-30)
-    rel = abs(R) / scale
-    # the individual terms must move appreciably for the gate to mean
-    # anything (otherwise R ~ 0 trivially)
-    assert abs((K_s[-1] + W_s[-1]) - (K_s[0] + W_s[0])) > 1e-3 * scale \
-        or integral != 0.0
-    # measured 5.2e-3 at dt_max=2e-5 and 2.8e-3 at 1e-5 (first-order
-    # convergence -> discretization-limited); an O(1) convention bug
-    # (wrong drift/kick factor, mis-scaled potential) gives rel ~ 5
-    assert rel < 1e-2, (
-        f"Layzer-Irvine residual {rel:.2e} of |W| "
-        f"(K: {K_s[0]:.3e}->{K_s[-1]:.3e}, W: {W_s[0]:.3e}->{W_s[-1]:.3e})")
+        rows = []
+        for _ in range(n_steps):
+            rows.append(row())
+            eng.step()
+        rows.append(row())
+        rows = np.asarray(rows)
+        a_s, K_s, W_s = rows[:, 0], rows[:, 1], rows[:, 2]
+        assert a_s[-1] > a_s[0], "scale factor did not advance"
+        integrand = (2 * K_s + W_s) / a_s
+        integral = np.trapezoid(integrand, a_s)
+        R = (K_s[-1] + W_s[-1]) - (K_s[0] + W_s[0]) + integral
+        scale = max(abs(W_s).max(), 1e-30)
+        assert abs((K_s[-1] + W_s[-1]) - (K_s[0] + W_s[0])) \
+            > 1e-3 * scale or integral != 0.0
+        return R / scale, a_s[-1]
+
+    # dt-refinement (VERDICT r4 #6): the residual is first order in the
+    # statistics sampling, so halving dt over the SAME a-interval must
+    # ~halve it, and the Richardson extrapolation removes the leading
+    # discretization term — a wrong drift/kick factor or a mis-scaled
+    # comoving potential is dt-INDEPENDENT (rel ~ 5) and survives both.
+    r1, a_end1 = residual(2e-5, 60)
+    r2, a_end2 = residual(1e-5, 120)
+    assert abs(a_end1 - a_end2) < 1e-6      # same interval covered
+    assert abs(r2) < 0.75 * abs(r1), (
+        f"LI residual not converging with dt: {r1:.2e} -> {r2:.2e}")
+    r_extrap = 2.0 * r2 - r1
+    assert abs(r_extrap) < 1e-3, (
+        f"dt-extrapolated Layzer-Irvine residual {r_extrap:.2e} of |W| "
+        f"(raw: {r1:.2e} @ dt=2e-5, {r2:.2e} @ dt=1e-5)")
+    assert abs(r2) < 5e-3

@@ -58,3 +58,60 @@ def test_shrink_regrid_respects_cooldown_and_fit():
     eng2.step()
     eng2.step()
     assert getattr(eng2, "n_shrink_regrids", 0) == 0
+
+
+def test_slab_split_rebalances_clustered_on_regrid():
+    """Measured-count slab balancing (partition.c:1033 analog): on a
+    clustered IC the builder picks the (ncx, x_roll) pair minimizing
+    the fullest x-slab, and Engine.regrid — which re-invokes the
+    builder with the LIVE positions — re-balances as clustering
+    develops."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n_shards = 4
+    # two heavy clusters that BOTH land in naive shard 0 ([0, 0.25));
+    # a rolled boundary between them splits the load — the case where
+    # boundary PHASE is the whole game
+    n_bg, n_cl = 4000, 2000
+    pos = np.concatenate([
+        rng.uniform(0, 1, (n_bg, 3)),
+        np.mod(np.array([0.10, 0.5, 0.5])
+               + rng.normal(0, 0.015, (n_cl, 3)), 1.0),
+        np.mod(np.array([0.20, 0.3, 0.3])
+               + rng.normal(0, 0.015, (n_cl, 3)), 1.0)])
+    reach = 0.06
+
+    grid = CellGrid.build_columns((1.0, 1.0, 1.0), reach, pos,
+                                  n_shards=n_shards)
+    ncx = grid.cdim[0]
+
+    def shard_counts(roll):
+        ix = np.clip((np.mod(pos[:, 0], 1.0) * ncx).astype(np.int64),
+                     0, ncx - 1)
+        per_col = np.roll(np.bincount(ix, minlength=ncx), roll)
+        return per_col.reshape(n_shards, -1).sum(axis=1)
+
+    worst_naive = shard_counts(0).max()
+    worst_chosen = shard_counts(grid.x_roll).max()
+    mean = len(pos) / n_shards
+    assert worst_chosen <= worst_naive
+    # naive phase: both clusters in shard 0 -> ~2.5x the mean; the
+    # measured-count roll separates them (~1.6x)
+    assert worst_naive / mean > 2.0
+    assert worst_chosen / mean < 1.8
+
+    # bucketing + reconstruction round-trips under the roll
+    from swift_subtask_dev_tpu.grid.cellgrid import (bucket_fields,
+                                                     global_positions)
+    out, mask, off, nov = bucket_fields(grid, jnp.asarray(pos),
+                                        {"pid": jnp.arange(len(pos),
+                                                           dtype=jnp.float32)},
+                                        zsort=True)
+    assert int(nov) == 0
+    gp = global_positions(grid, off)
+    msk = np.asarray(mask) > 0
+    pid = np.asarray(out["pid"])[msk].astype(np.int64)
+    err = np.abs(gp[msk] - np.mod(pos, 1.0)[pid])
+    err = np.minimum(err, 1.0 - err)
+    assert float(err.max()) < 1e-5

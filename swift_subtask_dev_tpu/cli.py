@@ -713,6 +713,20 @@ def main(argv=None) -> int:
                        cosmology=cosmology, external_potential=ext_pot,
                        **mesh_kw)
         solver.eps_per_species = [gp.eps_dm or gp.eps]
+        if gp.mac == "adaptive" and solver.use_fmm:
+            # rebuild-cadence static MAC promotion (Gravity:
+            # mac_update_every steps): whole shell offsets accepted by
+            # every cell leave the P2P stencil — a re-jit when the set
+            # changes, like the reference remaking tasks at rebuild
+            cadence = params.opt_int("Gravity", "mac_update_every", 8)
+
+            def _mac_hook(e, _c=[0], _solver=solver):
+                if _c[0] % max(cadence, 1) == 0:
+                    a_old = e.state["a_grav"] + e.state["a_grav_mesh"]
+                    _solver.update_adaptive_promotion([e.state], [a_old])
+                _c[0] += 1
+
+            eng.pre_step_hook = _mac_hook
         eng.load_dm(pos, np.asarray(dm["Masses"], np.float32),
                     np.asarray(dm["Velocities"], np.float32),
                     pid=np.asarray(dm["ParticleIDs"]).astype(np.int32))

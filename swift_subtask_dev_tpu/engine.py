@@ -1174,6 +1174,12 @@ class Engine:
         return wake_dv, wake_du
 
     def step(self):
+        # host-side pre-step hook (rebuild-cadence work that must not
+        # trace: e.g. GravitySolver.update_adaptive_promotion rebuilding
+        # the static MAC stencil — the engine_maketasks-at-rebuild analog)
+        hook = getattr(self, "pre_step_hook", None)
+        if hook is not None:
+            hook(self)
         diag = self._with_regrid_retry(self._step_once)
         # --- gas particle splitting (engine_split_gas_particles,
         # engine.c:268; SPH:particle_splitting) — checked from the step

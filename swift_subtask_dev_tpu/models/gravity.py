@@ -148,6 +148,13 @@ class GravitySolver:
                 self.shell_T = fmm.build_t_matrices(
                     grid, self.shell_offs, gp.multipole_order,
                     gp.H_soft, self.pm.r_s)
+                # STATIC promotion (update_adaptive_promotion): shell
+                # offsets whose Dehnen bound holds for EVERY receiver
+                # cell leave the P2P stencil entirely — a real flop
+                # cut, where the per-cell masked path still computes
+                # the pairs it zeroes.  Rebuilt at the caller's rebuild
+                # cadence like the reference's task lists.
+                self.static_promoted = ()
         # cell corner positions (C, 3) — static constant for global pos
         self.corners = jnp.asarray(grid.cell_corners(), jnp.float32)
         # eager Green-table build: the optimal influence function is far
@@ -352,8 +359,25 @@ class GravitySolver:
             p_ord = gp.multipole_order
             M = fmm.p2m(self.grid, species, p_ord)
             L = fmm.m2l(self.grid, M, self.fmm_offsets, self.fmm_T)
+            if gp.mac == "adaptive":
+                promoted = set(getattr(self, "static_promoted", ()))
+                if promoted:
+                    # statically promoted shell offsets: their P2P is
+                    # gone from the stencil below, so their far field
+                    # is added UNMASKED here
+                    sel = np.asarray([i for i, d in
+                                      enumerate(self.shell_offs)
+                                      if tuple(int(x) for x in d)
+                                      in promoted])
+                    L = L + fmm.m2l(self.grid, M, self.shell_offs[sel],
+                                    self.shell_T[sel])
+                rest = np.asarray([i for i, d in
+                                   enumerate(self.shell_offs)
+                                   if tuple(int(x) for x in d)
+                                   not in promoted])
             if gp.mac == "adaptive" and a_old is not None \
-                    and any(a is not None for a in a_old):
+                    and any(a is not None for a in a_old) \
+                    and len(rest):
                 # per-cell min |a_old| over every species' live
                 # particles (m_pole.min_old_a_grav_norm analog)
                 min_a = jnp.full((self.grid.C,), jnp.inf, F32)
@@ -365,12 +389,14 @@ class GravitySolver:
                     an = jnp.where(s["mask"] > 0, an, jnp.inf)
                     min_a = jnp.minimum(min_a, jnp.min(an, axis=1))
                 accept = fmm.adaptive_accept(
-                    self.grid, M, p_ord, self.shell_offs, min_a,
+                    self.grid, M, p_ord, self.shell_offs[rest], min_a,
                     gp.adaptive_eps, max(H))
-                L = L + fmm.m2l_masked(self.grid, M, self.shell_offs,
-                                       self.shell_T, accept)
-                offset_skip = {tuple(int(x) for x in d): accept[:, i]
-                               for i, d in enumerate(self.shell_offs)}
+                L = L + fmm.m2l_masked(self.grid, M,
+                                       self.shell_offs[rest],
+                                       self.shell_T[rest], accept)
+                offset_skip = {
+                    tuple(int(x) for x in d): accept[:, i]
+                    for i, d in enumerate(self.shell_offs[rest])}
             fmm_each = [fmm.l2p(self.grid, L, s, p_ord, gp.G)
                         for s in species]
 
@@ -383,12 +409,19 @@ class GravitySolver:
                 periodic_truncation=gp.periodic, H_soft_j=H)
                 for i, s in enumerate(species)]
         else:
+            p2p_offs = None
+            if self.use_fmm and gp.mac == "adaptive" \
+                    and getattr(self, "static_promoted", ()):
+                promoted = set(self.static_promoted)
+                cube = p2p_gravity.stencil_offsets(self.near_radius)
+                p2p_offs = [tuple(int(x) for x in d) for d in cube
+                            if tuple(int(x) for x in d) not in promoted]
             pp = p2p_gravity.p2p_accelerations(
                 self.grid, species, gp.G, H_soft=H,
                 r_s=self.pm.r_s if gp.periodic else 0.0,
                 periodic_truncation=gp.periodic,
                 radius=self.near_radius if self.use_fmm else 1,
-                offset_skip=offset_skip)
+                offset_skip=offset_skip, offsets=p2p_offs)
 
         outs = []
         for i, (s, pos, (acc_pp, pot_pp)) in enumerate(
@@ -404,6 +437,43 @@ class GravitySolver:
                 ptot = ptot + fmm_each[i][1]
             outs.append((acc, ptot))
         return outs
+
+    def update_adaptive_promotion(self, species, a_old) -> tuple:
+        """HOST-side, rebuild-cadence static MAC promotion.
+
+        Re-evaluates the Dehnen bound for every outermost-shell offset
+        and promotes those accepted by EVERY receiver cell: they leave
+        the P2P stencil entirely (accelerations builds the smaller
+        static offset list) and get unmasked M2L instead.  This is the
+        TPU analog of the reference regenerating its gravity task list
+        at rebuild (engine_maketasks.c:1812 pair-mm vs pp selection):
+        per-cell dynamic masking cannot reduce flops under jit, a
+        static stencil change does.  Returns the promoted offsets; a
+        change invalidates the jitted step (the caller re-jits, which
+        is why this belongs at rebuild cadence)."""
+        gp = self.gp
+        if not (self.use_fmm and gp.mac == "adaptive"):
+            return ()
+        min_a = jnp.full((self.grid.C,), jnp.inf, F32)
+        got = False
+        for s, a in zip(species, a_old):
+            if a is None:
+                continue
+            got = True
+            an = jnp.linalg.norm(a, axis=-1) if a.ndim == 3 else a
+            an = jnp.where(s["mask"] > 0, an, jnp.inf)
+            min_a = jnp.minimum(min_a, jnp.min(an, axis=1))
+        if not got:
+            return self.static_promoted
+        M = fmm.p2m(self.grid, species, gp.multipole_order)
+        accept = fmm.adaptive_accept(
+            self.grid, M, gp.multipole_order, self.shell_offs, min_a,
+            gp.adaptive_eps, max(self._H_list(len(species))))
+        all_ok = np.asarray(jnp.all(accept, axis=0))
+        self.static_promoted = tuple(
+            tuple(int(x) for x in d)
+            for d, ok in zip(self.shell_offs, all_ok) if ok)
+        return self.static_promoted
 
     def gas_gravity_fn(self):
         """gravity_fn hook for the hydro engine (gas self-gravity only).

@@ -102,7 +102,40 @@ def far_offsets(grid: CellGrid, r_cut: float, near_radius: int = 2
 def build_t_matrices(grid: CellGrid, offsets: np.ndarray, p: int,
                      H_soft: float, r_s: float) -> np.ndarray:
     """(O, nt, nt) M2L translation matrices via nested-jacfwd derivative
-    tensors of the softened + truncated radial kernel."""
+    tensors of the softened + truncated radial kernel.
+
+    Disk-cached (~/.cache/swift_subtask_dev_tpu): the order-5 nested
+    jacfwd tower costs minutes per (grid, offsets) geometry and the
+    matrices depend only on static build inputs."""
+    import hashlib
+    import os
+    key = hashlib.sha256(
+        np.asarray(offsets, np.int32).tobytes()
+        + np.asarray(grid.edge_arr, np.float64).tobytes()
+        + np.asarray([p, H_soft, r_s], np.float64).tobytes()
+    ).hexdigest()[:24]
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                             "swift_subtask_dev_tpu")
+    cache = os.path.join(cache_dir, f"tmat_{key}.npy")
+    if os.path.exists(cache):
+        try:
+            return np.load(cache)
+        except Exception:
+            pass
+    T = _build_t_matrices_uncached(grid, offsets, p, H_soft, r_s)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache + f".tmp{os.getpid()}"
+        np.save(tmp, T)
+        os.replace(tmp, cache)
+    except OSError:
+        pass
+    return T
+
+
+def _build_t_matrices_uncached(grid: CellGrid, offsets: np.ndarray,
+                               p: int, H_soft: float,
+                               r_s: float) -> np.ndarray:
     idx = multi_indices(p)
     nt = len(idx)
     pos = {a: i for i, a in enumerate(idx)}

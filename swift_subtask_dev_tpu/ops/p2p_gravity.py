@@ -147,7 +147,8 @@ def p2p_accelerations(grid: CellGrid,
                       species: Sequence[Dict[str, jnp.ndarray]],
                       G: float, H_soft: float,
                       r_s: float = 0.0, periodic_truncation: bool = True,
-                      radius: int = 1, offset_skip=None):
+                      radius: int = 1, offset_skip=None,
+                      offsets=None):
     """Short-range gravity between all species bucketed on the same grid.
 
     species: list of dicts with keys mask, off, m — each (C, K_s) tiles on
@@ -166,7 +167,11 @@ def p2p_accelerations(grid: CellGrid,
     r_s_inv = 1.0 / r_s if r_s > 0 else 0.0
     H_list = (list(H_soft) if isinstance(H_soft, (list, tuple))
               else [float(H_soft)] * len(species))
-    offsets = STENCIL_27 if radius == 1 else stencil_offsets(radius)
+    if offsets is None:
+        # explicit lists let the adaptive MAC STATICALLY drop whole
+        # promoted offsets (a real flop cut — the per-cell masked skip
+        # below still computes the pairs it zeroes)
+        offsets = STENCIL_27 if radius == 1 else stencil_offsets(radius)
     if any(c < 2 * radius + 1 for c in grid.cdim):
         raise ValueError(
             f"P2P stencil radius {radius} needs cdim >= {2 * radius + 1} "

@@ -92,6 +92,9 @@ NBLK_MAX = 63    # fine starts/counts pack into 4 x 8-bit fields
 # via FLAT_BUNDLE=1; FLAT_CHUNK_STRIDE granules/trip to A/B.
 GRAN_BUNDLED = 8
 CHUNK_STRIDE = int(_os.environ.get("FLAT_CHUNK_STRIDE", "8"))
+# Process two 64-row chunks per fori trip (independent slice+extract
+# chains; the probe measured a ~420-cycle dependent-op floor per trip).
+DUO_CHUNK = _os.environ.get("FLAT_DUO", "0") != "0"
 
 
 def _jb_for(Wj: int) -> int:
@@ -444,7 +447,7 @@ def pair_apply(grid: CellGrid,
                 else:
                     nc1, nc2 = c1, c2
 
-                def jblock(n, _):
+                def chunk_body(n):
                     if fine:
                         in1 = n < nc1
                         base = jnp.where(in1, s1 + n * stride,
@@ -526,9 +529,23 @@ def pair_apply(grid: CellGrid,
                         acc[n_sum + q, :, :] = jnp.maximum(
                             acc[n_sum + q, :, :],
                             jnp.where(ok, val, -jnp.inf))
-                    return 0
 
-                jax.lax.fori_loop(0, nc1 + nc2, jblock, 0)
+                if DUO_CHUNK and fine:
+                    # two chunks per trip: the dependent VMEM slice +
+                    # field extraction chains of the two chunks are
+                    # independent, hiding the per-trip latency floor;
+                    # the odd-tail padding trip self-masks (its row_ok
+                    # window is empty by construction)
+                    def jblock(q, _):
+                        chunk_body(2 * q)
+                        chunk_body(2 * q + 1)
+                        return 0
+                    jax.lax.fori_loop(0, (nc1 + nc2 + 1) // 2, jblock, 0)
+                else:
+                    def jblock(n, _):
+                        chunk_body(n)
+                        return 0
+                    jax.lax.fori_loop(0, nc1 + nc2, jblock, 0)
 
             for q in range(n_sum):
                 out_ref[q, pl.ds(l0, LANES)] = jnp.sum(acc[q, :, :],

@@ -281,8 +281,7 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
     else:
         order = jnp.argsort(cell, stable=True)
     cell_s = cell[order]
-    first = jnp.searchsorted(cell_s, cell_s, side="left")
-    rank = jnp.arange(N, dtype=I32) - first.astype(I32)
+    rank = _rank_in_run(cell_s)
 
     ok = rank < K
     n_overflow = jnp.sum(~ok).astype(I32)
@@ -298,6 +297,21 @@ def bucket_fields(grid: CellGrid, pos: jnp.ndarray,
     mask = scatter(jnp.ones((N,), F32))
     off_t = scatter(off[order])
     return out_fields, mask, off_t, n_overflow
+
+
+def _rank_in_run(cell_s: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each element within its run of equal values, for a SORTED
+    key array: boundary flags + one cumulative max of the boundary
+    indices.  O(N) scan — the previous
+    ``searchsorted(cell_s, cell_s)`` was an N x log N chain of
+    latency-bound gathers and dominated the whole rebucket (measured
+    2.6 s of a 4.4 s rebucket at 11.9M slots; the scan is ~50 ms)."""
+    n = cell_s.shape[0]
+    iota = jnp.arange(n, dtype=I32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+    first = jax.lax.cummax(jnp.where(boundary, iota, 0))
+    return iota - first
 
 
 def _bucket_fields_host(grid: CellGrid, pos, fields, zsort: bool):
@@ -384,34 +398,54 @@ def rebucket_offsets(grid: CellGrid, mask: jnp.ndarray, off: jnp.ndarray,
     else:
         order = jnp.argsort(new_cell, stable=True)
     cell_s = new_cell[order]
-    first = jnp.searchsorted(cell_s, cell_s, side="left")
-    rank = jnp.arange(C * K, dtype=I32) - first.astype(I32)
+    rank = _rank_in_run(cell_s)
 
     ok = (cell_s < C) & (rank < K)
     n_overflow = jnp.sum((cell_s < C) & (rank >= K)).astype(I32)
     slot = jnp.where(ok, cell_s * K + rank, C * K)
 
     # ONE i32 scatter builds the destination->source map; every field
-    # then moves with a single gather (TPU scatters are far slower than
-    # gathers — the previous per-field gather+scatter made the rebucket
-    # dominate the step at 1e6+ particles).  Sentinel source C*K reads
-    # the appended fill row.
+    # then moves by gather (TPU scatters are far slower than gathers —
+    # the previous per-field gather+scatter made the rebucket dominate
+    # the step at 1e6+ particles).  Sentinel source C*K reads the
+    # appended fill row.
     src = jnp.full((C * K + 1,), C * K, I32)
     src = src.at[slot].set(order.astype(I32))
     src = src[:-1]
 
-    def move(x, fill):
-        flat = x.reshape((C * K,) + x.shape[2:])
-        fill_row = jnp.full((1,) + flat.shape[1:], fill, flat.dtype)
-        flat = jnp.concatenate([flat, fill_row], axis=0)
-        return flat[src].reshape((C, K) + x.shape[2:])
-
-    out_fields = {}
+    # Move every field with ONE row gather per dtype group: TPU gathers
+    # are latency-bound per row and locality does not help (measured
+    # ~20 ms/field at 1.7M rows, NOTES_ROUND6), so packing the F scalar
+    # columns into a single (C*K+1, F) matrix amortises that latency
+    # F-fold.  The appended fill row carries each column's own fill
+    # value, so mixed fills (pid = -1) stay exact.
+    CK = C * K
+    entries = [("\x00mask", mask, 0.0), ("\x00off", new_off, 0.0)]
     for name, arr in fields.items():
-        fill = -1 if arr.dtype in (jnp.int32, jnp.int64) and name == "pid" else 0
-        out_fields[name] = move(arr, fill)
-    new_mask = move(mask, 0.0)
-    out_off = move(new_off, 0.0)
+        fill = (-1 if arr.dtype in (jnp.int32, jnp.int64)
+                and name == "pid" else 0)
+        entries.append((name, arr, fill))
+    by_dtype: Dict = {}
+    for name, arr, fill in entries:
+        flat = arr.reshape((CK, -1))
+        by_dtype.setdefault(jnp.dtype(arr.dtype).name, []).append(
+            (name, flat, fill, arr.shape))
+    moved = {}
+    for dt, items in by_dtype.items():
+        big = jnp.concatenate([f for _, f, _, _ in items], axis=1)
+        fill_row = jnp.concatenate(
+            [jnp.full((1, f.shape[1]), fl, dt) for _, f, fl, _ in items],
+            axis=1)
+        big = jnp.concatenate([big, fill_row], axis=0)
+        out = big[src]
+        c0 = 0
+        for name, f, _, shp in items:
+            k = f.shape[1]
+            moved[name] = out[:, c0:c0 + k].reshape((C, K) + shp[2:])
+            c0 += k
+    out_fields = {name: moved[name] for name in fields}
+    new_mask = moved["\x00mask"]
+    out_off = moved["\x00off"]
     return out_fields, new_mask, out_off, n_overflow
 
 

@@ -127,3 +127,18 @@ def test_build_columns_shards_infeasible():
     with pytest.raises(ValueError):
         CellGrid.build_columns((1.0, 1.0, 1.0), interaction_range=0.4,
                                pos=np.zeros((10, 3)), n_shards=4)
+
+
+def test_rank_in_run_matches_searchsorted():
+    """_rank_in_run (boundary + cummax scan) equals the searchsorted
+    definition of rank-within-equal-run on sorted keys — including
+    empty runs, a single run, and a trailing sentinel run."""
+    from swift_subtask_dev_tpu.grid.cellgrid import _rank_in_run
+
+    rng = np.random.default_rng(5)
+    for n, hi in [(1, 1), (17, 3), (1000, 40), (4096, 1)]:
+        cell_s = np.sort(rng.integers(0, hi, n))
+        first = np.searchsorted(cell_s, cell_s, side="left")
+        expect = np.arange(n) - first
+        got = np.asarray(_rank_in_run(jnp.asarray(cell_s, jnp.int32)))
+        assert np.array_equal(got, expect), (n, hi)
